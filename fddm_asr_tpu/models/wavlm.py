@@ -1,0 +1,449 @@
+# -*- coding: utf-8 -*-
+"""WavLM in JAX/Flax — the frozen acoustic backbone c = c_psi(s).
+
+A from-scratch Flax implementation of the WavLM architecture (conv feature
+encoder + transformer with gated relative-position-bias attention), matching
+the HuggingFace `transformers.WavLMModel` numerics so that pretrained
+microsoft/wavlm-large weights convert losslessly
+(`fddm_asr_tpu.convert.wavlm_convert`).  Behavioral reference for the
+*framework role* of this module: /root/reference/models/acoustic_encoder.py
+(wraps WavLMModel, lines 34-128).
+
+Architecture notes (wavlm-large: hidden 1024, 24 layers, 16 heads, ff 4096,
+feat_extract_norm="layer", do_stable_layer_norm=True):
+
+  * Feature encoder: 7 temporal convs, kernels (10,3,3,3,3,2,2), strides
+    (5,2,2,2,2,2,2) — total hop 320 samples; "layer" norm variant applies a
+    channel LayerNorm after each conv, then exact GELU.
+  * Feature projection: LayerNorm(512) -> Linear(512 -> hidden).
+  * Positional conv embedding: grouped Conv1d(hidden, hidden, k=128, groups=16,
+    pad 64) with weight-norm (folded at conversion), drop last frame (even
+    kernel), GELU.
+  * Encoder layers (stable-LN = pre-LN): LN -> gated-rel-pos-bias attention ->
+    +residual; FFN over final_layer_norm(x) -> +residual; one trailing
+    encoder LayerNorm.
+  * Relative position bias: T5-style log-bucketed (num_buckets=320,
+    max_distance=800), embedded per head by layer 0 only and reused by all
+    layers; each layer applies its own sigmoid gate computed from its
+    pre-projection hidden states.
+
+TPU-first choices: channel-last conv layout (feeds the MXU directly), bucket
+tables computed with numpy at trace time (static shapes), bf16-able compute
+with f32 params, attention through the pluggable kernel in
+`fddm_asr_tpu.ops.attention`.
+
+SpecAugment time/feature masking is a training-time feature of the HF model;
+the FDDM pipeline keeps the encoder frozen (reference acoustic_encoder.py:49),
+so masking is exposed via `mask_time_indices` only (precomputed on host).
+LayerDrop is likewise training-only and not applied.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fddm_asr_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class WavLMConfig:
+    """Subset of HF WavLMConfig needed for the forward pass."""
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    conv_dim: Sequence[int] = (512,) * 7
+    conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"  # "layer" (large) | "group" (base)
+    do_stable_layer_norm: bool = True
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    feat_proj_dropout: float = 0.0
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+
+    @classmethod
+    def large(cls) -> "WavLMConfig":
+        return cls()
+
+    @classmethod
+    def base(cls) -> "WavLMConfig":
+        return cls(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_bias=False, feat_extract_norm="group",
+            do_stable_layer_norm=False,
+        )
+
+    @classmethod
+    def tiny_for_tests(cls) -> "WavLMConfig":
+        """Geometry-preserving toy config for fast parity/unit tests."""
+        return cls(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, conv_dim=(16,) * 7,
+            num_buckets=32, max_bucket_distance=80,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        )
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "WavLMConfig":
+        return cls(
+            hidden_size=hf_config.hidden_size,
+            num_hidden_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            conv_dim=tuple(hf_config.conv_dim),
+            conv_kernel=tuple(hf_config.conv_kernel),
+            conv_stride=tuple(hf_config.conv_stride),
+            conv_bias=hf_config.conv_bias,
+            feat_extract_norm=hf_config.feat_extract_norm,
+            do_stable_layer_norm=hf_config.do_stable_layer_norm,
+            num_buckets=hf_config.num_buckets,
+            max_bucket_distance=hf_config.max_bucket_distance,
+            num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
+            layer_norm_eps=hf_config.layer_norm_eps,
+            feat_proj_dropout=hf_config.feat_proj_dropout,
+            hidden_dropout=hf_config.hidden_dropout,
+            attention_dropout=hf_config.attention_dropout,
+            activation_dropout=hf_config.activation_dropout,
+        )
+
+    def feat_extract_output_length(self, input_length) -> Any:
+        """Conv-stack output length: floor((len - k)/s) + 1 per layer.
+
+        Works on python ints or integer arrays (numpy/jnp).
+        """
+        length = input_length
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            length = (length - k) // s + 1
+        return length
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class ConvLayer(nn.Module):
+    """One temporal conv of the feature encoder ("layer"/"group"/"none" norm)."""
+
+    out_dim: int
+    kernel: int
+    stride: int
+    use_bias: bool
+    norm: str  # "layer" | "group" | "none"
+    eps: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C_in]
+        x = nn.Conv(
+            self.out_dim, (self.kernel,), strides=(self.stride,), padding="VALID",
+            use_bias=self.use_bias, dtype=self.dtype, name="conv",
+        )(x)
+        if self.norm == "layer":
+            x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm")(x)
+        elif self.norm == "group":
+            # torch GroupNorm(num_groups=C, num_channels=C) == per-channel
+            # InstanceNorm over time.
+            x = nn.GroupNorm(
+                num_groups=self.out_dim, epsilon=1e-5, dtype=self.dtype, name="layer_norm"
+            )(x)
+        return _gelu(x)
+
+
+class FeatureEncoder(nn.Module):
+    """Raw waveform [B, T] -> conv features [B, S, conv_dim[-1]]."""
+
+    config: WavLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_values: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = input_values[..., None].astype(self.dtype)  # [B, T, 1]
+        for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
+            if cfg.feat_extract_norm == "layer":
+                norm = "layer"
+            else:
+                norm = "group" if i == 0 else "none"
+            x = ConvLayer(
+                dim, k, s, cfg.conv_bias, norm, cfg.layer_norm_eps, self.dtype,
+                name=f"conv_layers_{i}",
+            )(x)
+        return x
+
+
+class FeatureProjection(nn.Module):
+    config: WavLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="projection")(x)
+        return nn.Dropout(cfg.feat_proj_dropout, deterministic=deterministic)(x)
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding; weight-norm folded into `conv`."""
+
+    config: WavLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, S, H]
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        h = nn.Conv(
+            cfg.hidden_size, (k,), padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype, name="conv",
+        )(x)
+        if k % 2 == 0:  # SamePadLayer: drop the trailing frame for even kernels
+            h = h[:, :-1, :]
+        return _gelu(h)
+
+
+def relative_position_buckets(
+    query_len: int, key_len: int, num_buckets: int, max_distance: int
+) -> np.ndarray:
+    """T5-style bidirectional log-bucketing of relative positions.
+
+    Static-shape computation (numpy at trace time).  Mirrors HF WavLM's
+    `_relative_positions_bucket` semantics.
+    """
+    context = np.arange(query_len, dtype=np.int64)[:, None]
+    memory = np.arange(key_len, dtype=np.int64)[None, :]
+    rel = memory - context  # [Lq, Lk]
+
+    nb = num_buckets // 2
+    buckets = (rel > 0).astype(np.int64) * nb
+    rel = np.abs(rel)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    with np.errstate(divide="ignore"):
+        large = np.log(rel.astype(np.float32) / max_exact) / math.log(max_distance / max_exact)
+    large = (max_exact + large * (nb - max_exact)).astype(np.int64)
+    large = np.minimum(large, nb - 1)
+    buckets += np.where(is_small, rel, large)
+    return buckets  # [Lq, Lk] int
+
+
+class GatedRelPosAttention(nn.Module):
+    """Self-attention with WavLM's gated relative position bias.
+
+    `position_bias` [H, L, L] is computed by the layer that owns
+    `rel_attn_embed` (layer 0) and reused downstream; each layer gates it with
+    sigmoid gates derived from its own (pre-projection) hidden states.
+    """
+
+    config: WavLMConfig
+    has_relative_position_bias: bool
+    dtype: Dtype = jnp.float32
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, L, H*dh]
+        key_mask: Optional[jnp.ndarray],
+        position_bias: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        B, L, _ = x.shape
+        H = cfg.num_attention_heads
+        dh = cfg.hidden_size // H
+
+        if position_bias is None:
+            if not self.has_relative_position_bias:
+                raise ValueError("first layer must own rel_attn_embed")
+            buckets = relative_position_buckets(
+                L, L, cfg.num_buckets, cfg.max_bucket_distance
+            )
+            rel_embed = nn.Embed(
+                cfg.num_buckets, H, dtype=self.dtype, name="rel_attn_embed"
+            )
+            values = rel_embed(jnp.asarray(buckets))  # [L, L, H]
+            position_bias = jnp.transpose(values, (2, 0, 1))  # [H, L, L]
+
+        # --- gate from pre-projection hidden states (HF lines 168-183) ------
+        gated = x.reshape(B, L, H, dh).transpose(0, 2, 1, 3)  # [B,H,L,dh]
+        rel_proj = nn.Dense(8, dtype=self.dtype, name="gru_rel_pos_linear")(gated)
+        rel_proj = rel_proj.reshape(B, H, L, 2, 4).sum(-1)  # [B,H,L,2]
+        gates = jax.nn.sigmoid(rel_proj)
+        gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,L,1]
+        gru_const = self.param(
+            "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1), jnp.float32
+        )
+        gate_out = gate_a * (gate_b * gru_const - 1.0) + 2.0  # [B,H,L,1]
+        gated_bias = gate_out * position_bias[None]  # [B,H,L,L]
+
+        q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(B, L, H, dh)
+        k = k.reshape(B, L, H, dh)
+        v = v.reshape(B, L, H, dh)
+
+        dropout_rng = None
+        if not deterministic and cfg.attention_dropout > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        attn_fn = self.attention_fn or dot_product_attention
+        out = attn_fn(
+            q, k, v, key_mask=key_mask, bias=gated_bias,
+            dropout_rate=cfg.attention_dropout if not deterministic else 0.0,
+            dropout_rng=dropout_rng,
+        )
+        out = out.reshape(B, L, cfg.hidden_size)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(out)
+        return out, position_bias
+
+
+class FeedForward(nn.Module):
+    config: WavLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        h = _gelu(h)
+        h = nn.Dropout(cfg.activation_dropout, deterministic=deterministic)(h)
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
+        return nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
+
+
+class EncoderLayerStableLN(nn.Module):
+    """Pre-LN layer (wavlm-large)."""
+
+    config: WavLMConfig
+    has_relative_position_bias: bool
+    dtype: Dtype = jnp.float32
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, key_mask, position_bias, deterministic: bool = True):
+        cfg = self.config
+        residual = x
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
+        h, position_bias = GatedRelPosAttention(
+            cfg, self.has_relative_position_bias, self.dtype,
+            attention_fn=self.attention_fn, name="attention",
+        )(h, key_mask, position_bias, deterministic)
+        h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
+        x = residual + h
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(x)
+        x = x + FeedForward(cfg, self.dtype, name="feed_forward")(h, deterministic)
+        return x, position_bias
+
+
+class EncoderLayerPostLN(nn.Module):
+    """Post-LN layer (wavlm-base)."""
+
+    config: WavLMConfig
+    has_relative_position_bias: bool
+    dtype: Dtype = jnp.float32
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, key_mask, position_bias, deterministic: bool = True):
+        cfg = self.config
+        residual = x
+        h, position_bias = GatedRelPosAttention(
+            cfg, self.has_relative_position_bias, self.dtype,
+            attention_fn=self.attention_fn, name="attention",
+        )(x, key_mask, position_bias, deterministic)
+        h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(residual + h)
+        x = x + FeedForward(cfg, self.dtype, name="feed_forward")(x, deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(x)
+        return x, position_bias
+
+
+class Encoder(nn.Module):
+    config: WavLMConfig
+    dtype: Dtype = jnp.float32
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic: bool = True):
+        cfg = self.config
+        if key_mask is not None:
+            x = jnp.where(key_mask[..., None], x, 0.0)
+        x = x + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv_embed")(x)
+        if not cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
+        x = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(x)
+
+        layer_cls = EncoderLayerStableLN if cfg.do_stable_layer_norm else EncoderLayerPostLN
+        position_bias = None
+        for i in range(cfg.num_hidden_layers):
+            x, position_bias = layer_cls(
+                cfg, has_relative_position_bias=(i == 0), dtype=self.dtype,
+                attention_fn=self.attention_fn, name=f"layers_{i}",
+            )(x, key_mask, position_bias, deterministic)
+        if cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
+        return x
+
+
+class WavLMModel(nn.Module):
+    """Waveform [B, T] (+ optional sample-level attention mask) -> [B, S, H].
+
+    Matches HF WavLMModel.forward in eval mode (no SpecAugment/LayerDrop).
+    `mask_time_indices` [B, S] bool optionally replaces masked frames with the
+    learned `masked_spec_embed` vector (used only if the encoder is trained).
+    """
+
+    config: WavLMConfig
+    dtype: Dtype = jnp.float32
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        input_values: jnp.ndarray,                  # [B, T] float waveform
+        attention_mask: Optional[jnp.ndarray] = None,  # [B, T] True=valid sample
+        mask_time_indices: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        feats = FeatureEncoder(cfg, self.dtype, name="feature_extractor")(input_values)
+        S = feats.shape[1]
+
+        feat_mask = None
+        if attention_mask is not None:
+            lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+            out_lengths = cfg.feat_extract_output_length(lengths)
+            feat_mask = jnp.arange(S)[None, :] < out_lengths[:, None]
+
+        x = FeatureProjection(cfg, self.dtype, name="feature_projection")(feats, deterministic)
+        if mask_time_indices is not None:
+            masked_embed = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(scale=1.0),
+                (cfg.hidden_size,),
+                jnp.float32,
+            )
+            x = jnp.where(mask_time_indices[..., None], masked_embed.astype(x.dtype), x)
+        x = Encoder(cfg, self.dtype, attention_fn=self.attention_fn, name="encoder")(
+            x, feat_mask, deterministic
+        )
+        return x
