@@ -237,8 +237,11 @@ def relative_position_buckets(
     rel = np.abs(rel)
     max_exact = nb // 2
     is_small = rel < max_exact
-    with np.errstate(divide="ignore"):
-        large = np.log(rel.astype(np.float32) / max_exact) / math.log(max_distance / max_exact)
+    # floor rel at 1 in the log: rel < max_exact rows are overridden by
+    # `is_small` below, this just avoids log(0).
+    large = np.log(np.maximum(rel, 1).astype(np.float32) / max_exact) / math.log(
+        max_distance / max_exact
+    )
     large = (max_exact + large * (nb - max_exact)).astype(np.int64)
     large = np.minimum(large, nb - 1)
     buckets += np.where(is_small, rel, large)

@@ -1,0 +1,80 @@
+# -*- coding: utf-8 -*-
+"""Numerical parity: Flax WavLM vs transformers.WavLMModel (random weights,
+tiny config, both stable-LN "large"-style and post-LN "base"-style variants).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+from fddm_asr_tpu.convert.wavlm_convert import wavlm_params_from_state_dict
+
+B, T = 2, 3200  # 0.2 s @ 16 kHz -> 9 frames
+
+
+def _tiny_hf_config(stable: bool):
+    from transformers import WavLMConfig as HFConfig
+
+    return HFConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=[16] * 7,
+        conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+        conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        conv_bias=stable,
+        feat_extract_norm="layer" if stable else "group",
+        do_stable_layer_norm=stable,
+        num_buckets=32,
+        max_bucket_distance=80,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        mask_time_prob=0.0,
+        mask_feature_prob=0.0,
+        layerdrop=0.0,
+    )
+
+
+@pytest.mark.parametrize("stable", [True, False], ids=["large-style", "base-style"])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_wavlm_parity(stable, with_mask, rng):
+    import torch
+    from transformers import WavLMModel as HFModel
+
+    torch.manual_seed(0)
+    hf_cfg = _tiny_hf_config(stable)
+    hf = HFModel(hf_cfg)
+    hf.eval()
+
+    config = WavLMConfig.from_hf(hf_cfg)
+    params = {"params": wavlm_params_from_state_dict(hf.state_dict(), config)}
+    model = WavLMModel(config)
+
+    wav = rng.standard_normal((B, T)).astype(np.float32)
+    attn = None
+    attn_t = None
+    if with_mask:
+        attn = np.ones((B, T), np.int64)
+        attn[1, T // 2 :] = 0
+        attn_t = torch.tensor(attn)
+
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav), attention_mask=attn_t).last_hidden_state.numpy()
+    ours = np.asarray(
+        model.apply(
+            params, jnp.asarray(wav),
+            attention_mask=jnp.asarray(attn.astype(bool)) if attn is not None else None,
+            deterministic=True,
+        )
+    )
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_feat_extract_output_length():
+    cfg = WavLMConfig.tiny_for_tests()
+    # hop 320: 0.2 s -> 9 frames (conv formula, not ceil(T/320))
+    assert cfg.feat_extract_output_length(3200) == 9
+    assert cfg.feat_extract_output_length(320000) == 999
