@@ -1,0 +1,137 @@
+# -*- coding: utf-8 -*-
+"""Jumpy-sampler tests: schedule construction, jit/scan execution, and
+trajectory parity against the reference torch sampler (greedy exact mode,
+identical initial x_T and converted decoder weights)."""
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import REFERENCE_ROOT, has_reference
+
+from fddm_asr_tpu import diffusion as D
+from fddm_asr_tpu.models.decoder import DenoisingTransformerDecoder
+from fddm_asr_tpu.convert.torch_ckpt import decoder_params_from_state_dict
+from fddm_asr_tpu.sampler import (
+    DiffusionJumpySampler,
+    SamplerConfig,
+    build_jump_schedule,
+    make_sample_fn,
+)
+
+V, Dm, H, LAYERS, FF = 64, 32, 4, 2, 64
+B, L, S = 2, 12, 9
+T_TRAIN = 50
+
+
+def test_jump_schedule():
+    ts, ds = build_jump_schedule(20, 5)
+    assert ts.tolist() == [20, 15, 10, 5] and ds.tolist() == [5, 5, 5, 5]
+    ts, ds = build_jump_schedule(20, 3)
+    assert ts.tolist() == [20, 17, 14, 11, 8, 5, 2] and ds.tolist() == [3] * 6 + [2]
+    ts, ds = build_jump_schedule(1, 5)
+    assert ts.tolist() == [1] and ds.tolist() == [1]
+
+
+def _dummy_decoder_apply(xt, t, cond, c_mask):
+    # logits favoring (token index == position mod V), plus a t-dependent shift
+    Lx = xt.shape[1]
+    base = jax.nn.one_hot(jnp.arange(Lx) % V, V) * 5.0
+    return jnp.broadcast_to(base, (xt.shape[0], Lx, V)) + 0.001 * t[:, None, None]
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_sampler_runs_and_converges(mode):
+    sched = D.make_schedule(V, T_TRAIN, 0.2)
+    cfg = SamplerConfig(K=V, T_train=T_TRAIN, T_infer=10, r=3, greedy=True, sampling_mode=mode)
+    fn = jax.jit(make_sample_fn(_dummy_decoder_apply, sched, cfg), static_argnames="seq_len")
+    cond = jnp.zeros((B, S, Dm))
+    x0, p = fn(jax.random.key(0), cond, seq_len=L)
+    assert x0.shape == (B, L) and p.shape == (B, L, V)
+    # the dummy decoder pins x0hat to position-mod-V tokens
+    np.testing.assert_array_equal(np.asarray(x0[0]), np.arange(L) % V)
+
+
+def test_sampler_stochastic_path_runs():
+    sched = D.make_schedule(V, T_TRAIN, 0.2)
+    cfg = SamplerConfig(
+        K=V, T_train=T_TRAIN, T_infer=6, r=2, greedy=False, temperature=0.8,
+        sampling_mode="fast",
+    )
+    fn = jax.jit(make_sample_fn(_dummy_decoder_apply, sched, cfg), static_argnames="seq_len")
+    x0, _ = fn(jax.random.key(1), jnp.zeros((B, S, Dm)), seq_len=L)
+    assert x0.shape == (B, L)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_trajectory_parity_vs_reference(mode, rng):
+    """Greedy deterministic trajectory: same weights, same x_T -> same tokens."""
+    import torch
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    from models.denoise_decoder import DenoisingTransformerDecoder as RefDecoder
+    from sampler.jumpy_sampler import DiffusionJumpySampler as RefSampler
+    from fddm.sched.diffusion_scheduler import DiscreteDiffusionScheduler
+
+    torch.manual_seed(3)
+    ref_dec = RefDecoder(
+        vocab_size=V, d_model=Dm, nhead=H, num_layers=LAYERS, dim_ff=FF,
+        dropout=0.0, max_len=64, pad_id=0,
+    )
+    ref_dec.eval()
+    ref_sched = DiscreteDiffusionScheduler(
+        K=V, T=T_TRAIN, device=torch.device("cpu"), beta_max=0.2
+    )
+    ref_sampler = RefSampler(
+        scheduler=ref_sched, decoder=ref_dec, K=V, T_train=T_TRAIN,
+        T_infer=8, r=3, greedy=True, posterior_mode="average",
+        sampling_mode=mode, temperature=1.0, device=torch.device("cpu"),
+    )
+
+    cond = rng.standard_normal((B, S, Dm)).astype(np.float32)
+    x_init = rng.integers(0, V, (B, L)).astype(np.int64)
+
+    # reference: monkeypatch torch.randint used for init so both start equal
+    orig_randint = torch.randint
+    torch.randint = lambda *a, **k: torch.tensor(x_init)
+    try:
+        with torch.no_grad():
+            ref_x0, ref_p = ref_sampler.sample(torch.tensor(cond), seq_len=L)
+    finally:
+        torch.randint = orig_randint
+
+    model = DenoisingTransformerDecoder(
+        vocab_size=V, d_model=Dm, nhead=H, num_layers=LAYERS, dim_ff=FF,
+        dropout=0.0, max_len=64, pad_id=0,
+    )
+    params = {"params": decoder_params_from_state_dict(ref_dec.state_dict())}
+
+    def decoder_apply(xt, t, c, c_mask):
+        return model.apply(params, xt, t, c, None, c_mask, deterministic=True)
+
+    sched = D.make_schedule(V, T_TRAIN, 0.2)
+    cfg = SamplerConfig(
+        K=V, T_train=T_TRAIN, T_infer=8, r=3, greedy=True,
+        posterior_mode="average", sampling_mode=mode,
+    )
+    fn = jax.jit(make_sample_fn(decoder_apply, sched, cfg), static_argnames="seq_len")
+    x0, p = fn(jax.random.key(0), jnp.asarray(cond), seq_len=L, x_init=jnp.asarray(x_init))
+
+    match = (np.asarray(x0) == ref_x0.numpy()).mean()
+    assert match == 1.0, f"token match rate {match}"
+    np.testing.assert_allclose(np.asarray(p), ref_p.numpy(), atol=5e-4)
+
+
+def test_wrapper_api():
+    sched = D.make_schedule(V, T_TRAIN, 0.2)
+    s = DiffusionJumpySampler(
+        sched, _dummy_decoder_apply, K=V, T_train=T_TRAIN, T_infer=4, r=2
+    )
+    x0, p = s.sample(jnp.zeros((1, S, Dm)), seq_len=L)
+    assert x0.shape == (1, L)
+    info = s.get_sampling_info()
+    assert info["T_infer"] == 4 and info["K"] == V
