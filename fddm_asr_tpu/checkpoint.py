@@ -1,0 +1,84 @@
+# -*- coding: utf-8 -*-
+"""Checkpointing: orbax-native format + reference `.pt` interop.
+
+Two formats are supported everywhere a checkpoint is accepted:
+  * directories -> orbax (the TPU-native, preemption-safe format used by the
+    training loop, with async save and resume);
+  * files ending in .pt/.ckpt/.pth -> reference torch format
+    (fddm_asr_tpu.convert.torch_ckpt), so checkpoints from the PyTorch
+    reference run unchanged, and `export_reference_ckpt` writes checkpoints
+    the reference's own inference.py can load.
+
+The reference only ever *writes* per-epoch checkpoints and never reads them
+back (no resume path — SURVEY §5); this framework adds `--resume` on top of
+the same artifacts.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = [
+    "save_orbax",
+    "load_orbax",
+    "load_checkpoint_any",
+    "export_reference_ckpt",
+]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_orbax(path: str, tree: Dict[str, Any]) -> None:
+    """Synchronous orbax save of a pytree (numpy/jax leaves)."""
+    ckptr = _checkpointer()
+    path = os.path.abspath(path)
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        return ckptr.restore(os.path.abspath(path), target=target)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_checkpoint_any(path: str) -> Dict[str, Any]:
+    """Load either format into {decoder, s_proj, t_embed, t_proj, meta...}."""
+    if os.path.isdir(path):
+        tree = load_orbax(path)
+        return tree
+    from fddm_asr_tpu.convert.torch_ckpt import load_reference_checkpoint
+
+    return load_reference_checkpoint(path)
+
+
+def export_reference_ckpt(
+    path: str,
+    decoder_params: Dict[str, Any],
+    s_proj_params: Optional[Dict] = None,
+    t_embed_params: Optional[Dict] = None,
+    t_proj_params: Optional[Dict] = None,
+    **meta,
+) -> None:
+    """Write a reference-format `.pt` from flax param trees."""
+    from fddm_asr_tpu.convert.torch_ckpt import save_reference_checkpoint
+
+    to_np = lambda tree: jax.tree.map(lambda x: np.asarray(x), tree)
+    save_reference_checkpoint(
+        path,
+        to_np(decoder_params),
+        None if s_proj_params is None else to_np(s_proj_params),
+        None if t_embed_params is None else to_np(t_embed_params),
+        None if t_proj_params is None else to_np(t_proj_params),
+        **meta,
+    )

@@ -1,0 +1,201 @@
+# -*- coding: utf-8 -*-
+"""Evaluation: CER/WER metrics + sampling-based dataset evaluation.
+
+Behavioral reference: /root/reference/models/evaluate.py — `_ids_to_text_one`
+(26-68), `logits_to_text` (70-92), `calculate_cer` (94-118), `calculate_wer`
+(120-134), `evaluate_validation_loss` (190-245), `evaluate_cer_with_full_
+sampling` (247-341), `evaluate_cer_with_jumpy_sampling` (454-477),
+`evaluate_cer_with_multi_sample` (344-452), `evaluate_wer_with_jumpy_sampling`
+(136-188).
+
+Differences by design:
+  * All sampling evaluation is BATCHED through one jitted sampler (the
+    reference builds a fresh sampler per utterance inside loops — quirk #12);
+    transcripts are decoded from the same argmax(p_x0) ids.
+  * `evaluate_validation_loss` reproduces the reference's degenerate
+    definition (t=1, x_t = x_0; quirk #8) because its numeric value is part
+    of the observable log format.
+  * Levenshtein is a banded numpy DP (row-vectorised) rather than a double
+    Python loop.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fddm_asr_tpu import diffusion as D
+
+__all__ = [
+    "calculate_cer",
+    "calculate_wer",
+    "ids_to_text",
+    "logits_to_text",
+    "evaluate_validation_loss",
+    "evaluate_cer_with_full_sampling",
+    "evaluate_cer_with_jumpy_sampling",
+    "evaluate_wer_with_jumpy_sampling",
+    "evaluate_cer_with_multi_sample",
+]
+
+
+def _levenshtein(ref: Sequence, hyp: Sequence) -> int:
+    """Row-vectorised edit distance."""
+    r, h = list(ref), list(hyp)
+    if not r:
+        return len(h)
+    if not h:
+        return len(r)
+    h_arr = np.asarray(h, dtype=object)
+    prev = np.arange(len(h) + 1, dtype=np.int32)
+    for i, rc in enumerate(r, 1):
+        cur = np.empty(len(h) + 1, np.int32)
+        cur[0] = i
+        sub = prev[:-1] + (h_arr != rc)
+        # insertion needs a left-to-right scan; do it with a cumulative trick
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        for j in range(1, len(h) + 1):  # short inner loop only when needed
+            if cur[j] > cur[j - 1] + 1:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def calculate_cer(ref: str, hyp: str) -> float:
+    """Character error rate (reference lines 94-118 semantics)."""
+    if len(ref) == 0:
+        return 0.0 if len(hyp) == 0 else 1.0
+    return _levenshtein(list(ref), list(hyp)) / float(len(ref))
+
+
+def calculate_wer(ref: str, hyp: str) -> float:
+    """Word error rate over whitespace-split tokens (reference 120-134)."""
+    r = ref.strip().split()
+    h = hyp.strip().split()
+    if len(r) == 0:
+        return 0.0
+    return _levenshtein(r, h) / float(len(r))
+
+
+def ids_to_text(
+    ids: Sequence[int],
+    tokenizer,
+    pad_id: int,
+    bos_id: Optional[int] = None,
+    eos_id: Optional[int] = None,
+) -> str:
+    """Filter specials (skip pad/bos, stop at eos) then decode (ref 26-68)."""
+    clean: List[int] = []
+    for tid in np.asarray(ids).tolist():
+        if tid == pad_id:
+            continue
+        if bos_id is not None and tid == bos_id:
+            continue
+        if eos_id is not None and tid == eos_id:
+            break
+        clean.append(int(tid))
+    try:
+        return tokenizer.DecodeIds(clean)
+    except AttributeError:
+        return tokenizer.decode(clean)
+
+
+def logits_to_text(logits, tokenizer, pad_id, bos_id=None, eos_id=None) -> List[str]:
+    pred = np.asarray(jnp.argmax(jnp.asarray(logits), axis=-1))
+    return [ids_to_text(pred[i], tokenizer, pad_id, bos_id, eos_id) for i in range(pred.shape[0])]
+
+
+# --------------------------------------------------------------- evaluators
+def evaluate_validation_loss(pipeline, batches: Iterable) -> float:
+    """Mean KL at t=1 with x_t = x_0 — the reference's (degenerate) val loss."""
+    total, count = 0.0, 0
+    for batch in batches:
+        c, c_mask = pipeline.encode_waveform(batch.wave, batch.wave_lengths)
+        x0 = jnp.asarray(batch.tokens)
+        B = x0.shape[0]
+        t = jnp.ones((B,), jnp.int32)
+        logits = pipeline.decoder_forward(x0, t, c, x0 != pipeline.pad_id, c_mask)
+        loss = D.kl_term(pipeline.sched, x0, x0, logits, t, x0 != pipeline.pad_id)
+        total += float(loss) * B
+        count += B
+    return total / count if count else 0.0
+
+
+def _sampling_config_from_cfg(cfg, overrides: Optional[Dict] = None) -> Dict:
+    inf = cfg.get("inference", {}) if cfg is not None else {}
+    sc = {
+        "T_infer": inf.get("T_infer", 20),
+        "r": inf.get("r", 5),
+        "greedy": inf.get("greedy", True),
+        "posterior_mode": inf.get("posterior_mode", "map"),
+        "sampling_mode": inf.get("sampling_mode", "exact"),
+        "temperature": inf.get("temperature", 1.0),
+    }
+    if overrides:
+        sc.update({k: v for k, v in overrides.items() if v is not None})
+    return sc
+
+
+def evaluate_cer_with_full_sampling(
+    pipeline,
+    batches: Iterable,
+    cfg=None,
+    sampling_config: Optional[Dict] = None,
+    rng: Optional[jax.Array] = None,
+    metric: Callable[[str, str], float] = calculate_cer,
+) -> float:
+    """Batched jumpy-sampling CER over a dataset (reference 247-341)."""
+    sc = _sampling_config_from_cfg(cfg, sampling_config)
+    rng = rng if rng is not None else jax.random.key(0)
+    total, count = 0.0, 0
+    for batch in batches:
+        rng, step_rng = jax.random.split(rng)
+        c, c_mask = pipeline.encode_waveform(batch.wave, batch.wave_lengths)
+        L = batch.tokens.shape[1]
+        x_pred, _ = pipeline.sample(step_rng, c, seq_len=L, c_mask=c_mask, **sc)
+        hyps = [pipeline.ids_to_text(x_pred[i]) for i in range(x_pred.shape[0])]
+        refs = [pipeline.ids_to_text(batch.tokens[i]) for i in range(batch.tokens.shape[0])]
+        for ref, hyp in zip(refs, hyps):
+            total += metric(ref, hyp)
+            count += 1
+    return total / count if count else 0.0
+
+
+def evaluate_cer_with_jumpy_sampling(pipeline, batches, cfg=None, rng=None) -> float:
+    return evaluate_cer_with_full_sampling(pipeline, batches, cfg, None, rng)
+
+
+def evaluate_wer_with_jumpy_sampling(pipeline, batches, cfg=None, rng=None) -> float:
+    sc = _sampling_config_from_cfg(cfg, {"greedy": True, "posterior_mode": "map"})
+    return evaluate_cer_with_full_sampling(
+        pipeline, batches, cfg, sc, rng, metric=calculate_wer
+    )
+
+
+def evaluate_cer_with_multi_sample(
+    pipeline, batches, cfg=None, sampling_config=None, num_samples: int = 3, rng=None
+) -> float:
+    """N stochastic samples per utterance; like the reference (344-452) the
+    aggregation takes the first sample (its voting is stubbed, quirk noted in
+    SURVEY) — but all samples are drawn batched."""
+    sc = _sampling_config_from_cfg(cfg, sampling_config)
+    sc["greedy"] = False
+    rng = rng if rng is not None else jax.random.key(0)
+    total, count = 0.0, 0
+    for batch in batches:
+        c, c_mask = pipeline.encode_waveform(batch.wave, batch.wave_lengths)
+        L = batch.tokens.shape[1]
+        preds = []
+        for _ in range(num_samples):
+            rng, step_rng = jax.random.split(rng)
+            x_pred, _ = pipeline.sample(step_rng, c, seq_len=L, c_mask=c_mask, **sc)
+            preds.append(x_pred)
+        chosen = preds[0]
+        hyps = [pipeline.ids_to_text(chosen[i]) for i in range(chosen.shape[0])]
+        refs = [pipeline.ids_to_text(batch.tokens[i]) for i in range(batch.tokens.shape[0])]
+        for ref, hyp in zip(refs, hyps):
+            total += calculate_cer(ref, hyp)
+            count += 1
+    return total / count if count else 0.0

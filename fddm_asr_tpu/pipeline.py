@@ -1,0 +1,268 @@
+# -*- coding: utf-8 -*-
+"""FDDMPipeline — the serving/eval layer tying together encoder, decoder,
+schedule, sampler and tokenizer.
+
+Builds every model from one `Config` (the reference spreads this across
+train.py:511-540 and inference.py:73-160), loads reference `.pt` checkpoints
+or orbax checkpoints, and exposes jitted entry points:
+
+  encode_waveform(wave, lengths) -> (c, c_mask)
+  decoder_forward(xt, t, c, x_mask, c_mask) -> logits
+  sample(rng, cond, seq_len, **sampling) -> (ids, p_x0)
+  transcribe(wave, ...) -> list[str]
+
+Parity note: the reference's training/eval path calls the encoder WITHOUT
+lengths, so no condition mask exists anywhere at inference (SURVEY hard part
+#4).  `use_condition_mask=False` (default) reproduces that; enabling it masks
+padded audio frames in cross-attention — usually better CER on short
+utterances, but a deliberate deviation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fddm_asr_tpu import diffusion as D
+from fddm_asr_tpu.config import Config, resolve_special_ids
+from fddm_asr_tpu.models.decoder import DenoisingTransformerDecoder
+from fddm_asr_tpu.models.encoder import AcousticEncoder
+from fddm_asr_tpu.models.wavlm import WavLMConfig
+from fddm_asr_tpu.sampler import SamplerConfig, make_sample_fn
+from fddm_asr_tpu.eval import ids_to_text
+
+
+def build_wavlm_config(encoder_cfg: Config) -> WavLMConfig:
+    """Map the reference YAML's encoder block to a WavLMConfig.
+
+    `wavlm_name` containing "large" selects the large architecture (the
+    reference hardcodes microsoft/wavlm-large); "tiny" selects the test
+    config; an explicit dict under `wavlm_config` overrides field-by-field.
+    """
+    name = (encoder_cfg.get("wavlm_name") or "microsoft/wavlm-large").lower()
+    if "tiny" in name:
+        cfg = WavLMConfig.tiny_for_tests()
+    elif "base" in name:
+        cfg = WavLMConfig.base()
+    else:
+        cfg = WavLMConfig.large()
+    overrides = encoder_cfg.get("wavlm_config")
+    if overrides:
+        cfg = dataclasses.replace(cfg, **dict(overrides))
+    return cfg
+
+
+class FDDMPipeline:
+    def __init__(
+        self,
+        cfg: Config,
+        decoder_params: Dict,
+        encoder_params: Dict,
+        sched: D.DiffusionSchedule,
+        tokenizer,
+        special_ids: Dict[str, Optional[int]],
+        wavlm_config: WavLMConfig,
+        use_condition_mask: bool = False,
+        dtype: Any = jnp.float32,
+    ) -> None:
+        self.cfg = cfg
+        self.sched = sched
+        self.tokenizer = tokenizer
+        self.special_ids = special_ids
+        self.pad_id = special_ids["pad_id"]
+        self.use_condition_mask = use_condition_mask
+
+        model_cfg = cfg.model
+        d_model = model_cfg.d_model
+        self.decoder = DenoisingTransformerDecoder(
+            vocab_size=cfg.data.vocab_size,
+            d_model=d_model,
+            nhead=model_cfg.nhead,
+            num_layers=model_cfg.num_layers,
+            dim_ff=model_cfg.dim_ff,
+            dropout=model_cfg.get("dropout", 0.1),
+            max_len=1024,  # reference hardcodes 1024 (train.py:524, inference.py:143)
+            pad_id=self.pad_id,
+            pos_emb_type=model_cfg.get("pos_emb_type", "rope"),
+            use_film=model_cfg.get("use_film", True),
+            dtype=dtype,
+        )
+        enc_cfg = model_cfg.get("encoder", Config())
+        self.encoder = AcousticEncoder(
+            config=wavlm_config,
+            d_model=d_model,
+            proj=enc_cfg.get("proj", "linear"),
+            pooling=enc_cfg.get("pooling", "none"),
+            freeze=enc_cfg.get("freeze", True),
+            dtype=dtype,
+        )
+        self.decoder_params = decoder_params
+        self.encoder_params = encoder_params
+
+        self._encode_jit = jax.jit(self._encode)
+        self._decode_jit = jax.jit(self._decoder_fwd)
+        self._samplers: Dict[tuple, Callable] = {}
+
+    # ------------------------------------------------------------- builders
+    @classmethod
+    def from_config(
+        cls,
+        cfg: Config,
+        ckpt_path: Optional[str] = None,
+        wavlm_params: Optional[Dict] = None,
+        tokenizer=None,
+        seed: int = 0,
+        use_condition_mask: bool = False,
+        dtype: Any = jnp.float32,
+    ) -> "FDDMPipeline":
+        from fddm_asr_tpu.tokenizer import load_tokenizer
+
+        special = resolve_special_ids(cfg)
+        if tokenizer is None:
+            tok_path = cfg.data.get("tokenizer_path") or cfg.data.get(
+                "tokenizer_model_path", "data/tokenizer/zh-TW_A/spm_zhTW_A.model"
+            )
+            tokenizer = load_tokenizer(tok_path)
+
+        sched = D.make_schedule(
+            K=cfg.data.vocab_size,
+            T=cfg.diffusion["T"],
+            beta_max=cfg.diffusion.get("beta_max", 0.2),
+        )
+        wavlm_config = build_wavlm_config(cfg.model.get("encoder", Config()))
+
+        rng = jax.random.key(seed)
+        rng_dec, rng_enc = jax.random.split(rng)
+
+        self_args = dict(
+            cfg=cfg, sched=sched, tokenizer=tokenizer, special_ids=special,
+            wavlm_config=wavlm_config, use_condition_mask=use_condition_mask,
+            dtype=dtype,
+        )
+        # build with placeholder params to init shapes
+        pipeline = cls(
+            decoder_params={}, encoder_params={}, **self_args
+        )
+        L0, S0 = 8, 16
+        dec_vars = pipeline.decoder.init(
+            rng_dec,
+            jnp.zeros((1, L0), jnp.int32), jnp.ones((1,), jnp.int32),
+            jnp.zeros((1, S0, cfg.model.d_model)),
+        )
+        if ckpt_path:
+            from fddm_asr_tpu.checkpoint import load_checkpoint_any
+
+            loaded = load_checkpoint_any(ckpt_path)
+            pipeline.decoder_params = {"params": loaded["decoder"]}
+        else:
+            pipeline.decoder_params = dec_vars
+
+        if wavlm_params is not None:
+            pipeline.encoder_params = {"params": {"backbone": wavlm_params}}
+            # the optional projection needs init if hidden != d_model
+            if wavlm_config.hidden_size != cfg.model.d_model:
+                enc_vars = pipeline.encoder.init(
+                    rng_enc, jnp.zeros((1, 640), jnp.float32)
+                )
+                merged = dict(enc_vars["params"])
+                merged["backbone"] = wavlm_params
+                pipeline.encoder_params = {"params": merged}
+        else:
+            enc_vars = pipeline.encoder.init(rng_enc, jnp.zeros((1, 640), jnp.float32))
+            pipeline.encoder_params = enc_vars
+        return pipeline
+
+    # -------------------------------------------------------------- kernels
+    def _encode(self, wave, lengths):
+        return self.encoder.apply(
+            self.encoder_params, wave, lengths, deterministic=True
+        )
+
+    def _decoder_fwd(self, xt, t, c, x_mask, c_mask):
+        return self.decoder.apply(
+            self.decoder_params, xt, t, c, x_mask, c_mask, deterministic=True
+        )
+
+    # ------------------------------------------------------------------ api
+    def encode_waveform(
+        self, wave: np.ndarray, lengths: Optional[np.ndarray] = None
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        wave = jnp.asarray(wave, jnp.float32)
+        if not self.use_condition_mask:
+            lengths = None  # reference parity: encoder called without lengths
+        feats, feat_mask, _ = self._encode_jit(
+            wave, jnp.asarray(lengths) if lengths is not None else None
+        )
+        return feats, feat_mask
+
+    def decoder_forward(self, xt, t, c, x_mask=None, c_mask=None):
+        return self._decode_jit(
+            jnp.asarray(xt), jnp.asarray(t), c,
+            None if x_mask is None else jnp.asarray(x_mask),
+            None if c_mask is None else c_mask,
+        )
+
+    def _sampler_for(self, key: tuple) -> Callable:
+        if key not in self._samplers:
+            (T_infer, r, greedy, posterior_mode, sampling_mode, temperature) = key
+            scfg = SamplerConfig(
+                K=self.cfg.data.vocab_size,
+                T_train=self.cfg.diffusion["T"],
+                T_infer=T_infer, r=r, greedy=greedy,
+                posterior_mode=posterior_mode, sampling_mode=sampling_mode,
+                temperature=temperature,
+            )
+            def decoder_apply(xt, t, cond, c_mask):
+                return self.decoder.apply(
+                    self.decoder_params, xt, t, cond, None, c_mask,
+                    deterministic=True,
+                )
+            self._samplers[key] = jax.jit(
+                make_sample_fn(decoder_apply, self.sched, scfg),
+                static_argnames=("seq_len",),
+            )
+        return self._samplers[key]
+
+    def sample(
+        self,
+        rng: jax.Array,
+        cond: jnp.ndarray,
+        seq_len: int,
+        c_mask: Optional[jnp.ndarray] = None,
+        T_infer: int = 20,
+        r: int = 5,
+        greedy: bool = True,
+        posterior_mode: str = "map",
+        sampling_mode: str = "exact",
+        temperature: float = 1.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        fn = self._sampler_for((T_infer, r, greedy, posterior_mode, sampling_mode, temperature))
+        if not self.use_condition_mask:
+            c_mask = None
+        ids, p = fn(rng, cond, seq_len=seq_len, c_mask=c_mask)
+        return np.asarray(ids), np.asarray(p)
+
+    def ids_to_text(self, ids) -> str:
+        return ids_to_text(
+            ids, self.tokenizer, self.pad_id,
+            self.special_ids.get("bos_id"), self.special_ids.get("eos_id"),
+        )
+
+    def transcribe(
+        self,
+        wave: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        seq_len: int = 64,
+        rng: Optional[jax.Array] = None,
+        **sampling,
+    ) -> List[str]:
+        if wave.ndim == 1:
+            wave = wave[None]
+        c, c_mask = self.encode_waveform(wave, lengths)
+        rng = rng if rng is not None else jax.random.key(0)
+        ids, _ = self.sample(rng, c, seq_len=seq_len, c_mask=c_mask, **sampling)
+        return [self.ids_to_text(ids[i]) for i in range(ids.shape[0])]

@@ -1,0 +1,366 @@
+# -*- coding: utf-8 -*-
+"""Training: jitted data-parallel train step + epoch loop.
+
+Behavioral reference: /root/reference/train.py — `train_one_epoch`
+(293-449), `main` (491-683), `SchedulerAdapter` (176-273).  Loss structure,
+optimizer (AdamW lr/wd over decoder + 3 projection heads, encoder excluded),
+grad clipping at 5.0 (reference line 411 — the code wins over the roadmap's
+1.0, SURVEY quirk #11), per-epoch val/test CER via jumpy sampling, best-
+checkpoint keyed on val CER, per-epoch checkpoints, and the log-line formats
+are all preserved.
+
+TPU-first redesign:
+  * Everything from timestep sampling to the optimizer update is ONE jitted
+    `train_step` with donated state; the frozen encoder runs inside the same
+    jit (its params are closed-over constants, grads stopped).
+  * Data parallelism by sharding: params replicated, batch sharded on the
+    "data" mesh axis; XLA inserts the gradient all-reduce (no pmap, no
+    hand-psum).  Tensor-parallel decoder sharding rules apply when the mesh
+    has a "model" axis > 1.
+  * bf16 matmul compute with f32 params/loss replaces torch AMP (quirk #7's
+    hardcoded 'cuda' autocast is moot here).
+  * `optim.grad_accum_steps` and `optim.warmup_steps` are actually wired
+    (optax MultiSteps + linear warmup) — the reference defines but ignores
+    them (quirk #9).
+  * L_fd steps compile as a second jit variant (static `apply_lfd`), so
+    non-L_fd steps pay nothing for the projection heads.
+  * Checkpoints: orbax (preemption-safe, resumable — the reference never
+    reads its own checkpoints back) + reference-format `.pt` export.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+from datetime import datetime
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from fddm_asr_tpu import diffusion as D
+from fddm_asr_tpu import eval as E
+from fddm_asr_tpu.config import Config, resolve_special_ids
+from fddm_asr_tpu.losses import align_speech_to_text, lfd_loss
+from fddm_asr_tpu.models.projection import SpeechProjector, TextEmbedding, TextProjector
+from fddm_asr_tpu.parallel import batch_sharding, decoder_param_spec, make_mesh, MeshSpec, replicate, shard_pytree
+
+__all__ = ["TrainState", "make_train_step", "run_training", "setup_logging"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    decoder: Any
+    s_proj: Any
+    t_embed: Any
+    t_proj: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    optim = cfg.optim
+    lr = optim.get("lr", 2e-4)
+    warmup = optim.get("warmup_steps", 0) or 0
+    if warmup:
+        schedule = optax.linear_schedule(0.0, lr, warmup)
+    else:
+        schedule = lr
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),  # reference max_norm=5.0
+        optax.adamw(schedule, weight_decay=optim.get("weight_decay", 0.01)),
+    )
+    accum = optim.get("grad_accum_steps", 1) or 1
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
+def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Config):
+    """Returns train_step(state, wave, x0, rng, apply_lfd[static]) -> (state, metrics)."""
+    sched = pipeline.sched
+    pad_id = pipeline.pad_id
+    T_total = cfg.diffusion["T"]
+    tau = cfg.lfd.get("tau", 1.0)
+    lambda_off = cfg.lfd.get("lambda_offdiag", 5e-3)
+    encoder_params = pipeline.encoder_params
+    encoder = pipeline.encoder
+    decoder = pipeline.decoder
+
+    @functools.partial(jax.jit, static_argnames=("apply_lfd",), donate_argnames=("state",))
+    def train_step(state: TrainState, wave, x0, rng, apply_lfd: bool):
+        rng_t, rng_q, rng_drop = jax.random.split(rng, 3)
+        B, L = x0.shape
+
+        # frozen condition extraction (stop_gradient inside AcousticEncoder)
+        c, c_mask, _ = encoder.apply(encoder_params, wave, None, deterministic=True)
+
+        t = jax.random.randint(rng_t, (B,), 1, T_total + 1)
+        xt = D.sample_xt_tokens(sched, rng_q, x0, t)
+        x_mask = x0 != pad_id
+
+        def loss_fn(params):
+            dec_p, sp_p, te_p, tp_p = params
+            logits = decoder.apply(
+                dec_p, xt, t, c, x_mask, c_mask,
+                deterministic=False, rngs={"dropout": rng_drop},
+            )
+            loss_diff = D.kl_term(sched, xt, x0, logits, t, x_mask)
+            metrics = {"loss_diff": loss_diff}
+            loss = loss_diff
+            if apply_lfd:
+                z_text = t_proj_mod.apply(tp_p, t_embed_mod.apply(te_p, logits))
+                z_speech = s_proj_mod.apply(sp_p, c)
+                z_speech = align_speech_to_text(z_speech, L)
+                w_t = jnp.mean(sched.w_t(t))
+                loss_fd = lfd_loss(z_speech, z_text, lambda_offdiag=lambda_off)
+                loss = loss + tau * w_t * loss_fd
+                metrics.update({"loss_fd": loss_fd, "w_t": w_t})
+            metrics["total_loss"] = loss
+            return loss, metrics
+
+        params = (state.decoder, state.s_proj, state.t_embed, state.t_proj)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            decoder=new_params[0], s_proj=new_params[1],
+            t_embed=new_params[2], t_proj=new_params[3],
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def setup_logging(log_dir: str = "logs") -> str:
+    """Console + logs/train_<timestamp>.log, reference format (train.py:455-488)."""
+    os.makedirs(log_dir, exist_ok=True)
+    log_file = os.path.join(log_dir, f"train_{datetime.now().strftime('%Y%m%d_%H%M%S')}.log")
+    logger = logging.getLogger()
+    logger.setLevel(logging.INFO)
+    if logger.hasHandlers():
+        logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    fh = logging.FileHandler(log_file, encoding="utf-8")
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    for noisy in ("orbax", "absl", "jax", "jax._src"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+    logging.info("Logging initialised.")
+    return log_file
+
+
+def run_training(
+    cfg: Config,
+    raw_cfg: Optional[dict] = None,
+    resume: Optional[str] = None,
+    mesh_spec: MeshSpec = MeshSpec(),
+    wavlm_params: Optional[Dict] = None,
+    max_steps_per_epoch: Optional[int] = None,
+    export_pt: bool = True,
+) -> Dict[str, Any]:
+    """Full training run; returns summary metrics.  CLI wrapper: train.py."""
+    from fddm_asr_tpu.data.dataset import ManifestDataset, make_batches
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+    from fddm_asr_tpu.tokenizer import load_tokenizer
+    from fddm_asr_tpu import checkpoint as C
+
+    seed = cfg.get("seed", 1337)
+    special = resolve_special_ids(cfg)
+    pad_id = special["pad_id"]
+
+    dtype = jnp.bfloat16 if cfg.optim.get("dtype", "bfloat16") == "bfloat16" else jnp.float32
+    pipeline = FDDMPipeline.from_config(
+        cfg, wavlm_params=wavlm_params, seed=seed, dtype=dtype
+    )
+    tokenizer = pipeline.tokenizer
+
+    d_proj = cfg.model.projector.get("d_proj", 256)
+    vocab = cfg.data.vocab_size
+    s_proj_mod = SpeechProjector(d_proj=d_proj, dtype=dtype)
+    t_embed_mod = TextEmbedding(d_out=d_proj, mode="logits", dtype=dtype)
+    t_proj_mod = TextProjector(d_proj=d_proj, dtype=dtype)
+
+    rng = jax.random.key(seed)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    d_model = cfg.model.d_model
+    s_proj_p = s_proj_mod.init(r1, jnp.zeros((1, 4, d_model)))
+    t_embed_p = t_embed_mod.init(r2, jnp.zeros((1, 4, vocab)))
+    t_proj_p = t_proj_mod.init(r3, jnp.zeros((1, 4, d_proj)))
+
+    tx = make_optimizer(cfg)
+    params0 = (pipeline.decoder_params, s_proj_p, t_embed_p, t_proj_p)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
+        opt_state=tx.init(params0),
+    )
+
+    ckpt_dir = os.path.abspath(cfg.log.get("ckpt_dir", "ckpts/run"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    start_epoch = 1
+    if resume:
+        restored = C.load_orbax(resume, target={"state": state, "epoch": 0})
+        state = restored["state"]
+        start_epoch = int(restored["epoch"]) + 1
+        logging.info(f"Resumed from {resume} at epoch {start_epoch}")
+
+    # ---- sharding: replicate params, shard batch on "data" ----------------
+    mesh = make_mesh(mesh_spec)
+    with mesh:
+        state = jax.tree.map(
+            lambda x: x, state
+        )
+        state = shard_pytree(state, mesh, decoder_param_spec)
+        train_step = make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg)
+
+        # datasets ----------------------------------------------------------
+        data_cfg = cfg.data
+        max_len = data_cfg.get("max_len", 128)
+        tok_path = None  # pipeline already holds tokenizer
+
+        def make_ds(path):
+            if not path or not os.path.exists(path):
+                return None
+            return ManifestDataset(
+                path, tokenizer, max_len=max_len, pad_id=pad_id,
+                bos_id=data_cfg.get("bos_id"),
+                eos_id=data_cfg.get("eos_id"),
+                max_audio_seconds=data_cfg.get("max_seconds", 20),
+                sample_rate=data_cfg.get("sample_rate", 16000),
+            )
+
+        train_ds = make_ds(data_cfg.get("train_json", data_cfg.get("manifest_train", "data/processed/train.json")))
+        val_ds = make_ds(data_cfg.get("val_json", data_cfg.get("manifest_dev", "data/processed/validation.json")))
+        test_ds = make_ds(data_cfg.get("test_json", data_cfg.get("manifest_test", "data/processed/test.json")))
+        if train_ds is None or len(train_ds) == 0:
+            raise FileNotFoundError("no training manifest found / empty dataset")
+
+        batch_size = cfg.optim.get("batch_size", 4)
+        data_ways = mesh.shape["data"]
+        if batch_size % data_ways != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by the "
+                f"data-parallel mesh size {data_ways} (use --mesh data=N or "
+                f"raise optim.batch_size)"
+            )
+        n_step_fd = cfg.lfd.get("n_step_fd", 4)
+        log_every = cfg.log.get("log_every", 50)
+        num_epochs = cfg.optim.get("num_epochs", 10)
+
+        batch_shard = batch_sharding(mesh)
+        host_rng = np.random.default_rng(seed)
+
+        best_val_cer, best_epoch = float("inf"), 0
+        global_step = int(state.step) + 1
+        summary: Dict[str, Any] = {}
+
+        for epoch in range(start_epoch, num_epochs + 1):
+            logging.info(f"Epoch {epoch}")
+            t0 = time.time()
+            loss_sum, step_cnt = 0.0, 0
+            for bi, batch in enumerate(
+                make_batches(train_ds, batch_size, shuffle=True, seed=seed, epoch=epoch)
+            ):
+                if max_steps_per_epoch and bi >= max_steps_per_epoch:
+                    break
+                apply_lfd = (global_step % n_step_fd) == 0
+                wave = jax.device_put(batch.wave, batch_shard)
+                x0 = jax.device_put(batch.tokens.astype(np.int32), batch_shard)
+                step_rng = jax.random.key(host_rng.integers(2**63))
+                state, metrics = train_step(state, wave, x0, step_rng, apply_lfd)
+                total = float(metrics["total_loss"])
+                loss_sum += total
+                step_cnt += 1
+                if global_step % log_every == 0:
+                    parts = [f"step={global_step}", f"loss_diff={float(metrics['loss_diff']):.4f}"]
+                    if "loss_fd" in metrics:
+                        parts += [
+                            f"loss_fd={float(metrics['loss_fd']):.4f}",
+                            f"w_t={float(metrics['w_t']):.4f}",
+                        ]
+                    parts.append(f"total_loss={total:.4f}")
+                    logging.info(" ".join(parts))
+                global_step += 1
+            train_loss = loss_sum / max(1, step_cnt)
+            logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
+
+            # sync trained params into the pipeline for eval/sampling
+            pipeline.decoder_params = jax.tree.map(lambda x: x, state.decoder)
+            pipeline._samplers.clear()
+
+            val_loss = val_cer = test_cer = None
+            if val_ds is not None and len(val_ds) > 0:
+                val_cer = E.evaluate_cer_with_jumpy_sampling(
+                    pipeline, make_batches(val_ds, batch_size, drop_last=False), cfg
+                )
+                val_loss = E.evaluate_validation_loss(
+                    pipeline, make_batches(val_ds, batch_size, drop_last=False)
+                )
+                if val_cer < best_val_cer:
+                    best_val_cer, best_epoch = val_cer, epoch
+                    _save_ckpt(
+                        os.path.join(ckpt_dir, "best_model"), state, epoch, raw_cfg,
+                        best_val_cer, export_pt,
+                    )
+                    logging.info(
+                        f"Saved BEST model (epoch {best_epoch}, val_cer {best_val_cer:.4f}) "
+                        f"→ {os.path.join(ckpt_dir, 'best_model.pt')}"
+                    )
+            if test_ds is not None and len(test_ds) > 0:
+                test_cer = E.evaluate_cer_with_jumpy_sampling(
+                    pipeline, make_batches(test_ds, batch_size, drop_last=False), cfg
+                )
+
+            msg = f"[Epoch {epoch} Summary] train_loss={train_loss:.4f}"
+            if val_loss is not None:
+                msg += f" | val_loss={val_loss:.4f}"
+            if val_cer is not None:
+                msg += f" | val_cer={val_cer:.4f}"
+            if test_cer is not None:
+                msg += f" | test_cer={test_cer:.4f}"
+            logging.info(msg)
+
+            _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state, epoch, raw_cfg,
+                       None, export_pt)
+            summary = {
+                "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
+                "val_cer": val_cer, "test_cer": test_cer,
+                "best_val_cer": best_val_cer, "best_epoch": best_epoch,
+                "epoch_seconds": time.time() - t0,
+            }
+
+    logging.info("=" * 50)
+    logging.info("TRAINING COMPLETED!")
+    logging.info(f"Best validation CER: {best_val_cer:.4f} (Epoch {best_epoch})")
+    logging.info(f"Best model saved at: {os.path.join(ckpt_dir, 'best_model.pt')}")
+    logging.info("=" * 50)
+    return summary
+
+
+def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer, export_pt: bool):
+    from fddm_asr_tpu import checkpoint as C
+
+    host_state = jax.tree.map(lambda x: np.asarray(x), state)
+    C.save_orbax(prefix + ".orbax", {"state": host_state, "epoch": epoch})
+    if export_pt:
+        meta = dict(epoch=epoch, step=int(host_state.step), config=raw_cfg)
+        if best_val_cer is not None:
+            meta["best_val_cer"] = float(best_val_cer)
+        C.export_reference_ckpt(
+            prefix + ".pt",
+            host_state.decoder["params"],
+            host_state.s_proj["params"],
+            host_state.t_embed["params"],
+            host_state.t_proj["params"],
+            **meta,
+        )

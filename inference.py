@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""FDDM-ASR-TPU inference CLI (jumpy sampling + greedy decoding).
+
+Flag surface and result-JSON format match the reference inference.py
+(lines 261-283, 247-255):
+
+    python inference.py --wav path.wav --ckpt ckpts/ep001.pt \
+        --main-config configs/fddm_zhTW_base.yaml \
+        --diffusion-config configs/diffusion.yaml \
+        --tokenizer data/tokenizer/zh-TW_A/spm_zhTW_A.model \
+        --T-infer 20 --r 5 --greedy
+
+    python inference.py --csv data/processed/test.csv ... --out-json out.json
+
+Extensions over the reference: `--batch-size` batches CSV rows through one
+jitted sampler (the reference loops one utterance at a time), `--device`,
+`--sampling-mode`, `--seed`.  Single-WAV output prints the same JSON schema:
+{wav, text, ids, T_infer, r, greedy, posterior_mode}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="FDDM-ASR-TPU Inference (Jumpy Sampling)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--wav", type=str, help="single WAV file")
+    src.add_argument("--csv", type=str, help="batch CSV with a `path` column")
+
+    p.add_argument("--ckpt", type=str, required=True, help=".pt or orbax checkpoint")
+    p.add_argument("--main-config", type=str, required=True)
+    p.add_argument("--diffusion-config", type=str, required=True)
+    p.add_argument("--tokenizer", type=str, required=True,
+                   help="SentencePiece model/vocab path")
+
+    p.add_argument("--T-infer", type=int, default=20)
+    p.add_argument("--r", type=int, default=5)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--posterior-mode", type=str, default="average",
+                   choices=["average", "max"])
+    p.add_argument("--sampling-mode", type=str, default="exact",
+                   choices=["exact", "fast"])
+    p.add_argument("--seq-len", type=int, default=None)
+
+    p.add_argument("--gpu", type=int, default=None,
+                   help="accepted for reference CLI compatibility; device "
+                        "selection is via --device on TPU runtimes")
+    p.add_argument("--device", type=str, default=None, help="cpu|tpu")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="CSV mode: utterances per jitted batch")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wavlm-ckpt", type=str, default=None)
+    p.add_argument("--condition-mask", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="mask padded audio frames in cross-attention; auto = "
+                        "on for batched CSV (padded batches), off for single "
+                        "WAV (reference parity — it never masks)")
+    p.add_argument("--out-json", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def build_pipeline(args):
+    from fddm_asr_tpu.config import load_config, load_yaml
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+    from fddm_asr_tpu.tokenizer import load_tokenizer
+
+    main_cfg = load_config(args.main_config)
+    diff = load_yaml(args.diffusion_config).get("diffusion", {})
+    cfg = main_cfg.updated({"diffusion": {
+        "T": diff.get("T", main_cfg.diffusion["T"]),
+        "beta_max": diff.get("beta_max", main_cfg.diffusion.get("beta_max", 0.2)),
+    }})
+    tokenizer = load_tokenizer(args.tokenizer)
+
+    wavlm_params = None
+    if args.wavlm_ckpt:
+        from train import _load_wavlm
+
+        wavlm_params = _load_wavlm(args.wavlm_ckpt, cfg)
+
+    return FDDMPipeline.from_config(
+        cfg, ckpt_path=args.ckpt, wavlm_params=wavlm_params, tokenizer=tokenizer,
+        seed=args.seed,
+    )
+
+
+def sampling_kwargs(args) -> Dict[str, Any]:
+    return dict(
+        T_infer=args.T_infer, r=args.r, greedy=args.greedy,
+        posterior_mode=args.posterior_mode, sampling_mode=args.sampling_mode,
+    )
+
+
+def infer_batch(pipeline, wav_paths: List[str], args, rng) -> List[Dict[str, Any]]:
+    """Batched inference over a list of WAVs (padded to the longest)."""
+    import numpy as np
+
+    from fddm_asr_tpu.data.audio_io import load_audio
+
+    waves, lengths, ok_paths, results = [], [], [], []
+    errors: Dict[int, str] = {}
+    for i, path in enumerate(wav_paths):
+        try:
+            wav, _ = load_audio(path, target_sr=16000, mono=True)
+            waves.append(wav)
+            lengths.append(len(wav))
+            ok_paths.append((i, path))
+        except Exception as e:  # per-row error records, reference 334-336
+            errors[i] = str(e)
+
+    out: List[Optional[Dict[str, Any]]] = [None] * len(wav_paths)
+    for i, msg in errors.items():
+        out[i] = {"wav": wav_paths[i], "error": msg}
+
+    if waves:
+        T = max(lengths)
+        batch = np.zeros((len(waves), T), np.float32)
+        for j, w in enumerate(waves):
+            batch[j, : len(w)] = w
+        seq_len = args.seq_len or 64  # reference default (inference.py:227)
+        texts_ids = _transcribe(pipeline, batch, np.asarray(lengths), seq_len, args, rng)
+        for (i, path), (text, ids) in zip(ok_paths, texts_ids):
+            out[i] = {
+                "wav": path, "text": text, "ids": ids,
+                "T_infer": args.T_infer, "r": args.r, "greedy": args.greedy,
+                "posterior_mode": args.posterior_mode,
+            }
+    return out  # type: ignore[return-value]
+
+
+def _transcribe(pipeline, batch, lengths, seq_len, args, rng):
+    import jax
+
+    c, c_mask = pipeline.encode_waveform(batch, lengths)
+    ids, _ = pipeline.sample(
+        rng, c, seq_len=seq_len, c_mask=c_mask, **sampling_kwargs(args)
+    )
+    results = []
+    for i in range(ids.shape[0]):
+        id_list = [int(x) for x in ids[i]]
+        results.append((pipeline.ids_to_text(ids[i]), id_list))
+    return results
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device and args.device.startswith("cpu"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    pipeline = build_pipeline(args)
+    if args.condition_mask == "auto":
+        pipeline.use_condition_mask = bool(args.csv) and args.batch_size > 1
+    else:
+        pipeline.use_condition_mask = args.condition_mask == "on"
+    rng = jax.random.key(args.seed)
+    results: List[Dict[str, Any]] = []
+
+    if args.wav:
+        res = infer_batch(pipeline, [args.wav], args, rng)[0]
+        results.append(res)
+        print(json.dumps(res, ensure_ascii=False, indent=2))
+    else:
+        import pandas as pd
+
+        df = pd.read_csv(args.csv)
+        paths = [str(row["path"]) for _, row in df.iterrows()]
+        bs = max(1, args.batch_size)
+        for start in range(0, len(paths), bs):
+            rng, step_rng = jax.random.split(rng)
+            chunk = infer_batch(pipeline, paths[start : start + bs], args, step_rng)
+            for res in chunk:
+                results.append(res)
+                print(json.dumps(res, ensure_ascii=False))
+
+    if args.out_json:
+        os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
+        with open(args.out_json, "w", encoding="utf-8") as f:
+            json.dump(results, f, ensure_ascii=False, indent=2)
+
+
+if __name__ == "__main__":
+    main()

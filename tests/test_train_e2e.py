@@ -1,0 +1,145 @@
+# -*- coding: utf-8 -*-
+"""End-to-end smoke tests: synthetic data -> train (dp/tp mesh) -> checkpoint
+-> inference CLI (single WAV + batched CSV) -> eval metrics.
+
+These are the integration layer of the test pyramid (SURVEY §4): tiny model,
+tiny WavLM, 8-device virtual CPU platform.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth"))
+    from scripts.make_synth_data import main as make
+
+    make(["--out", out, "--n", "8", "--seconds", "0.5"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def trained(synth):
+    import train as train_cli
+
+    train_cli.main([
+        "--config", f"{synth}/config.yaml", "--device", "cpu",
+        "--mesh", "data=4,model=2", "--max-steps-per-epoch", "3",
+    ])
+    assert os.path.exists(f"{synth}/ckpts/best_model.pt")
+    assert os.path.isdir(f"{synth}/ckpts/ep001.orbax")
+    return synth
+
+
+def test_training_produces_checkpoints_and_logs(trained):
+    logs = sorted(os.listdir(os.path.join(REPO, "logs")))
+    assert logs  # logs/train_<ts>.log written
+    # .pt round trip: exported checkpoint loads through the converter
+    from fddm_asr_tpu.convert.torch_ckpt import load_reference_checkpoint
+
+    ckpt = load_reference_checkpoint(f"{trained}/ckpts/best_model.pt")
+    assert ckpt["decoder"] is not None and ckpt["epoch"] == 1
+    assert ckpt["s_proj"] is not None
+
+
+def test_single_wav_inference(trained, capsys):
+    import inference
+
+    wav = f"{trained}/data/processed/clips/test_000.wav"
+    inference.main([
+        "--wav", wav, "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--main-config", f"{trained}/config.yaml",
+        "--diffusion-config", f"{trained}/config.yaml",
+        "--tokenizer", f"{trained}/data/tokenizer/toy/spm_toy.model",
+        "--T-infer", "8", "--r", "4", "--greedy", "--seq-len", "12",
+    ])
+    out = capsys.readouterr().out
+    res = json.loads(out)
+    assert set(res) == {"wav", "text", "ids", "T_infer", "r", "greedy", "posterior_mode"}
+    assert res["T_infer"] == 8 and res["greedy"] is True
+    assert len(res["ids"]) == 12
+
+
+def test_batch_csv_inference(trained, tmp_path, capsys):
+    import inference
+
+    out_json = str(tmp_path / "results.json")
+    inference.main([
+        "--csv", f"{trained}/data/processed/test.csv",
+        "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--main-config", f"{trained}/config.yaml",
+        "--diffusion-config", f"{trained}/config.yaml",
+        "--tokenizer", f"{trained}/data/tokenizer/toy/spm_toy.model",
+        "--T-infer", "4", "--r", "2", "--greedy", "--seq-len", "8",
+        "--batch-size", "4", "--out-json", out_json,
+    ])
+    capsys.readouterr()
+    res = json.load(open(out_json))
+    assert len(res) == 8
+    assert all("text" in r or "error" in r for r in res)
+
+
+def test_csv_error_rows_recorded(trained, tmp_path, capsys):
+    import inference
+    import pandas as pd
+
+    df = pd.DataFrame({"path": ["/nonexistent/a.wav",
+                                f"{trained}/data/processed/clips/test_001.wav"]})
+    csv = str(tmp_path / "mixed.csv")
+    df.to_csv(csv, index=False)
+    out_json = str(tmp_path / "r.json")
+    inference.main([
+        "--csv", csv, "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--main-config", f"{trained}/config.yaml",
+        "--diffusion-config", f"{trained}/config.yaml",
+        "--tokenizer", f"{trained}/data/tokenizer/toy/spm_toy.model",
+        "--T-infer", "4", "--r", "2", "--seq-len", "8", "--out-json", out_json,
+    ])
+    capsys.readouterr()
+    res = json.load(open(out_json))
+    assert "error" in res[0] and "text" in res[1]
+
+
+def test_resume_from_orbax(trained):
+    import train as train_cli
+
+    # resume from epoch 1 -> runs (and finishes) without error
+    train_cli.main([
+        "--config", f"{trained}/config.yaml", "--device", "cpu",
+        "--mesh", "data=4,model=2",
+        "--resume", f"{trained}/ckpts/ep001.orbax",
+        "--max-steps-per-epoch", "2",
+    ])
+
+
+def test_cer_metrics():
+    from fddm_asr_tpu.eval import calculate_cer, calculate_wer
+
+    assert calculate_cer("abc", "abc") == 0.0
+    assert calculate_cer("abc", "abd") == pytest.approx(1 / 3)
+    assert calculate_cer("", "") == 0.0
+    assert calculate_cer("", "x") == 1.0
+    assert calculate_wer("a b c", "a x c") == pytest.approx(1 / 3)
+    assert calculate_wer("", "what") == 0.0
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference")
+def test_cer_parity_with_reference():
+    sys.path.insert(0, "/root/reference")
+    from models.evaluate import calculate_cer as ref_cer, calculate_wer as ref_wer
+    from fddm_asr_tpu.eval import calculate_cer, calculate_wer
+
+    rng = np.random.default_rng(0)
+    alphabet = "我們可以一起交流台灣的 abc"
+    for _ in range(25):
+        a = "".join(rng.choice(list(alphabet), rng.integers(0, 12)))
+        b = "".join(rng.choice(list(alphabet), rng.integers(0, 12)))
+        assert calculate_cer(a, b) == pytest.approx(ref_cer(a, b))
+        assert calculate_wer(a, b) == pytest.approx(ref_wer(a, b))
