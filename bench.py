@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""End-to-end inference benchmark on the default (TPU) backend.
+
+Measures the flagship path — WavLM-large encoder + d768x6 denoising decoder,
+jumpy sampling T_infer=20 / r=5 / greedy / exact posterior — as ONE jitted
+program over a batch of 20-second utterances, and reports RTFx (seconds of
+audio transcribed per wall-second) against the CPU PyTorch reference anchor
+recorded in bench_baseline.json (scripts/measure_torch_baseline.py).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "20"))
+    seq_len = int(os.environ.get("BENCH_SEQ_LEN", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    import dataclasses
+
+    import jax
+
+    # persistent compile cache: the WavLM-large + sampler program is large;
+    # repeat bench runs (and driver re-runs) skip the multi-minute compile
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    from fddm_asr_tpu.models.decoder import DenoisingTransformerDecoder
+    from fddm_asr_tpu.models.encoder import AcousticEncoder
+    from fddm_asr_tpu.models.wavlm import WavLMConfig
+    from fddm_asr_tpu import diffusion as D
+    from fddm_asr_tpu.sampler import SamplerConfig, make_sample_fn
+
+    platform = jax.devices()[0].platform
+    K = 8000
+    wavlm_cfg = dataclasses.replace(WavLMConfig.large(), scan_layers=True)
+    encoder = AcousticEncoder(config=wavlm_cfg, d_model=768, dtype=jnp.bfloat16)
+    decoder = DenoisingTransformerDecoder(
+        vocab_size=K, d_model=768, nhead=12, num_layers=6, dim_ff=2048,
+        max_len=1024, pad_id=0, dtype=jnp.bfloat16,
+    )
+    sched = D.make_schedule(K, 200, 0.2)
+    scfg = SamplerConfig(K=K, T_train=200, T_infer=20, r=5, greedy=True,
+                         posterior_mode="average", sampling_mode="exact")
+
+    rng = jax.random.key(0)
+    r_enc, r_dec, r_wav = jax.random.split(rng, 3)
+    T_wav = int(seconds * 16000)
+    wave = jax.random.normal(r_wav, (batch, T_wav), jnp.float32) * 0.1
+    S = wavlm_cfg.feat_extract_output_length(T_wav)
+
+    t0 = time.perf_counter()
+    enc_params = encoder.init(r_enc, wave[:1])
+    dec_params = decoder.init(
+        r_dec, jnp.zeros((1, seq_len), jnp.int32), jnp.ones((1,), jnp.int32),
+        jnp.zeros((1, S, 768)),
+    )
+    init_s = time.perf_counter() - t0
+
+    def decoder_apply(xt, t, cond, c_mask):
+        return decoder.apply(dec_params, xt, t, cond, None, c_mask, deterministic=True)
+
+    sample_fn = make_sample_fn(decoder_apply, sched, scfg)
+
+    @jax.jit
+    def transcribe(wave, rng):
+        c, _, _ = encoder.apply(enc_params, wave, None, deterministic=True)
+        ids, _ = sample_fn(rng, c, seq_len=seq_len)
+        return ids
+
+    t0 = time.perf_counter()
+    ids = jax.block_until_ready(transcribe(wave, jax.random.key(1)))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(transcribe(wave, jax.random.key(2 + i)))
+        times.append(time.perf_counter() - t0)
+    step_s = min(times)
+    rtfx = batch * seconds / step_s
+
+    baseline_path = os.path.join(REPO, "bench_baseline.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        base = json.load(open(baseline_path))
+        if base.get("rtfx"):
+            vs_baseline = rtfx / float(base["rtfx"])
+
+    print(json.dumps({
+        "metric": "e2e_inference_rtfx",
+        "value": round(rtfx, 2),
+        "unit": "audio_seconds_per_second",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "platform": platform,
+        "batch": batch,
+        "audio_seconds": seconds,
+        "step_seconds": round(step_s, 4),
+        "compile_seconds": round(compile_s, 1),
+        "config": "wavlm-large + d768x6, T_infer=20 r=5 exact greedy bf16",
+    }))
+
+
+if __name__ == "__main__":
+    main()

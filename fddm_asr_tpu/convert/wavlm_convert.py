@@ -89,7 +89,8 @@ def wavlm_params_from_state_dict(sd: Mapping[str, Any], config) -> Dict[str, Any
         "pos_conv_embed": pos_conv,
         "layer_norm": _norm(sd, "encoder.layer_norm"),
     }
-    for i in range(config.num_hidden_layers):
+
+    def layer_params(i: int) -> Dict[str, Any]:
         p = f"encoder.layers.{i}"
         attn: Dict[str, Any] = {
             "q_proj": _linear(sd, f"{p}.attention.q_proj"),
@@ -101,7 +102,7 @@ def wavlm_params_from_state_dict(sd: Mapping[str, Any], config) -> Dict[str, Any
         }
         if f"{p}.attention.rel_attn_embed.weight" in sd:
             attn["rel_attn_embed"] = {"embedding": _np(sd[f"{p}.attention.rel_attn_embed.weight"])}
-        encoder[f"layers_{i}"] = {
+        return {
             "attention": attn,
             "layer_norm": _norm(sd, f"{p}.layer_norm"),
             "final_layer_norm": _norm(sd, f"{p}.final_layer_norm"),
@@ -110,6 +111,19 @@ def wavlm_params_from_state_dict(sd: Mapping[str, Any], config) -> Dict[str, Any
                 "output_dense": _linear(sd, f"{p}.feed_forward.output_dense"),
             },
         }
+
+    encoder["layers_0"] = layer_params(0)
+    rest = [layer_params(i) for i in range(1, config.num_hidden_layers)]
+    if rest and config.scan_layers:
+        # stack layers 1..N-1 leaf-wise for the nn.scan parameter layout
+        import jax
+
+        encoder["layers_scan"] = {
+            "layer": jax.tree.map(lambda *leaves: np.stack(leaves, axis=0), *rest)
+        }
+    else:
+        for i, lp in enumerate(rest, start=1):
+            encoder[f"layers_{i}"] = lp
 
     params: Dict[str, Any] = {
         "feature_extractor": fe,

@@ -76,6 +76,16 @@ class WavLMConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.1
+    # Compile layers 1..N-1 as ONE lax.scan body with stacked params instead
+    # of unrolling N near-identical layers into the HLO graph — ~N x smaller
+    # program, minutes less XLA compile time for wavlm-large.  Numerics are
+    # identical (parity-tested); param tree gains a stacked "layers_scan"
+    # entry (the converter stacks accordingly).
+    scan_layers: bool = False
+    # Fuse gate*pos_bias + attention into one Pallas kernel on TPU (falls
+    # back to XLA elsewhere): avoids materialising two [B, H, L, L] HBM
+    # tensors per layer.  See fddm_asr_tpu.ops.flash_attention.
+    fused_attention: bool = False
 
     @classmethod
     def large(cls) -> "WavLMConfig":
@@ -296,7 +306,6 @@ class GatedRelPosAttention(nn.Module):
             "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1), jnp.float32
         )
         gate_out = gate_a * (gate_b * gru_const - 1.0) + 2.0  # [B,H,L,1]
-        gated_bias = gate_out * position_bias[None]  # [B,H,L,L]
 
         q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k_proj")(x)
@@ -305,15 +314,23 @@ class GatedRelPosAttention(nn.Module):
         k = k.reshape(B, L, H, dh)
         v = v.reshape(B, L, H, dh)
 
-        dropout_rng = None
-        if not deterministic and cfg.attention_dropout > 0.0:
-            dropout_rng = self.make_rng("dropout")
-        attn_fn = self.attention_fn or dot_product_attention
-        out = attn_fn(
-            q, k, v, key_mask=key_mask, bias=gated_bias,
-            dropout_rate=cfg.attention_dropout if not deterministic else 0.0,
-            dropout_rng=dropout_rng,
-        )
+        if cfg.fused_attention and deterministic:
+            from fddm_asr_tpu.ops.flash_attention import wavlm_gated_attention
+
+            out = wavlm_gated_attention(
+                q, k, v, position_bias, gate_out[..., 0], key_mask
+            )
+        else:
+            gated_bias = gate_out * position_bias[None]  # [B,H,L,L]
+            dropout_rng = None
+            if not deterministic and cfg.attention_dropout > 0.0:
+                dropout_rng = self.make_rng("dropout")
+            attn_fn = self.attention_fn or dot_product_attention
+            out = attn_fn(
+                q, k, v, key_mask=key_mask, bias=gated_bias,
+                dropout_rate=cfg.attention_dropout if not deterministic else 0.0,
+                dropout_rng=dropout_rng,
+            )
         out = out.reshape(B, L, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(out)
         return out, position_bias
@@ -380,6 +397,25 @@ class EncoderLayerPostLN(nn.Module):
         return x, position_bias
 
 
+class _ScanLayerBody(nn.Module):
+    """One non-first encoder layer, shaped for nn.scan (carry=x, out=None)."""
+
+    config: WavLMConfig
+    deterministic: bool
+    dtype: Dtype = jnp.float32
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, key_mask, position_bias):
+        cfg = self.config
+        layer_cls = EncoderLayerStableLN if cfg.do_stable_layer_norm else EncoderLayerPostLN
+        x, _ = layer_cls(
+            cfg, has_relative_position_bias=False, dtype=self.dtype,
+            attention_fn=self.attention_fn, name="layer",
+        )(x, key_mask, position_bias, self.deterministic)
+        return x, None
+
+
 class Encoder(nn.Module):
     config: WavLMConfig
     dtype: Dtype = jnp.float32
@@ -396,12 +432,27 @@ class Encoder(nn.Module):
         x = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(x)
 
         layer_cls = EncoderLayerStableLN if cfg.do_stable_layer_norm else EncoderLayerPostLN
-        position_bias = None
-        for i in range(cfg.num_hidden_layers):
-            x, position_bias = layer_cls(
-                cfg, has_relative_position_bias=(i == 0), dtype=self.dtype,
-                attention_fn=self.attention_fn, name=f"layers_{i}",
-            )(x, key_mask, position_bias, deterministic)
+        x, position_bias = layer_cls(
+            cfg, has_relative_position_bias=True, dtype=self.dtype,
+            attention_fn=self.attention_fn, name="layers_0",
+        )(x, key_mask, None, deterministic)
+
+        n_rest = cfg.num_hidden_layers - 1
+        if n_rest > 0 and cfg.scan_layers:
+            scanned = nn.scan(
+                _ScanLayerBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=n_rest,
+            )(cfg, deterministic, self.dtype, self.attention_fn, name="layers_scan")
+            x, _ = scanned(x, key_mask, position_bias)
+        else:
+            for i in range(1, cfg.num_hidden_layers):
+                x, position_bias = layer_cls(
+                    cfg, has_relative_position_bias=False, dtype=self.dtype,
+                    attention_fn=self.attention_fn, name=f"layers_{i}",
+                )(x, key_mask, position_bias, deterministic)
         if cfg.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         return x

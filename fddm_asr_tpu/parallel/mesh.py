@@ -91,10 +91,14 @@ def _path_str(key_path) -> str:
 def shard_pytree(tree: Any, mesh: Mesh, spec_fn=decoder_param_spec) -> Any:
     """device_put every leaf with its rule-derived NamedSharding."""
     def place(key_path, leaf):
-        spec = spec_fn(_path_str(key_path))
+        path = _path_str(key_path)
+        spec = spec_fn(path)
         # drop axes that don't divide the leaf (e.g. nhead smaller than mesh)
         shape = getattr(leaf, "shape", ())
         axes = list(spec)
+        # scanned-layer stacks carry a leading layer axis; shift the spec
+        if axes and "layers_scan" in path and len(shape) == len(axes) + 1:
+            axes = [None] + axes
         for i, ax in enumerate(axes):
             if ax is None:
                 continue

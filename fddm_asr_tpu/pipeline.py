@@ -49,10 +49,13 @@ def build_wavlm_config(encoder_cfg: Config) -> WavLMConfig:
     elif "base" in name:
         cfg = WavLMConfig.base()
     else:
-        cfg = WavLMConfig.large()
+        # scan_layers at 24 layers: same numerics, minutes less compile time
+        cfg = dataclasses.replace(WavLMConfig.large(), scan_layers=True)
     overrides = encoder_cfg.get("wavlm_config")
     if overrides:
         cfg = dataclasses.replace(cfg, **dict(overrides))
+    if "scan_layers" in encoder_cfg:
+        cfg = dataclasses.replace(cfg, scan_layers=bool(encoder_cfg["scan_layers"]))
     return cfg
 
 

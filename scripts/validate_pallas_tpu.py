@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Validate + micro-benchmark the Pallas fused gated-attention kernel on TPU.
+
+Runs the Pallas kernel against the XLA reference on wavlm-large-shaped inputs
+(B x 999 frames x 16 heads x 64) and reports max abs error + timings.
+
+    python scripts/validate_pallas_tpu.py [--batch 8] [--frames 999]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fddm_asr_tpu.ops.flash_attention import (
+    wavlm_gated_attention_pallas,
+    wavlm_gated_attention_xla,
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=999)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--dh", type=int, default=64)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    if jax.default_backend() == "cpu":
+        print("WARNING: running on CPU; the pallas kernel requires TPU", file=sys.stderr)
+
+    B, L, H, dh = args.batch, args.frames, args.heads, args.dh
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, L, H, dh)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, L, H, dh)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, L, H, dh)), dtype)
+    bias = jnp.asarray(rng.standard_normal((H, L, L)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(1.0, 2.0, (B, H, L)), jnp.float32)
+    mask = jnp.asarray(np.arange(L)[None, :] < (L - np.arange(B) * 7)[:, None])
+
+    xla_fn = jax.jit(wavlm_gated_attention_xla)
+    pal_fn = jax.jit(wavlm_gated_attention_pallas)
+
+    ref = jax.block_until_ready(xla_fn(q, k, v, bias, gate, mask))
+    out = jax.block_until_ready(pal_fn(q, k, v, bias, gate, mask))
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    rel = err / float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    print(f"max abs err {err:.3e} (rel {rel:.3e})")
+
+    def timeit(fn):
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(q, k, v, bias, gate, mask))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_xla = timeit(xla_fn)
+    t_pal = timeit(pal_fn)
+    print(f"xla  : {t_xla*1e3:8.2f} ms")
+    print(f"pallas: {t_pal*1e3:8.2f} ms  ({t_xla/t_pal:.2f}x)")
+    tol = 3e-2 if dtype == jnp.bfloat16 else 2e-4
+    assert rel < tol, f"kernel mismatch: rel err {rel}"
+    print("Pallas kernel validation passed.")
+
+
+if __name__ == "__main__":
+    main()

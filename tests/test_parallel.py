@@ -1,0 +1,58 @@
+# -*- coding: utf-8 -*-
+"""Mesh/sharding tests on the 8-device virtual CPU platform + the driver's
+multichip dry run."""
+import jax
+import numpy as np
+import pytest
+
+from fddm_asr_tpu.parallel import MeshSpec, decoder_param_spec, make_mesh, shard_pytree
+from jax.sharding import PartitionSpec as P
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = make_mesh(MeshSpec())  # all devices on data
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        make_mesh(MeshSpec(data=3, model=2))
+
+
+def test_param_spec_rules():
+    assert decoder_param_spec("blocks_0/self_attn/q_proj/kernel") == P(None, "model")
+    assert decoder_param_spec("blocks_3/cross_attn/out_proj/kernel") == P("model", None)
+    assert decoder_param_spec("blocks_1/ff_0/kernel") == P(None, "model")
+    assert decoder_param_spec("blocks_1/ff_3/kernel") == P("model", None)
+    assert decoder_param_spec("head/kernel") == P(None, "model")
+    assert decoder_param_spec("encoder/layers_0/attention/k_proj/kernel") == P(None, "model")
+    assert decoder_param_spec("blocks_0/norm1/scale") == P()
+    assert decoder_param_spec("time_proj/kernel") == P()
+
+
+def test_shard_pytree_places_leaves():
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    tree = {
+        "blocks_0": {"ff_0": {"kernel": np.zeros((16, 64), np.float32),
+                              "bias": np.zeros((64,), np.float32)}},
+        "norm": {"scale": np.ones((16,), np.float32)},
+        # dimension not divisible by model axis -> silently replicated
+        "odd": {"ff_0": {"kernel": np.zeros((16, 7), np.float32)}},
+    }
+    sharded = shard_pytree(tree, mesh)
+    k = sharded["blocks_0"]["ff_0"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+    assert sharded["norm"]["scale"].sharding.spec == P()
+    assert sharded["odd"]["ff_0"]["kernel"].sharding.spec == P(None, None)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_4():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(4)

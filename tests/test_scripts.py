@@ -1,0 +1,147 @@
+# -*- coding: utf-8 -*-
+"""Script-level tests: preprocess auto-merge, tokenizer_train CLI, sweep
+runner (dry run), sanity scripts."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+@pytest.fixture
+def cv_raw(tmp_path, monkeypatch):
+    """Synthetic Common Voice dump: two dataset versions, one language, with
+    an exact duplicate and a too-short clip across versions."""
+    from fddm_asr_tpu.data.audio_io import save_wav
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    sentences = ["我們可以交流", "台灣的高速公路", "我們可以交流", "短"]
+    for version in ("cv-v1", "cv-v2"):
+        clips = tmp_path / "data/raw" / version / "zh-TW" / "clips"
+        clips.mkdir(parents=True)
+        rows = ["path\tsentence"]
+        for i, s in enumerate(sentences):
+            name = f"{version}_{i}.wav"
+            dur = 0.02 if s == "短" else 0.5
+            save_wav(str(clips / name),
+                     rng.standard_normal(int(16000 * dur)).astype(np.float32) * 0.1,
+                     16000)
+            rows.append(f"{name}\t{s}")
+        (clips.parent / "train.tsv").write_text("\n".join(rows))
+        (clips.parent / "dev.tsv").write_text("\n".join(rows[:2]))
+    return tmp_path
+
+
+def test_preprocess_auto_merge(cv_raw):
+    import preprocess
+
+    preprocess.main(["--auto_merge", "--splits", "train,dev"])
+    processed = cv_raw / "data/processed"
+    train = json.load(open(processed / "train.json", encoding="utf-8"))
+    # 8 rows found; 1 unique pair of sentences survives exact+short filtering:
+    # "我們可以交流" once, "台灣的高速公路" once (duplicates + v2 copies removed)
+    texts = [r["text"] for r in train]
+    assert sorted(set(texts)) == ["台灣的高速公路", "我們可以交流"]
+    assert len(texts) == 2
+    for r in train:
+        assert os.path.exists(r["processed_path"])
+        assert set(r) == {"path", "sentence", "text", "duration",
+                          "processed_path", "language", "dataset", "split",
+                          "audio_hash"}
+    report = json.load(open(processed / "merge_report.json", encoding="utf-8"))
+    assert report["global_statistics"]["duplicates_removed"] >= 4
+    assert report["merge_summary"]["total_datasets"] == 2
+    assert (processed / "duplicates_removed.json").exists()
+    assert (processed / "train.csv").exists()
+
+
+def test_preprocess_dedup_index_similarity():
+    from preprocess import DedupIndex
+
+    idx = DedupIndex(0.8)
+    idx.add("我們可以一起交流了")
+    dup, reason = idx.check("我們可以一起交流了")
+    assert dup and "exact" in reason
+    dup, reason = idx.check("我們可以一起交流呀")  # 1-char diff, high sim
+    assert dup and "similar" in reason
+    dup, _ = idx.check("完全不同的句子")
+    assert not dup
+
+
+def test_tokenizer_train_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    data = tmp_path / "corpus"
+    data.mkdir()
+    records = [{"text": s} for s in ["我們可以交流", "台灣高速公路", "交流的問題"] * 10]
+    json.dump(records, open(data / "train.json", "w", encoding="utf-8"))
+    cfg = {
+        "corpus": {"lang_prefix": "zh", "base_path": str(data), "text_field": "text",
+                   "min_len": 1, "max_len": None},
+        "tokenizer": {"type": "sentencepiece", "model_prefix": "spm_test",
+                      "vocab_size": 48, "model_type": "bpe",
+                      "character_coverage": 0.9995, "extra_user_symbols": []},
+        "special_tokens": {"pad": "<pad>", "bos": "<s>", "eos": "</s>", "unk": "<unk>"},
+        "output": {"dir": str(tmp_path / "tok"), "export_vocab_json": "vocab.json"},
+    }
+    import yaml
+
+    cfg_path = tmp_path / "tok.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    import tokenizer_train
+
+    tokenizer_train.main(["--config", str(cfg_path)])
+    assert (tmp_path / "tok/spm_test.model").exists()
+    vj = json.load(open(tmp_path / "tok/vocab.json", encoding="utf-8"))
+    assert vj["special_token_ids"]["pad_id"] == 3
+    from fddm_asr_tpu.tokenizer import load_tokenizer
+
+    sp = load_tokenizer(str(tmp_path / "tok/spm_test.model"))
+    assert sp.decode(sp.encode("我們可以交流")) == "我們可以交流"
+
+
+def test_sweep_dry_run(tmp_path, capsys):
+    import sweep
+
+    sweep.main([
+        "--sweep", os.path.join(REPO, "configs/fddm_sweep.yaml"),
+        "--trials", "3", "--out", str(tmp_path / "sw"), "--dry-run",
+    ])
+    out = capsys.readouterr().out
+    assert out.count("[trial") == 3
+    assert "lfd/lambda_offdiag" in out
+    assert os.path.exists(tmp_path / "sw/trial_000/config.yaml")
+    import yaml
+
+    c = yaml.safe_load(open(tmp_path / "sw/trial_000/config.yaml"))
+    # sampled leaf replaced the search spec with a concrete value
+    assert isinstance(c["lfd"]["lambda_offdiag"], float)
+    assert isinstance(c["optim"]["batch_size"], int)
+    # base config fields survived
+    assert c["model"]["d_model"] == 768
+
+
+def test_sanity_check_scheduler_script():
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/sanity_check_scheduler.py"),
+         os.path.join(REPO, "configs/fddm_zhTW_base.yaml")],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=REPO,
+    )
+    assert "Scheduler sanity check passed." in result.stdout, result.stderr
+
+
+def test_sanity_forward_script_tiny():
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/sanity_forward.py"),
+         "--tiny", "--cpu"],
+        capture_output=True, text=True, timeout=500, cwd=REPO,
+    )
+    assert "Sanity check passed." in result.stdout, result.stderr
+    assert "logits: (2, 64, 4000)" in result.stdout

@@ -73,6 +73,35 @@ def test_wavlm_parity(stable, with_mask, rng):
     np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
 
 
+def test_wavlm_scan_layers_parity(rng):
+    """scan_layers=True (stacked lax.scan body) matches the unrolled model."""
+    import dataclasses
+
+    import torch
+    from transformers import WavLMModel as HFModel
+
+    torch.manual_seed(0)
+    hf_cfg = _tiny_hf_config(True)
+    hf_cfg.num_hidden_layers = 4
+    hf = HFModel(hf_cfg)
+    hf.eval()
+
+    wav = rng.standard_normal((B, T)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(wav)).last_hidden_state.numpy()
+
+    for scan in (False, True):
+        config = dataclasses.replace(WavLMConfig.from_hf(hf_cfg), scan_layers=scan)
+        params = {"params": wavlm_params_from_state_dict(hf.state_dict(), config)}
+        if scan:
+            stacked = params["params"]["encoder"]["layers_scan"]["layer"]
+            assert stacked["attention"]["q_proj"]["kernel"].shape[0] == 3
+        ours = np.asarray(
+            WavLMModel(config).apply(params, jnp.asarray(wav), deterministic=True)
+        )
+        np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
 def test_feat_extract_output_length():
     cfg = WavLMConfig.tiny_for_tests()
     # hop 320: 0.2 s -> 9 frames (conv formula, not ceil(T/320))
