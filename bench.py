@@ -12,6 +12,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -69,25 +70,26 @@ def main():
     )
     init_s = time.perf_counter() - t0
 
-    def decoder_apply(xt, t, cond, c_mask):
-        return decoder.apply(dec_params, xt, t, cond, None, c_mask, deterministic=True)
+    def decoder_apply(params, xt, t, cond, c_mask):
+        return decoder.apply(params, xt, t, cond, None, c_mask, deterministic=True)
 
     sample_fn = make_sample_fn(decoder_apply, sched, scfg)
 
-    @jax.jit
-    def transcribe(wave, rng):
+    # params are jit ARGUMENTS (closures would bake them into the program)
+    @functools.partial(jax.jit, static_argnames=())
+    def transcribe(enc_params, dec_params, wave, rng):
         c, _, _ = encoder.apply(enc_params, wave, None, deterministic=True)
-        ids, _ = sample_fn(rng, c, seq_len=seq_len)
+        ids, _ = sample_fn(dec_params, rng, c, seq_len=seq_len)
         return ids
 
     t0 = time.perf_counter()
-    ids = jax.block_until_ready(transcribe(wave, jax.random.key(1)))
+    ids = jax.block_until_ready(transcribe(enc_params, dec_params, wave, jax.random.key(1)))
     compile_s = time.perf_counter() - t0
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(transcribe(wave, jax.random.key(2 + i)))
+        jax.block_until_ready(transcribe(enc_params, dec_params, wave, jax.random.key(2 + i)))
         times.append(time.perf_counter() - t0)
     step_s = min(times)
     rtfx = batch * seconds / step_s

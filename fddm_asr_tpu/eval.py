@@ -42,32 +42,18 @@ __all__ = [
 
 
 def _levenshtein(ref: Sequence, hyp: Sequence) -> int:
-    """Row-vectorised edit distance."""
-    r, h = list(ref), list(hyp)
-    if not r:
-        return len(h)
-    if not h:
-        return len(r)
-    h_arr = np.asarray(h, dtype=object)
-    prev = np.arange(len(h) + 1, dtype=np.int32)
-    for i, rc in enumerate(r, 1):
-        cur = np.empty(len(h) + 1, np.int32)
-        cur[0] = i
-        sub = prev[:-1] + (h_arr != rc)
-        # insertion needs a left-to-right scan; do it with a cumulative trick
-        np.minimum(sub, prev[1:] + 1, out=cur[1:])
-        for j in range(1, len(h) + 1):  # short inner loop only when needed
-            if cur[j] > cur[j - 1] + 1:
-                cur[j] = cur[j - 1] + 1
-        prev = cur
-    return int(prev[-1])
+    """Edit distance; native C++ kernel when built, numpy DP fallback
+    (fddm_asr_tpu.native)."""
+    from fddm_asr_tpu import native
+
+    return native.levenshtein(ref, hyp)
 
 
 def calculate_cer(ref: str, hyp: str) -> float:
     """Character error rate (reference lines 94-118 semantics)."""
     if len(ref) == 0:
         return 0.0 if len(hyp) == 0 else 1.0
-    return _levenshtein(list(ref), list(hyp)) / float(len(ref))
+    return _levenshtein(ref, hyp) / float(len(ref))
 
 
 def calculate_wer(ref: str, hyp: str) -> float:

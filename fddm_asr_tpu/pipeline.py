@@ -180,15 +180,14 @@ class FDDMPipeline:
         return pipeline
 
     # -------------------------------------------------------------- kernels
-    def _encode(self, wave, lengths):
-        return self.encoder.apply(
-            self.encoder_params, wave, lengths, deterministic=True
-        )
+    # Params flow through jit as ARGUMENTS: closing them over would bake the
+    # weights into the compiled program as constants (rejected by the TPU
+    # remote-compile service for large models).
+    def _encode(self, params, wave, lengths):
+        return self.encoder.apply(params, wave, lengths, deterministic=True)
 
-    def _decoder_fwd(self, xt, t, c, x_mask, c_mask):
-        return self.decoder.apply(
-            self.decoder_params, xt, t, c, x_mask, c_mask, deterministic=True
-        )
+    def _decoder_fwd(self, params, xt, t, c, x_mask, c_mask):
+        return self.decoder.apply(params, xt, t, c, x_mask, c_mask, deterministic=True)
 
     # ------------------------------------------------------------------ api
     def encode_waveform(
@@ -198,13 +197,14 @@ class FDDMPipeline:
         if not self.use_condition_mask:
             lengths = None  # reference parity: encoder called without lengths
         feats, feat_mask, _ = self._encode_jit(
-            wave, jnp.asarray(lengths) if lengths is not None else None
+            self.encoder_params, wave,
+            jnp.asarray(lengths) if lengths is not None else None,
         )
         return feats, feat_mask
 
     def decoder_forward(self, xt, t, c, x_mask=None, c_mask=None):
         return self._decode_jit(
-            jnp.asarray(xt), jnp.asarray(t), c,
+            self.decoder_params, jnp.asarray(xt), jnp.asarray(t), c,
             None if x_mask is None else jnp.asarray(x_mask),
             None if c_mask is None else c_mask,
         )
@@ -219,10 +219,9 @@ class FDDMPipeline:
                 posterior_mode=posterior_mode, sampling_mode=sampling_mode,
                 temperature=temperature,
             )
-            def decoder_apply(xt, t, cond, c_mask):
+            def decoder_apply(params, xt, t, cond, c_mask):
                 return self.decoder.apply(
-                    self.decoder_params, xt, t, cond, None, c_mask,
-                    deterministic=True,
+                    params, xt, t, cond, None, c_mask, deterministic=True
                 )
             self._samplers[key] = jax.jit(
                 make_sample_fn(decoder_apply, self.sched, scfg),
@@ -246,7 +245,7 @@ class FDDMPipeline:
         fn = self._sampler_for((T_infer, r, greedy, posterior_mode, sampling_mode, temperature))
         if not self.use_condition_mask:
             c_mask = None
-        ids, p = fn(rng, cond, seq_len=seq_len, c_mask=c_mask)
+        ids, p = fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
         return np.asarray(ids), np.asarray(p)
 
     def ids_to_text(self, ids) -> str:

@@ -99,10 +99,15 @@ def make_sample_fn(
     sched: DiffusionSchedule,
     cfg: SamplerConfig,
 ) -> Callable:
-    """Builds sample(rng, cond_c, seq_len, c_mask=None) -> (x0_idx, p_x0_last).
+    """Builds sample(params, rng, cond_c, seq_len, c_mask=None) ->
+    (x0_idx, p_x0_last).
 
-    decoder_apply(xt [B,L] int, t [B] int, cond [B,S,D], c_mask) -> logits
-    [B,L,K].  The returned fn is jit-compatible (seq_len static).
+    decoder_apply(params, xt [B,L] int, t [B] int, cond [B,S,D], c_mask) ->
+    logits [B,L,K].  The returned fn is jit-compatible (seq_len static).
+    `params` MUST flow through as an argument — closing model weights into
+    the jitted function would bake them into the compiled program as
+    constants (hundreds of MB of HLO; the TPU remote-compile service rejects
+    such programs outright).
     """
     ts_np, deltas_np = build_jump_schedule(cfg.T_infer, cfg.r)
     ab_targets_np = _fast_alpha_bar_targets(sched, cfg, ts_np, deltas_np)
@@ -114,6 +119,7 @@ def make_sample_fn(
         return jax.random.categorical(rng, logits, axis=-1)
 
     def sample(
+        params,
         rng: jax.Array,
         cond_c: jnp.ndarray,            # [B, S, D]
         seq_len: int,
@@ -136,7 +142,7 @@ def make_sample_fn(
             x_t = carry
             t, delta, ab_target, step_rng = xs
             t_b = jnp.full((B,), t, jnp.int32)
-            logits = decoder_apply(x_t, t_b, cond_c, c_mask)
+            logits = decoder_apply(params, x_t, t_b, cond_c, c_mask)
             p_x0 = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
             if cfg.sampling_mode == "exact":
@@ -156,6 +162,14 @@ def make_sample_fn(
         return x0_idx, p_x0_last
 
     return sample
+
+
+def _wrap_paramless(decoder_apply: Callable) -> Callable:
+    def wrapped(params, xt, t, cond, c_mask):
+        del params
+        return decoder_apply(xt, t, cond, c_mask)
+
+    return wrapped
 
 
 class DiffusionJumpySampler:
@@ -178,6 +192,7 @@ class DiffusionJumpySampler:
         sampling_mode: str = "exact",
         temperature: float = 1.0,
         ref_compat: bool = True,
+        decoder_params=None,
     ) -> None:
         self.cfg = SamplerConfig(
             K=K, T_train=T_train, T_infer=T_infer, r=r, greedy=greedy,
@@ -185,6 +200,10 @@ class DiffusionJumpySampler:
             temperature=temperature, ref_compat=ref_compat,
         )
         self.sched = sched
+        self.decoder_params = decoder_params
+        if decoder_params is None:
+            # decoder_apply(xt, t, cond, c_mask) without a params arg
+            decoder_apply = _wrap_paramless(decoder_apply)
         self._fn = jax.jit(
             make_sample_fn(decoder_apply, sched, self.cfg), static_argnames=("seq_len",)
         )
@@ -200,7 +219,7 @@ class DiffusionJumpySampler:
         del init
         if rng is None:
             rng = jax.random.key(0)
-        return self._fn(rng, cond_c, seq_len=seq_len, c_mask=c_mask)
+        return self._fn(self.decoder_params, rng, cond_c, seq_len=seq_len, c_mask=c_mask)
 
     def get_sampling_info(self) -> dict:
         c = self.cfg

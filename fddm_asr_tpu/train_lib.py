@@ -81,18 +81,23 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Config):
-    """Returns train_step(state, wave, x0, rng, apply_lfd[static]) -> (state, metrics)."""
+    """Returns train_step(state, encoder_params, wave, x0, rng,
+    apply_lfd[static]) -> (state, metrics).
+
+    `encoder_params` (frozen WavLM) is threaded as a jit ARGUMENT — closing
+    it over would embed ~1.2 GB of weights as HLO constants, which the TPU
+    remote-compile service rejects (HTTP 413) and which defeats donation.
+    """
     sched = pipeline.sched
     pad_id = pipeline.pad_id
     T_total = cfg.diffusion["T"]
     tau = cfg.lfd.get("tau", 1.0)
     lambda_off = cfg.lfd.get("lambda_offdiag", 5e-3)
-    encoder_params = pipeline.encoder_params
     encoder = pipeline.encoder
     decoder = pipeline.decoder
 
     @functools.partial(jax.jit, static_argnames=("apply_lfd",), donate_argnames=("state",))
-    def train_step(state: TrainState, wave, x0, rng, apply_lfd: bool):
+    def train_step(state: TrainState, encoder_params, wave, x0, rng, apply_lfd: bool):
         rng_t, rng_q, rng_drop = jax.random.split(rng, 3)
         B, L = x0.shape
 
@@ -167,10 +172,13 @@ def run_training(
     wavlm_params: Optional[Dict] = None,
     max_steps_per_epoch: Optional[int] = None,
     export_pt: bool = True,
+    profile_dir: Optional[str] = None,
+    debug_nans: bool = False,
 ) -> Dict[str, Any]:
     """Full training run; returns summary metrics.  CLI wrapper: train.py."""
     from fddm_asr_tpu.data.dataset import ManifestDataset, make_batches
     from fddm_asr_tpu.pipeline import FDDMPipeline
+    from fddm_asr_tpu.profiling import StepTimer, annotate, nan_guard, trace
     from fddm_asr_tpu.tokenizer import load_tokenizer
     from fddm_asr_tpu import checkpoint as C
 
@@ -263,6 +271,12 @@ def run_training(
         best_val_cer, best_epoch = float("inf"), 0
         global_step = int(state.step) + 1
         summary: Dict[str, Any] = {}
+        timer = StepTimer(skip=2)
+
+        profiler_ctx = trace(profile_dir)
+        guard_ctx = nan_guard(debug_nans)
+        profiler_ctx.__enter__()
+        guard_ctx.__enter__()
 
         for epoch in range(start_epoch, num_epochs + 1):
             logging.info(f"Epoch {epoch}")
@@ -274,11 +288,15 @@ def run_training(
                 if max_steps_per_epoch and bi >= max_steps_per_epoch:
                     break
                 apply_lfd = (global_step % n_step_fd) == 0
-                wave = jax.device_put(batch.wave, batch_shard)
-                x0 = jax.device_put(batch.tokens.astype(np.int32), batch_shard)
+                with annotate("host_to_device"):
+                    wave = jax.device_put(batch.wave, batch_shard)
+                    x0 = jax.device_put(batch.tokens.astype(np.int32), batch_shard)
                 step_rng = jax.random.key(host_rng.integers(2**63))
-                state, metrics = train_step(state, wave, x0, step_rng, apply_lfd)
+                state, metrics = train_step(
+                    state, pipeline.encoder_params, wave, x0, step_rng, apply_lfd
+                )
                 total = float(metrics["total_loss"])
+                timer.tick()
                 loss_sum += total
                 step_cnt += 1
                 if global_step % log_every == 0:
@@ -289,6 +307,8 @@ def run_training(
                             f"w_t={float(metrics['w_t']):.4f}",
                         ]
                     parts.append(f"total_loss={total:.4f}")
+                    if timer.seconds_per_step:
+                        parts.append(f"examples_per_s={timer.throughput(batch_size):.1f}")
                     logging.info(" ".join(parts))
                 global_step += 1
             train_loss = loss_sum / max(1, step_cnt)
@@ -339,6 +359,8 @@ def run_training(
                 "epoch_seconds": time.time() - t0,
             }
 
+    guard_ctx.__exit__(None, None, None)
+    profiler_ctx.__exit__(None, None, None)
     logging.info("=" * 50)
     logging.info("TRAINING COMPLETED!")
     logging.info(f"Best validation CER: {best_val_cer:.4f} (Epoch {best_epoch})")

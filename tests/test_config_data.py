@@ -113,13 +113,29 @@ class TestNormalizeText:
     @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
     def test_parity_with_reference(self):
         # the reference preprocess module imports audio wheels absent here;
-        # stub them — normalize_text touches none of them.
+        # stub them — normalize_text touches none of them.  Load by path
+        # under a unique module name (our repo has its own scripts/preprocess).
+        import importlib.util
         import types
 
+        stubbed = []
         for mod in ("librosa", "soundfile"):
-            sys.modules.setdefault(mod, types.ModuleType(mod))
-        sys.path.insert(0, os.path.join(REFERENCE_ROOT, "scripts"))
-        from preprocess import normalize_text as ref_norm
+            if mod not in sys.modules:
+                sys.modules[mod] = types.ModuleType(mod)
+                stubbed.append(mod)
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "_reference_preprocess",
+                os.path.join(REFERENCE_ROOT, "scripts", "preprocess.py"),
+            )
+            ref_pre = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(ref_pre)
+            ref_norm = ref_pre.normalize_text
+        finally:
+            # a bare ModuleType stub has __spec__=None and poisons
+            # transformers' importlib availability probes in later tests
+            for mod in stubbed:
+                sys.modules.pop(mod, None)
 
         for case in self.CASES:
             assert normalize_text(case) == ref_norm(case), repr(case)

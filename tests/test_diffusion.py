@@ -198,12 +198,19 @@ class TestTorchParity:
 
     def test_kl_term_vs_reference_adapter(self, sched, ref_sched, rng):
         """Parity with train.py's SchedulerAdapter.kl_term."""
+        import importlib.util
+
         import torch
 
+        # our repo has its own top-level train.py; load the reference's by
+        # path under a distinct module name to avoid sys.modules collisions
+        spec = importlib.util.spec_from_file_location(
+            "_reference_train", os.path.join(REFERENCE_ROOT, "train.py")
+        )
+        ref_train = importlib.util.module_from_spec(spec)
         sys.path.insert(0, REFERENCE_ROOT)
-        from train import SchedulerAdapter
-
-        adapter = SchedulerAdapter(ref_sched)
+        spec.loader.exec_module(ref_train)
+        adapter = ref_train.SchedulerAdapter(ref_sched)
         B, L = 4, 9
         x0 = rng.integers(0, K, (B, L))
         xt = rng.integers(0, K, (B, L))

@@ -36,7 +36,8 @@ def test_jump_schedule():
     assert ts.tolist() == [1] and ds.tolist() == [1]
 
 
-def _dummy_decoder_apply(xt, t, cond, c_mask):
+def _dummy_decoder_apply(params, xt, t, cond, c_mask):
+    del params
     # logits favoring (token index == position mod V), plus a t-dependent shift
     Lx = xt.shape[1]
     base = jax.nn.one_hot(jnp.arange(Lx) % V, V) * 5.0
@@ -49,7 +50,7 @@ def test_sampler_runs_and_converges(mode):
     cfg = SamplerConfig(K=V, T_train=T_TRAIN, T_infer=10, r=3, greedy=True, sampling_mode=mode)
     fn = jax.jit(make_sample_fn(_dummy_decoder_apply, sched, cfg), static_argnames="seq_len")
     cond = jnp.zeros((B, S, Dm))
-    x0, p = fn(jax.random.key(0), cond, seq_len=L)
+    x0, p = fn(None, jax.random.key(0), cond, seq_len=L)
     assert x0.shape == (B, L) and p.shape == (B, L, V)
     # the dummy decoder pins x0hat to position-mod-V tokens
     np.testing.assert_array_equal(np.asarray(x0[0]), np.arange(L) % V)
@@ -62,7 +63,7 @@ def test_sampler_stochastic_path_runs():
         sampling_mode="fast",
     )
     fn = jax.jit(make_sample_fn(_dummy_decoder_apply, sched, cfg), static_argnames="seq_len")
-    x0, _ = fn(jax.random.key(1), jnp.zeros((B, S, Dm)), seq_len=L)
+    x0, _ = fn(None, jax.random.key(1), jnp.zeros((B, S, Dm)), seq_len=L)
     assert x0.shape == (B, L)
 
 
@@ -110,8 +111,8 @@ def test_trajectory_parity_vs_reference(mode, rng):
     )
     params = {"params": decoder_params_from_state_dict(ref_dec.state_dict())}
 
-    def decoder_apply(xt, t, c, c_mask):
-        return model.apply(params, xt, t, c, None, c_mask, deterministic=True)
+    def decoder_apply(p, xt, t, c, c_mask):
+        return model.apply(p, xt, t, c, None, c_mask, deterministic=True)
 
     sched = D.make_schedule(V, T_TRAIN, 0.2)
     cfg = SamplerConfig(
@@ -119,7 +120,8 @@ def test_trajectory_parity_vs_reference(mode, rng):
         posterior_mode="average", sampling_mode=mode,
     )
     fn = jax.jit(make_sample_fn(decoder_apply, sched, cfg), static_argnames="seq_len")
-    x0, p = fn(jax.random.key(0), jnp.asarray(cond), seq_len=L, x_init=jnp.asarray(x_init))
+    x0, p = fn(params, jax.random.key(0), jnp.asarray(cond), seq_len=L,
+               x_init=jnp.asarray(x_init))
 
     match = (np.asarray(x0) == ref_x0.numpy()).mean()
     assert match == 1.0, f"token match rate {match}"
@@ -129,7 +131,8 @@ def test_trajectory_parity_vs_reference(mode, rng):
 def test_wrapper_api():
     sched = D.make_schedule(V, T_TRAIN, 0.2)
     s = DiffusionJumpySampler(
-        sched, _dummy_decoder_apply, K=V, T_train=T_TRAIN, T_infer=4, r=2
+        sched, _dummy_decoder_apply, K=V, T_train=T_TRAIN, T_infer=4, r=2,
+        decoder_params={},
     )
     x0, p = s.sample(jnp.zeros((1, S, Dm)), seq_len=L)
     assert x0.shape == (1, L)

@@ -44,6 +44,10 @@ def main(argv=None):
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
     parser.add_argument("--no-pt-export", action="store_true",
                         help="skip reference-format .pt export per checkpoint")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace here (TensorBoard)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="raise at the op producing any NaN")
     args = parser.parse_args(argv)
 
     if args.device and args.device.startswith("cpu"):
@@ -71,6 +75,8 @@ def main(argv=None):
         wavlm_params=wavlm_params,
         max_steps_per_epoch=args.max_steps_per_epoch,
         export_pt=not args.no_pt_export,
+        profile_dir=args.profile_dir,
+        debug_nans=args.debug_nans,
     )
 
 
