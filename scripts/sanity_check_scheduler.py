@@ -13,6 +13,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# honor JAX_PLATFORMS=cpu even though sitecustomize baked "axon" into config
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import yaml
 

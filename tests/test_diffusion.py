@@ -208,6 +208,7 @@ class TestTorchParity:
             "_reference_train", os.path.join(REFERENCE_ROOT, "train.py")
         )
         ref_train = importlib.util.module_from_spec(spec)
+        sys.modules["_reference_train"] = ref_train  # dataclasses need this
         sys.path.insert(0, REFERENCE_ROOT)
         spec.loader.exec_module(ref_train)
         adapter = ref_train.SchedulerAdapter(ref_sched)

@@ -130,7 +130,7 @@ def test_sanity_check_scheduler_script():
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/sanity_check_scheduler.py"),
          os.path.join(REPO, "configs/fddm_zhTW_base.yaml")],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=570,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
         cwd=REPO,
     )
@@ -141,7 +141,7 @@ def test_sanity_forward_script_tiny():
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/sanity_forward.py"),
          "--tiny", "--cpu"],
-        capture_output=True, text=True, timeout=500, cwd=REPO,
+        capture_output=True, text=True, timeout=570, cwd=REPO,
     )
     assert "Sanity check passed." in result.stdout, result.stderr
     assert "logits: (2, 64, 4000)" in result.stdout
