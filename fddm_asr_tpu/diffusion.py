@@ -52,6 +52,7 @@ __all__ = [
     "q_posterior_multi_step",
     "multi_step_coeffs",
     "kl_term",
+    "DiscreteDiffusionScheduler",
 ]
 
 _EPS = 1e-8
@@ -346,6 +347,50 @@ def kl_term(
     else:
         kl_per_sample = jnp.mean(kl_token, axis=1)
     return jnp.mean(kl_per_sample)
+
+
+class DiscreteDiffusionScheduler:
+    """Drop-in OO facade matching the reference class's constructor/API
+    (reference diffusion_scheduler.py:17-213) over the pure-function core.
+
+    For users migrating from the PyTorch reference: same signature
+    `DiscreteDiffusionScheduler(K, T, device, beta_max)` (device ignored —
+    placement is jit's job), same attributes `betas`/`alpha_bar`/`w_prefix`,
+    same methods.  Arrays in/out are jnp (numpy accepted).
+    """
+
+    def __init__(self, K: int, T: int, device=None, beta_max: float = 0.2,
+                 eps: float = 1e-8):
+        del device, eps
+        self.K = int(K)
+        self.T = int(T)
+        self.sched = make_schedule(K, T, beta_max)
+
+    @property
+    def betas(self):
+        return self.sched.betas
+
+    @property
+    def alpha_bar(self):
+        return self.sched.alpha_bar
+
+    @property
+    def w_prefix(self):
+        return self.sched.w_prefix
+
+    def q_sample(self, x0_prob, t):
+        return q_sample(self.sched, jnp.asarray(x0_prob), jnp.asarray(t))
+
+    def q_posterior(self, xt_prob, x0hat_prob, t):
+        return q_posterior(
+            self.sched, jnp.asarray(xt_prob), jnp.asarray(x0hat_prob), jnp.asarray(t)
+        )
+
+    def q_posterior_multi_step(self, xt_prob, x0hat_prob, t, delta, ref_compat=True):
+        return q_posterior_multi_step(
+            self.sched, jnp.asarray(xt_prob), jnp.asarray(x0hat_prob),
+            jnp.asarray(t), delta, ref_compat,
+        )
 
 
 def kl_term_sparse(

@@ -44,7 +44,13 @@ import numpy as np
 
 from fddm_asr_tpu.diffusion import DiffusionSchedule, q_posterior_multi_step
 
-__all__ = ["SamplerConfig", "build_jump_schedule", "make_sample_fn", "DiffusionJumpySampler"]
+__all__ = [
+    "SamplerConfig",
+    "build_jump_schedule",
+    "make_sample_fn",
+    "DiffusionJumpySampler",
+    "ModelAdapter",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,6 +176,27 @@ def _wrap_paramless(decoder_apply: Callable) -> Callable:
         return decoder_apply(xt, t, cond, c_mask)
 
     return wrapped
+
+
+class ModelAdapter:
+    """API-parity shim for the reference's ModelAdapter (jumpy_sampler.py:
+    54-83): normalises a decoder callable to predict_x0_logits(x_t, t, c).
+
+    Migrating users can wrap `(flax_module, params)` or any callable; the
+    framework-native path is `make_sample_fn(decoder_apply, ...)` which keeps
+    params explicit for jit.
+    """
+
+    def __init__(self, decoder, params=None):
+        self.decoder = decoder
+        self.params = params
+
+    def predict_x0_logits(self, x_t_idx, t, cond_c):
+        if self.params is not None:  # flax module
+            return self.decoder.apply(
+                self.params, x_t_idx, t, cond_c, None, None, deterministic=True
+            )
+        return self.decoder(x_t_idx, t, cond_c)
 
 
 class DiffusionJumpySampler:

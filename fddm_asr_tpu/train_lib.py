@@ -93,6 +93,12 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     T_total = cfg.diffusion["T"]
     tau = cfg.lfd.get("tau", 1.0)
     lambda_off = cfg.lfd.get("lambda_offdiag", 5e-3)
+    # Reference parity: KL is masked to non-pad positions (train.py:366-369),
+    # which means the model never learns to emit pad at tail positions and
+    # free-runs garbage there at inference (observable as CER >> 1 with
+    # fixed seq_len decoding).  mask_pad_loss=false includes pad positions in
+    # the KL so the model learns sequence length end-to-end.
+    mask_pad_loss = bool(cfg.optim.get("mask_pad_loss", True))
     encoder = pipeline.encoder
     decoder = pipeline.decoder
 
@@ -107,6 +113,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
         t = jax.random.randint(rng_t, (B,), 1, T_total + 1)
         xt = D.sample_xt_tokens(sched, rng_q, x0, t)
         x_mask = x0 != pad_id
+        loss_mask = x_mask if mask_pad_loss else jnp.ones_like(x_mask)
 
         def loss_fn(params):
             dec_p, sp_p, te_p, tp_p = params
@@ -114,7 +121,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                 dec_p, xt, t, c, x_mask, c_mask,
                 deterministic=False, rngs={"dropout": rng_drop},
             )
-            loss_diff = D.kl_term(sched, xt, x0, logits, t, x_mask)
+            loss_diff = D.kl_term(sched, xt, x0, logits, t, loss_mask)
             metrics = {"loss_diff": loss_diff}
             loss = loss_diff
             if apply_lfd:

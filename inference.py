@@ -156,6 +156,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    from fddm_asr_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
     pipeline = build_pipeline(args)
     if args.condition_mask == "auto":
         pipeline.use_condition_mask = bool(args.csv) and args.batch_size > 1

@@ -56,6 +56,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    from fddm_asr_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
     from fddm_asr_tpu.config import load_config, load_yaml
     from fddm_asr_tpu.train_lib import run_training, setup_logging
 
