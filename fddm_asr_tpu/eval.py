@@ -161,11 +161,16 @@ def evaluate_wer_with_jumpy_sampling(pipeline, batches, cfg=None, rng=None) -> f
 
 
 def evaluate_cer_with_multi_sample(
-    pipeline, batches, cfg=None, sampling_config=None, num_samples: int = 3, rng=None
+    pipeline, batches, cfg=None, sampling_config=None, num_samples: int = 3,
+    rng=None, voting: str = "first",
 ) -> float:
-    """N stochastic samples per utterance; like the reference (344-452) the
-    aggregation takes the first sample (its voting is stubbed, quirk noted in
-    SURVEY) — but all samples are drawn batched."""
+    """N stochastic samples per utterance, drawn batched.
+
+    voting="first" reproduces the reference (its voting is stubbed to take
+    sample 0, reference 436-438); voting="majority" implements per-position
+    token-id majority over the N samples — the aggregation the reference's
+    comment promises.
+    """
     sc = _sampling_config_from_cfg(cfg, sampling_config)
     sc["greedy"] = False
     rng = rng if rng is not None else jax.random.key(0)
@@ -178,7 +183,14 @@ def evaluate_cer_with_multi_sample(
             rng, step_rng = jax.random.split(rng)
             x_pred, _ = pipeline.sample(step_rng, c, seq_len=L, c_mask=c_mask, **sc)
             preds.append(x_pred)
-        chosen = preds[0]
+        if voting == "majority":
+            stacked = np.stack([np.asarray(p) for p in preds])  # [N, B, L]
+            def _mode(col):
+                vals, counts = np.unique(col, return_counts=True)
+                return vals[np.argmax(counts)]
+            chosen = np.apply_along_axis(_mode, 0, stacked)
+        else:
+            chosen = preds[0]
         hyps = [pipeline.ids_to_text(chosen[i]) for i in range(chosen.shape[0])]
         refs = [pipeline.ids_to_text(batch.tokens[i]) for i in range(batch.tokens.shape[0])]
         for ref, hyp in zip(refs, hyps):

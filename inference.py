@@ -61,6 +61,10 @@ def parse_args(argv=None):
                         "on for batched CSV (padded batches), off for single "
                         "WAV (reference parity — it never masks)")
     p.add_argument("--out-json", type=str, default=None)
+    p.add_argument("--ref-column", type=str, default=None,
+                   help="CSV mode: reference-text column; when present (or "
+                        "when the CSV has a text/sentence column) per-row CER "
+                        "is computed and a summary line printed")
     return p.parse_args(argv)
 
 
@@ -176,13 +180,29 @@ def main(argv=None):
 
         df = pd.read_csv(args.csv)
         paths = [str(row["path"]) for _, row in df.iterrows()]
+        ref_col = args.ref_column
+        if ref_col is None:
+            ref_col = next((c for c in ("text", "sentence") if c in df.columns), None)
+        refs = [str(r) if pd.notna(r) else "" for r in df[ref_col]] if ref_col else None
+
         bs = max(1, args.batch_size)
+        cer_sum, cer_n = 0.0, 0
         for start in range(0, len(paths), bs):
             rng, step_rng = jax.random.split(rng)
             chunk = infer_batch(pipeline, paths[start : start + bs], args, step_rng)
-            for res in chunk:
+            for j, res in enumerate(chunk):
+                if refs is not None and "text" in res:
+                    from fddm_asr_tpu.eval import calculate_cer
+
+                    res["ref"] = refs[start + j]
+                    res["cer"] = calculate_cer(refs[start + j], res["text"])
+                    cer_sum += res["cer"]
+                    cer_n += 1
                 results.append(res)
                 print(json.dumps(res, ensure_ascii=False))
+        if cer_n:
+            print(json.dumps({"summary": "cer", "avg_cer": cer_sum / cer_n,
+                              "utterances": cer_n}, ensure_ascii=False))
 
     if args.out_json:
         os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
