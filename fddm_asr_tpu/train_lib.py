@@ -99,6 +99,9 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     # fixed seq_len decoding).  mask_pad_loss=false includes pad positions in
     # the KL so the model learns sequence length end-to-end.
     mask_pad_loss = bool(cfg.optim.get("mask_pad_loss", True))
+    # "dense" = reference-parity KL; "sparse" = O(B*L) low-HBM equivalent
+    # (see diffusion.kl_term_sparse; both agree to f32 tolerance)
+    kl_fn = D.kl_term_sparse if cfg.optim.get("kl_impl") == "sparse" else D.kl_term
     encoder = pipeline.encoder
     decoder = pipeline.decoder
 
@@ -121,7 +124,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                 dec_p, xt, t, c, x_mask, c_mask,
                 deterministic=False, rngs={"dropout": rng_drop},
             )
-            loss_diff = D.kl_term(sched, xt, x0, logits, t, loss_mask)
+            loss_diff = kl_fn(sched, xt, x0, logits, t, loss_mask)
             metrics = {"loss_diff": loss_diff}
             loss = loss_diff
             if apply_lfd:
@@ -322,8 +325,8 @@ def run_training(
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
 
             # sync trained params into the pipeline for eval/sampling
-            pipeline.decoder_params = jax.tree.map(lambda x: x, state.decoder)
-            pipeline._samplers.clear()
+            # (samplers take params as call arguments — no cache invalidation)
+            pipeline.decoder_params = state.decoder
 
             val_loss = val_cer = test_cer = None
             if val_ds is not None and len(val_ds) > 0:

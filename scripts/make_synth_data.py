@@ -53,7 +53,10 @@ def main(argv=None):
     os.makedirs(tok_dir, exist_ok=True)
 
     # tokenizer ------------------------------------------------------------
-    model = train_bpe(SENTENCES * 10, vocab_size=args.vocab_size)
+    # cap piece length so sentences tokenize to several tokens (a toy vocab
+    # over 8 sentences would otherwise merge each whole sentence into one
+    # piece, degenerating the sequence-modeling task)
+    model = train_bpe(SENTENCES * 10, vocab_size=args.vocab_size, max_piece_length=2)
     prefix = os.path.join(tok_dir, "spm_toy")
     write_artifacts(model, prefix, vocab_json_path=os.path.join(tok_dir, "vocab.json"))
 
