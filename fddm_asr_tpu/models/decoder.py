@@ -295,6 +295,11 @@ class DenoisingTransformerDecoder(nn.Module):
 
         if x_mask is None:
             x_mask = xt != self.pad_id
+        # Guard degenerate all-pad rows: a fully-masked self-attention row is
+        # softmax(-inf ...) = NaN (the reference torch module NaNs the same
+        # way; its sampler can reach all-pad x_t states mid-chain, poisoning
+        # p(x0) into argmax-ties).  Treat such rows as fully visible instead.
+        x_mask = jnp.where(jnp.any(x_mask, axis=-1, keepdims=True), x_mask, True)
 
         for i in range(self.num_layers):
             x = DecoderBlock(

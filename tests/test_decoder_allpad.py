@@ -1,0 +1,27 @@
+# -*- coding: utf-8 -*-
+"""Regression: an all-pad x_t (reachable mid-sampling-chain) must not NaN."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fddm_asr_tpu.models.decoder import DenoisingTransformerDecoder
+
+
+def test_all_pad_row_no_nan():
+    V, Dm = 32, 16
+    dec = DenoisingTransformerDecoder(
+        vocab_size=V, d_model=Dm, nhead=2, num_layers=1, dim_ff=32,
+        dropout=0.0, max_len=8, pad_id=3,
+    )
+    xt = jnp.full((2, 8), 3, jnp.int32)  # every token == pad
+    t = jnp.ones((2,), jnp.int32)
+    cond = jnp.zeros((2, 5, Dm))
+    params = dec.init(jax.random.key(0), xt, t, cond)
+    logits = dec.apply(params, xt, t, cond, None, None, deterministic=True)
+    assert bool(jnp.isfinite(logits).all()), "all-pad x_t produced non-finite logits"
+
+    # mixed batch: one all-pad row, one normal row
+    xt2 = xt.at[1, :4].set(7)
+    logits2 = dec.apply(params, xt2, t, cond, None, None, deterministic=True)
+    assert bool(jnp.isfinite(logits2).all())
