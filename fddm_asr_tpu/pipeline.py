@@ -118,10 +118,16 @@ class FDDMPipeline:
         ckpt_path: Optional[str] = None,
         wavlm_params: Optional[Dict] = None,
         tokenizer=None,
-        seed: int = 0,
+        seed: Optional[int] = None,
         use_condition_mask: bool = False,
         dtype: Any = jnp.float32,
     ) -> "FDDMPipeline":
+        # Default to the config seed: when no pretrained WavLM weights are
+        # supplied the encoder is random-initialised, and training/inference
+        # must derive the SAME encoder (checkpoints don't carry it — the
+        # reference contract re-fetches the frozen encoder from HF).
+        if seed is None:
+            seed = int(cfg.get("seed", 0))
         from fddm_asr_tpu.tokenizer import load_tokenizer
 
         special = resolve_special_ids(cfg)

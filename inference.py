@@ -87,9 +87,10 @@ def build_pipeline(args):
 
         wavlm_params = _load_wavlm(args.wavlm_ckpt, cfg)
 
+    # NOTE: the model-init seed comes from the config (so a random-init dev
+    # encoder matches training); --seed only controls sampling randomness.
     return FDDMPipeline.from_config(
         cfg, ckpt_path=args.ckpt, wavlm_params=wavlm_params, tokenizer=tokenizer,
-        seed=args.seed,
     )
 
 
