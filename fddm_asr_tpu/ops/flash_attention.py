@@ -62,8 +62,8 @@ def wavlm_gated_attention_xla(
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref, *, scale):
-    # blocks: q [bq, dh], k/v [Lk, dh], bias [bq, Lk], gate [1, bq],
-    # mask [1, Lk] (int8), out [bq, dh]
+    # blocks: q/k/v [1, 1, L, dh], bias [1, bq, Lk], gate [1, 1, bq, 1],
+    # mask [1, 1, Lk] (int8), out [1, 1, bq, dh]
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -71,10 +71,10 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref, *, scale
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, Lk]
     scores = scores * scale
-    gate = gate_ref[0, 0].astype(jnp.float32)  # [bq]
-    scores = scores + gate[:, None] * bias_ref[0].astype(jnp.float32)
-    mask = mask_ref[0] != 0  # [Lk]
-    scores = jnp.where(mask[None, :], scores, _NEG_INF)
+    gate = gate_ref[0, 0].astype(jnp.float32)  # [bq, 1] — keep 2D for Mosaic
+    scores = scores + gate * bias_ref[0].astype(jnp.float32)
+    mask = mask_ref[0] != 0  # [1, Lk] — keep 2D for Mosaic
+    scores = jnp.where(mask, scores, _NEG_INF)
     # row softmax in f32
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -111,10 +111,12 @@ def wavlm_gated_attention_pallas(
     kt = kt[:, :, :Lk] if Lq >= Lk else jnp.pad(kt, ((0, 0), (0, 0), (0, Lk - Lq), (0, 0)))
     vt = vt[:, :, :Lk] if Lq >= Lk else jnp.pad(vt, ((0, 0), (0, 0), (0, Lk - Lq), (0, 0)))
     bias_p = jnp.pad(pos_bias, ((0, 0), (0, Lq - L), (0, Lk - L)))
-    gate_p = jnp.pad(gate, ((0, 0), (0, 0), (0, Lq - L)))
+    # gate [B, H, Lq, 1] / mask [B, 1, Lk]: trailing singleton dims keep the
+    # Pallas "last two block dims divisible-or-full" lowering rule satisfied
+    gate_p = jnp.pad(gate, ((0, 0), (0, 0), (0, Lq - L)))[..., None]
     if key_mask is None:
         key_mask = jnp.ones((B, L), bool)
-    mask_p = jnp.pad(key_mask.astype(jnp.int8), ((0, 0), (0, Lk - L)))
+    mask_p = jnp.pad(key_mask.astype(jnp.int8), ((0, 0), (0, Lk - L)))[:, None, :]
 
     scale = 1.0 / float(np.sqrt(dh))
     grid = (B, H, Lq // block_q)
@@ -127,8 +129,8 @@ def wavlm_gated_attention_pallas(
             pl.BlockSpec((1, 1, Lk, dh), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Lk, dh), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((1, block_q, Lk), lambda b, h, i: (h, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i)),
-            pl.BlockSpec((1, Lk), lambda b, h, i: (b, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Lk), lambda b, h, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
     )(qt, kt, vt, bias_p, gate_p, mask_p)
