@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     seq_len = int(os.environ.get("BENCH_SEQ_LEN", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -46,7 +46,10 @@ def main():
 
     platform = jax.devices()[0].platform
     K = 8000
-    wavlm_cfg = dataclasses.replace(WavLMConfig.large(), scan_layers=True)
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    wavlm_cfg = dataclasses.replace(
+        WavLMConfig.large(), scan_layers=True, fused_attention=fused
+    )
     encoder = AcousticEncoder(config=wavlm_cfg, d_model=768, dtype=jnp.bfloat16)
     decoder = DenoisingTransformerDecoder(
         vocab_size=K, d_model=768, nhead=12, num_layers=6, dim_ff=2048,
@@ -111,7 +114,8 @@ def main():
         "audio_seconds": seconds,
         "step_seconds": round(step_s, 4),
         "compile_seconds": round(compile_s, 1),
-        "config": "wavlm-large + d768x6, T_infer=20 r=5 exact greedy bf16",
+        "config": "wavlm-large + d768x6, T_infer=20 r=5 exact greedy bf16"
+                  + (" fused-attn" if fused else ""),
     }))
 
 
