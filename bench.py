@@ -46,7 +46,7 @@ def main():
 
     platform = jax.devices()[0].platform
     K = 8000
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
     wavlm_cfg = dataclasses.replace(
         WavLMConfig.large(), scan_layers=True, fused_attention=fused
     )

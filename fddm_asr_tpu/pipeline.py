@@ -49,8 +49,11 @@ def build_wavlm_config(encoder_cfg: Config) -> WavLMConfig:
     elif "base" in name:
         cfg = WavLMConfig.base()
     else:
-        # scan_layers at 24 layers: same numerics, minutes less compile time
-        cfg = dataclasses.replace(WavLMConfig.large(), scan_layers=True)
+        # scan_layers at 24 layers: same numerics, minutes less compile time;
+        # fused_attention: +5% e2e RTFx on v5e (falls back to XLA on CPU)
+        cfg = dataclasses.replace(
+            WavLMConfig.large(), scan_layers=True, fused_attention=True
+        )
     overrides = encoder_cfg.get("wavlm_config")
     if overrides:
         cfg = dataclasses.replace(cfg, **dict(overrides))
