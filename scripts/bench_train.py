@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Training-step throughput benchmark (flagship config, synthetic batch).
+
+Measures the jitted train step — frozen WavLM-large forward + diffusion KL
+(+ optional L_fd) + AdamW update over the d768x6 decoder — on the default
+backend.  Prints one JSON line with examples/s and step seconds.
+
+    python scripts/bench_train.py [--batch 8] [--seconds 20] [--lfd]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--max-len", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--lfd", action="store_true", help="include the L_fd step variant")
+    args = ap.parse_args(argv)
+
+    from fddm_asr_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fddm_asr_tpu.config import Config
+    from fddm_asr_tpu.models.projection import SpeechProjector, TextEmbedding, TextProjector
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+    from fddm_asr_tpu.train_lib import TrainState, make_optimizer, make_train_step
+
+    K, d_model, d_proj = 8000, 768, 256
+    cfg = Config({
+        "seed": 0,
+        "data": {"vocab_size": K, "pad_id": 3, "max_len": args.max_len},
+        "model": {
+            "d_model": d_model, "nhead": 12, "num_layers": 6, "dim_ff": 2048,
+            "dropout": 0.1,
+            "encoder": {"wavlm_name": "microsoft/wavlm-large", "freeze": True,
+                        "proj": "linear", "pooling": "none"},
+            "projector": {"d_proj": d_proj},
+        },
+        "diffusion": {"T": 200, "beta_max": 0.2},
+        "optim": {"batch_size": args.batch, "lr": 2e-4, "weight_decay": 0.01,
+                  "dtype": "bfloat16"},
+        "lfd": {"lambda_offdiag": 5e-3, "n_step_fd": 4, "tau": 1.0},
+        "log": {"log_every": 50, "ckpt_dir": "/tmp/bench_train"},
+    })
+
+    class _Tok:
+        def encode(self, text):
+            return [5, 6, 7]
+
+    pipeline = FDDMPipeline.from_config(cfg, tokenizer=_Tok(), dtype=jnp.bfloat16)
+    s_proj = SpeechProjector(d_proj=d_proj, dtype=jnp.bfloat16)
+    t_embed = TextEmbedding(d_out=d_proj, mode="logits", dtype=jnp.bfloat16)
+    t_proj = TextProjector(d_proj=d_proj, dtype=jnp.bfloat16)
+    rng = jax.random.key(0)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    sp = s_proj.init(r1, jnp.zeros((1, 4, d_model)))
+    te = t_embed.init(r2, jnp.zeros((1, 4, K)))
+    tp = t_proj.init(r3, jnp.zeros((1, 4, d_proj)))
+
+    tx = make_optimizer(cfg)
+    params0 = (pipeline.decoder_params, sp, te, tp)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
+        opt_state=tx.init(params0),
+    )
+    train_step = make_train_step(pipeline, s_proj, t_embed, t_proj, tx, cfg)
+
+    B, T_wav = args.batch, int(args.seconds * 16000)
+    wave = jnp.asarray(np.random.default_rng(0).standard_normal((B, T_wav)), jnp.float32)
+    x0 = jnp.asarray(np.random.default_rng(1).integers(4, K, (B, args.max_len)), jnp.int32)
+
+    t0 = time.perf_counter()
+    state, metrics = train_step(state, pipeline.encoder_params, wave, x0,
+                                jax.random.key(1), args.lfd)
+    jax.block_until_ready(metrics["total_loss"])
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, pipeline.encoder_params, wave, x0,
+                                    jax.random.key(2 + i), args.lfd)
+        jax.block_until_ready(metrics["total_loss"])
+        times.append(time.perf_counter() - t0)
+    step_s = min(times)
+
+    print(json.dumps({
+        "metric": "train_step_examples_per_s",
+        "value": round(B / step_s, 2),
+        "unit": "examples_per_second",
+        "batch": B,
+        "audio_seconds": args.seconds,
+        "step_seconds": round(step_s, 4),
+        "compile_seconds": round(compile_s, 1),
+        "lfd": args.lfd,
+        "platform": jax.devices()[0].platform,
+        "config": "frozen wavlm-large + d768x6 decoder, KL, AdamW, bf16",
+    }))
+
+
+if __name__ == "__main__":
+    main()

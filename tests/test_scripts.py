@@ -61,6 +61,35 @@ def test_preprocess_auto_merge(cv_raw):
     assert (processed / "train.csv").exists()
 
 
+def test_preprocess_multilingual_merge(tmp_path, monkeypatch):
+    """--auto_merge across two languages (zh-TW + en) in one dataset
+    (BASELINE config #5: merged multilingual corpus)."""
+    from fddm_asr_tpu.data.audio_io import save_wav
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(1)
+    data = {"zh-TW": ["我們交流", "台灣高速公路"], "en": ["hello there", "general kenobi"]}
+    for lang, sentences in data.items():
+        clips = tmp_path / "data/raw/cv-m/" / lang / "clips"
+        clips.mkdir(parents=True)
+        rows = ["path\tsentence"]
+        for i, s in enumerate(sentences):
+            name = f"{lang}_{i}.wav"
+            save_wav(str(clips / name),
+                     rng.standard_normal(8000).astype(np.float32) * 0.1, 16000)
+            rows.append(f"{name}\t{s}")
+        (clips.parent / "train.tsv").write_text("\n".join(rows))
+    import preprocess
+
+    preprocess.main(["--auto_merge", "--splits", "train"])
+    train = json.load(open(tmp_path / "data/processed/train.json", encoding="utf-8"))
+    langs = {r["language"] for r in train}
+    assert langs == {"zh-TW", "en"}
+    assert len(train) == 4
+    report = json.load(open(tmp_path / "data/processed/merge_report.json", encoding="utf-8"))
+    assert report["merge_summary"]["total_languages"] == 2
+
+
 def test_preprocess_dedup_index_similarity():
     from preprocess import DedupIndex
 
