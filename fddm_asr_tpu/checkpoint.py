@@ -53,9 +53,33 @@ def load_orbax(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, 
 
 
 def load_checkpoint_any(path: str) -> Dict[str, Any]:
-    """Load either format into {decoder, s_proj, t_embed, t_proj, meta...}."""
+    """Load either format into {decoder, s_proj, t_embed, t_proj, meta...}.
+
+    Orbax training checkpoints ({"state": TrainState-tree, "epoch": N}) are
+    normalised to the same schema: each model entry is the bare param subtree
+    (without the flax {"params": ...} wrapper), matching what
+    `torch_ckpt.load_reference_checkpoint` returns.
+    """
     if os.path.isdir(path):
         tree = load_orbax(path)
+        if isinstance(tree, dict) and "state" in tree:
+            state = tree["state"]
+
+            def unwrap(entry):
+                if isinstance(entry, dict) and set(entry) == {"params"}:
+                    return entry["params"]
+                return entry
+
+            return {
+                "decoder": unwrap(state.get("decoder")),
+                "s_proj": unwrap(state.get("s_proj")),
+                "t_embed": unwrap(state.get("t_embed")),
+                "t_proj": unwrap(state.get("t_proj")),
+                "epoch": tree.get("epoch"),
+                "step": state.get("step"),
+                "best_val_cer": None,
+                "config": None,
+            }
         return tree
     from fddm_asr_tpu.convert.torch_ckpt import load_reference_checkpoint
 

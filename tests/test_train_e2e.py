@@ -107,6 +107,30 @@ def test_csv_error_rows_recorded(trained, tmp_path, capsys):
     assert "error" in res[0] and "text" in res[1]
 
 
+def test_inference_from_orbax_checkpoint(trained, capsys):
+    """Orbax training checkpoints load directly into the inference CLI."""
+    import inference
+
+    wav = f"{trained}/data/processed/clips/test_001.wav"
+    inference.main([
+        "--wav", wav, "--ckpt", f"{trained}/ckpts/ep001.orbax",
+        "--main-config", f"{trained}/config.yaml",
+        "--diffusion-config", f"{trained}/config.yaml",
+        "--tokenizer", f"{trained}/data/tokenizer/toy/spm_toy.model",
+        "--T-infer", "4", "--r", "2", "--greedy", "--seq-len", "8",
+    ])
+    res = json.loads(capsys.readouterr().out)
+    assert "text" in res and len(res["ids"]) == 8
+
+
+def test_load_checkpoint_any_normalises_orbax(trained):
+    from fddm_asr_tpu.checkpoint import load_checkpoint_any
+
+    tree = load_checkpoint_any(f"{trained}/ckpts/ep001.orbax")
+    assert tree["decoder"] is not None and "tok_emb" in tree["decoder"]
+    assert tree["epoch"] == 1
+
+
 def test_resume_from_orbax(trained):
     import train as train_cli
 
