@@ -47,8 +47,10 @@ def main():
     platform = jax.devices()[0].platform
     K = 8000
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    fused_fe = os.environ.get("BENCH_FUSED_FRONTEND", "0") == "1"
     wavlm_cfg = dataclasses.replace(
-        WavLMConfig.large(), scan_layers=True, fused_attention=fused
+        WavLMConfig.large(), scan_layers=True, fused_attention=fused,
+        fused_frontend=fused_fe,
     )
     encoder = AcousticEncoder(config=wavlm_cfg, d_model=768, dtype=jnp.bfloat16)
     decoder = DenoisingTransformerDecoder(
@@ -115,7 +117,8 @@ def main():
         "step_seconds": round(step_s, 4),
         "compile_seconds": round(compile_s, 1),
         "config": "wavlm-large + d768x6, T_infer=20 r=5 exact greedy bf16"
-                  + (" fused-attn" if fused else ""),
+                  + (" fused-attn" if fused else "")
+                  + (" fused-frontend" if fused_fe else ""),
     }))
 
 

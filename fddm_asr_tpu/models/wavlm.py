@@ -86,6 +86,10 @@ class WavLMConfig:
     # back to XLA elsewhere): avoids materialising two [B, H, L, L] HBM
     # tensors per layer.  See fddm_asr_tpu.ops.flash_attention.
     fused_attention: bool = False
+    # Fuse conv+LayerNorm+GELU of the feature extractor into one Pallas
+    # kernel per layer ("layer"-norm variant only) — single HBM read/write
+    # of the 64k-position early feature maps.  See ops/conv_frontend.py.
+    fused_frontend: bool = False
 
     @classmethod
     def large(cls) -> "WavLMConfig":
@@ -158,13 +162,29 @@ class ConvLayer(nn.Module):
     norm: str  # "layer" | "group" | "none"
     eps: float
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C_in]
-        x = nn.Conv(
+        conv = nn.Conv(
             self.out_dim, (self.kernel,), strides=(self.stride,), padding="VALID",
             use_bias=self.use_bias, dtype=self.dtype, name="conv",
-        )(x)
+        )
+        if self.fused and self.norm == "layer":
+            # materialise the submodule params without running the real ops
+            # (tiny dummy calls — DCE'd by XLA), then run the fused kernel
+            ln = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm")
+            _ = conv(jnp.zeros((1, self.kernel, x.shape[-1]), x.dtype))
+            _ = ln(jnp.zeros((1, 1, self.out_dim), x.dtype))
+            cp = conv.variables["params"]
+            lp = ln.variables["params"]
+            from fddm_asr_tpu.ops.conv_frontend import conv_ln_gelu
+
+            return conv_ln_gelu(
+                x, cp["kernel"], cp.get("bias"), lp["scale"], lp["bias"],
+                self.stride,
+            )
+        x = conv(x)
         if self.norm == "layer":
             x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm")(x)
         elif self.norm == "group":
@@ -193,7 +213,7 @@ class FeatureEncoder(nn.Module):
                 norm = "group" if i == 0 else "none"
             x = ConvLayer(
                 dim, k, s, cfg.conv_bias, norm, cfg.layer_norm_eps, self.dtype,
-                name=f"conv_layers_{i}",
+                fused=cfg.fused_frontend, name=f"conv_layers_{i}",
             )(x)
         return x
 
