@@ -52,8 +52,12 @@ def load_orbax(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, 
     return ckptr.restore(os.path.abspath(path))
 
 
-def load_checkpoint_any(path: str) -> Dict[str, Any]:
+def load_checkpoint_any(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
     """Load either format into {decoder, s_proj, t_embed, t_proj, meta...}.
+
+    scan_blocks only affects reference `.pt` loads: the decoder tree is built
+    in the stacked nn.scan layout.  Orbax dirs already store whatever layout
+    the model trained with.
 
     Orbax training checkpoints ({"state": TrainState-tree, "epoch": N}) are
     normalised to the same schema: each model entry is the bare param subtree
@@ -83,7 +87,7 @@ def load_checkpoint_any(path: str) -> Dict[str, Any]:
         return tree
     from fddm_asr_tpu.convert.torch_ckpt import load_reference_checkpoint
 
-    return load_reference_checkpoint(path)
+    return load_reference_checkpoint(path, scan_blocks=scan_blocks)
 
 
 def export_reference_ckpt(

@@ -76,8 +76,13 @@ def decoder_params_from_state_dict(
     num_layers: Optional[int] = None,
     pos_emb_type: str = "rope",
     use_film: bool = True,
+    scan_blocks: bool = False,
 ) -> Dict[str, Any]:
-    """Reference DenoisingTransformerDecoder state_dict -> flax params tree."""
+    """Reference DenoisingTransformerDecoder state_dict -> flax params tree.
+
+    scan_blocks=True stacks per-block leaves along a leading layer axis into
+    "blocks_scan"/"block" (the nn.scan parameter layout).
+    """
     sd = _to_numpy_state_dict(sd)
     if num_layers is None:
         num_layers = 1 + max(
@@ -94,7 +99,8 @@ def decoder_params_from_state_dict(
     }
     if pos_emb_type == "learned" and "pos_emb.weight" in sd:
         params["pos_emb"] = {"embedding": _np(sd["pos_emb.weight"])}
-    for i in range(num_layers):
+
+    def block_params(i: int) -> Dict[str, Any]:
         blk = {
             "self_attn": _mha(sd, f"blocks.{i}.self_attn"),
             "cross_attn": _mha(sd, f"blocks.{i}.cross_attn"),
@@ -109,7 +115,18 @@ def decoder_params_from_state_dict(
                 "scale_proj": _linear(sd, f"blocks.{i}.film_layer.scale_proj"),
                 "shift_proj": _linear(sd, f"blocks.{i}.film_layer.shift_proj"),
             }
-        params[f"blocks_{i}"] = blk
+        return blk
+
+    blocks = [block_params(i) for i in range(num_layers)]
+    if scan_blocks:
+        import jax
+
+        params["blocks_scan"] = {
+            "block": jax.tree.map(lambda *leaves: np.stack(leaves, axis=0), *blocks)
+        }
+    else:
+        for i, blk in enumerate(blocks):
+            params[f"blocks_{i}"] = blk
     return params
 
 
@@ -142,6 +159,15 @@ def decoder_state_dict_from_params(
         sd["pos_emb.inv_freq"] = inv_freq.astype(np.float32)
     elif pos_emb_type == "learned" and "pos_emb" in p:
         sd["pos_emb.weight"] = _np(p["pos_emb"]["embedding"])
+    if "blocks_scan" in p:
+        # Unstack the nn.scan parameter layout (leading layer axis) into
+        # per-block entries so the rest of the export path is layout-agnostic.
+        import jax
+
+        stacked = p.pop("blocks_scan")["block"]
+        n = int(np.asarray(jax.tree.leaves(stacked)[0]).shape[0])
+        for i in range(n):
+            p[f"blocks_{i}"] = jax.tree.map(lambda a: np.asarray(a)[i], stacked)
     for name, blk in p.items():
         if not name.startswith("blocks_"):
             continue
@@ -203,7 +229,7 @@ def projection_state_dict_from_params(params: Mapping[str, Any], kind: str) -> D
 
 
 # ------------------------------------------------------------- full ckpt I/O
-def load_reference_checkpoint(path: str) -> Dict[str, Any]:
+def load_reference_checkpoint(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
     """Load a reference `.pt` checkpoint into numpy-backed flax param trees.
 
     Accepts the three formats the reference inference accepts: full training
@@ -221,16 +247,20 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
         "s_proj": None, "t_embed": None, "t_proj": None,
     }
     if isinstance(raw, dict) and "decoder" in raw:
-        out["decoder"] = decoder_params_from_state_dict(raw["decoder"])
+        out["decoder"] = decoder_params_from_state_dict(
+            raw["decoder"], scan_blocks=scan_blocks
+        )
         for kind in ("s_proj", "t_embed", "t_proj"):
             if kind in raw:
                 out[kind] = projection_params_from_state_dict(raw[kind], kind)
         for meta in ("epoch", "step", "best_val_cer", "config"):
             out[meta] = raw.get(meta)
     elif isinstance(raw, dict) and "state_dict" in raw:
-        out["decoder"] = decoder_params_from_state_dict(raw["state_dict"])
+        out["decoder"] = decoder_params_from_state_dict(
+            raw["state_dict"], scan_blocks=scan_blocks
+        )
     else:
-        out["decoder"] = decoder_params_from_state_dict(raw)
+        out["decoder"] = decoder_params_from_state_dict(raw, scan_blocks=scan_blocks)
     return out
 
 

@@ -95,6 +95,10 @@ class FDDMPipeline:
             pad_id=self.pad_id,
             pos_emb_type=model_cfg.get("pos_emb_type", "rope"),
             use_film=model_cfg.get("use_film", True),
+            # scan_blocks: one lax.scan body over stacked layer params instead
+            # of num_layers unrolled copies — same numerics, much smaller HLO
+            # (matters for paper-scale 12+ layer decoders with remote compile).
+            scan_blocks=model_cfg.get("scan_blocks", False),
             dtype=dtype,
         )
         enc_cfg = model_cfg.get("encoder", Config())
@@ -168,7 +172,9 @@ class FDDMPipeline:
         if ckpt_path:
             from fddm_asr_tpu.checkpoint import load_checkpoint_any
 
-            loaded = load_checkpoint_any(ckpt_path)
+            loaded = load_checkpoint_any(
+                ckpt_path, scan_blocks=bool(cfg.model.get("scan_blocks", False))
+            )
             pipeline.decoder_params = {"params": loaded["decoder"]}
         else:
             pipeline.decoder_params = dec_vars

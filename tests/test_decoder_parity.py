@@ -80,6 +80,35 @@ def test_logits_parity(pos_emb_type, use_film, rng):
     np.testing.assert_allclose(ours, ref_logits, atol=2e-4, rtol=1e-3)
 
 
+def test_scan_blocks_parity(rng):
+    """scan_blocks=True (one lax.scan body, stacked params) == unrolled logits."""
+    ref = _make_ref_decoder()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    xt, t, cond, c_mask = _inputs(rng)
+    args = (jnp.asarray(xt), jnp.asarray(t), jnp.asarray(cond),
+            None, jnp.asarray(c_mask))
+    out = {}
+    for scan in (False, True):
+        params = {"params": decoder_params_from_state_dict(sd, scan_blocks=scan)}
+        model = DenoisingTransformerDecoder(
+            vocab_size=V, d_model=D, nhead=H, num_layers=LAYERS, dim_ff=FF,
+            dropout=0.1, max_len=64, pad_id=0, scan_blocks=scan,
+        )
+        out[scan] = np.asarray(model.apply(*(params,) + args, deterministic=True))
+    np.testing.assert_allclose(out[True], out[False], atol=1e-5, rtol=1e-5)
+
+
+def test_scan_blocks_state_dict_round_trip():
+    """torch sd -> stacked scan params -> torch sd preserves every tensor."""
+    ref = _make_ref_decoder()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = decoder_params_from_state_dict(sd, scan_blocks=True)
+    assert "blocks_scan" in params and "blocks_0" not in params
+    sd2 = decoder_state_dict_from_params(params)
+    for k, v in sd.items():
+        np.testing.assert_allclose(sd2[k], v, err_msg=k, atol=0)
+
+
 def test_state_dict_round_trip(rng):
     """flax -> torch-format -> flax preserves every tensor."""
     ref = _make_ref_decoder()
