@@ -48,9 +48,14 @@ def main():
     K = 8000
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     fused_fe = os.environ.get("BENCH_FUSED_FRONTEND", "0") == "1"
+    # seq-pad measured e2e-neutral alone and ~7 ms WORSE combined with
+    # gelu-tanh (extra matmul rows beat the elided pads) — default off
+    seq_pad = int(os.environ.get("BENCH_SEQ_PAD", "1"))
+    gelu_tanh = os.environ.get("BENCH_GELU_TANH", "1") == "1"
     wavlm_cfg = dataclasses.replace(
         WavLMConfig.large(), scan_layers=True, fused_attention=fused,
-        fused_frontend=fused_fe,
+        fused_frontend=fused_fe, seq_pad_multiple=seq_pad,
+        gelu_approx_tanh=gelu_tanh,
     )
     encoder = AcousticEncoder(config=wavlm_cfg, d_model=768, dtype=jnp.bfloat16)
     decoder = DenoisingTransformerDecoder(
@@ -118,7 +123,9 @@ def main():
         "compile_seconds": round(compile_s, 1),
         "config": "wavlm-large + d768x6, T_infer=20 r=5 exact greedy bf16"
                   + (" fused-attn" if fused else "")
-                  + (" fused-frontend" if fused_fe else ""),
+                  + (" fused-frontend" if fused_fe else "")
+                  + (f" seqpad{seq_pad}" if seq_pad > 1 else "")
+                  + (" gelu-tanh" if gelu_tanh else ""),
     }))
 
 

@@ -90,6 +90,22 @@ class WavLMConfig:
     # kernel per layer ("layer"-norm variant only) — single HBM read/write
     # of the 64k-position early feature maps.  See ops/conv_frontend.py.
     fused_frontend: bool = False
+    # Use the tanh approximation of GELU instead of the exact erf form
+    # everywhere in WavLM (conv front-end, pos-conv, FFN).  On TPU the
+    # transcendental erf costs ~15 ms/step on the 64k-position conv feature
+    # maps alone (measured, scripts/profile_frontend.py); tanh-GELU differs
+    # by ~1 ulp of bfloat16 (max|dy| 6e-2, mean 3e-3 on unit-scale inputs) —
+    # below the bf16 compute noise of the flagship path.  Off by default:
+    # exact-erf matches HF WavLM for the f32 parity suite.
+    gelu_approx_tanh: bool = False
+    # Pad the encoder sequence axis up to a multiple of this at encoder entry
+    # (zero frames + key-mask).  Real-frame numerics are unchanged: the
+    # encoder zeroes masked positions before pos_conv exactly like HF, and the
+    # pad frames are masked out of every attention.  At 128, every pad inside
+    # the fused-attention wrapper (q/k/v and the [H, L, L] position bias)
+    # becomes zero-width and is elided by XLA — removing a loop-invariant
+    # ~67 MB bias re-pad from each scanned layer (~4 ms/step at B=16).
+    seq_pad_multiple: int = 1
 
     @classmethod
     def large(cls) -> "WavLMConfig":
@@ -148,8 +164,8 @@ class WavLMConfig:
         return length
 
 
-def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+def _gelu(x, approximate: bool = False):
+    return jax.nn.gelu(x, approximate=approximate)
 
 
 class ConvLayer(nn.Module):
@@ -163,6 +179,7 @@ class ConvLayer(nn.Module):
     eps: float
     dtype: Dtype = jnp.float32
     fused: bool = False
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C_in]
@@ -193,7 +210,7 @@ class ConvLayer(nn.Module):
             x = nn.GroupNorm(
                 num_groups=self.out_dim, epsilon=1e-5, dtype=self.dtype, name="layer_norm"
             )(x)
-        return _gelu(x)
+        return _gelu(x, self.gelu_tanh)
 
 
 class FeatureEncoder(nn.Module):
@@ -213,7 +230,8 @@ class FeatureEncoder(nn.Module):
                 norm = "group" if i == 0 else "none"
             x = ConvLayer(
                 dim, k, s, cfg.conv_bias, norm, cfg.layer_norm_eps, self.dtype,
-                fused=cfg.fused_frontend, name=f"conv_layers_{i}",
+                fused=cfg.fused_frontend, gelu_tanh=cfg.gelu_approx_tanh,
+                name=f"conv_layers_{i}",
             )(x)
         return x
 
@@ -247,7 +265,7 @@ class PositionalConvEmbedding(nn.Module):
         )(x)
         if k % 2 == 0:  # SamePadLayer: drop the trailing frame for even kernels
             h = h[:, :-1, :]
-        return _gelu(h)
+        return _gelu(h, cfg.gelu_approx_tanh)
 
 
 def relative_position_buckets(
@@ -364,7 +382,7 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
-        h = _gelu(h)
+        h = _gelu(h, cfg.gelu_approx_tanh)
         h = nn.Dropout(cfg.activation_dropout, deterministic=deterministic)(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
         return nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
@@ -444,6 +462,16 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask=None, deterministic: bool = True):
         cfg = self.config
+        S0 = x.shape[1]
+        pad = (-S0) % max(cfg.seq_pad_multiple, 1)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            if key_mask is None:
+                key_mask = jnp.broadcast_to(
+                    jnp.arange(S0 + pad)[None, :] < S0, x.shape[:2]
+                )
+            else:
+                key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
         if key_mask is not None:
             x = jnp.where(key_mask[..., None], x, 0.0)
         x = x + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv_embed")(x)
@@ -475,7 +503,7 @@ class Encoder(nn.Module):
                 )(x, key_mask, position_bias, deterministic)
         if cfg.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
-        return x
+        return x[:, :S0] if pad else x
 
 
 class WavLMModel(nn.Module):

@@ -50,7 +50,8 @@ def build_wavlm_config(encoder_cfg: Config) -> WavLMConfig:
         cfg = WavLMConfig.base()
     else:
         # scan_layers at 24 layers: same numerics, minutes less compile time;
-        # fused_attention: +5% e2e RTFx on v5e (falls back to XLA on CPU)
+        # fused_attention: +5% e2e RTFx on v5e (falls back to XLA on CPU).
+        # (seq_pad_multiple measured e2e-neutral-to-negative on v5e — off.)
         cfg = dataclasses.replace(
             WavLMConfig.large(), scan_layers=True, fused_attention=True
         )

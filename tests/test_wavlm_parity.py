@@ -102,6 +102,69 @@ def test_wavlm_scan_layers_parity(rng):
         np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("stable", [True, False], ids=["large-style", "base-style"])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_wavlm_seq_pad_parity(stable, with_mask, rng):
+    """seq_pad_multiple>1 (zero frames + key mask) leaves real frames unchanged."""
+    import dataclasses
+
+    import torch
+    from transformers import WavLMModel as HFModel
+
+    torch.manual_seed(0)
+    hf_cfg = _tiny_hf_config(stable)
+    hf = HFModel(hf_cfg)
+    hf.eval()
+
+    wav = rng.standard_normal((B, T)).astype(np.float32)
+    attn = None
+    if with_mask:
+        attn = np.ones((B, T), bool)
+        attn[1, T // 2 :] = False
+
+    out = {}
+    for mult in (1, 16):  # 9 frames -> padded to 16
+        config = dataclasses.replace(
+            WavLMConfig.from_hf(hf_cfg), seq_pad_multiple=mult
+        )
+        params = {"params": wavlm_params_from_state_dict(hf.state_dict(), config)}
+        out[mult] = np.asarray(
+            WavLMModel(config).apply(
+                params, jnp.asarray(wav),
+                attention_mask=jnp.asarray(attn) if attn is not None else None,
+                deterministic=True,
+            )
+        )
+    assert out[1].shape == out[16].shape  # pad is sliced off
+    np.testing.assert_allclose(out[16], out[1], atol=1e-5, rtol=1e-5)
+
+
+def test_wavlm_gelu_tanh_close(rng):
+    """gelu_approx_tanh=True stays within bf16-noise distance of exact erf."""
+    import dataclasses
+
+    import torch
+    from transformers import WavLMModel as HFModel
+
+    torch.manual_seed(0)
+    hf_cfg = _tiny_hf_config(True)
+    hf = HFModel(hf_cfg)
+    hf.eval()
+    wav = rng.standard_normal((B, T)).astype(np.float32)
+
+    out = {}
+    for tanh in (False, True):
+        config = dataclasses.replace(
+            WavLMConfig.from_hf(hf_cfg), gelu_approx_tanh=tanh, scan_layers=tanh
+        )
+        params = {"params": wavlm_params_from_state_dict(hf.state_dict(), config)}
+        out[tanh] = np.asarray(
+            WavLMModel(config).apply(params, jnp.asarray(wav), deterministic=True)
+        )
+    assert np.isfinite(out[True]).all()
+    np.testing.assert_allclose(out[True], out[False], atol=5e-2, rtol=5e-2)
+
+
 def test_feat_extract_output_length():
     cfg = WavLMConfig.tiny_for_tests()
     # hop 320: 0.2 s -> 9 frames (conv formula, not ceil(T/320))
