@@ -62,24 +62,24 @@ def wavlm_gated_attention_xla(
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref, *, scale):
-    # blocks: q/k/v [1, 1, L, dh], bias [1, bq, Lk], gate [1, 1, bq, 1],
-    # mask [1, 1, Lk] (int8), out [1, 1, bq, dh]
-    q = q_ref[0, 0]
+    # blocks: q [1, 1, bq, dh], k/v [1, 1, Lk, dh], bias [1, bq, Lk],
+    # gate [1, 1, bq, 1], mask [1, 1, Lk] (int8), out [1, 1, bq, dh]
+    # scale folded into the small q block (saves a [bq, Lk] pass)
+    q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, Lk]
-    scores = scores * scale
     gate = gate_ref[0, 0].astype(jnp.float32)  # [bq, 1] — keep 2D for Mosaic
     scores = scores + gate * bias_ref[0].astype(jnp.float32)
     mask = mask_ref[0] != 0  # [1, Lk] — keep 2D for Mosaic
     scores = jnp.where(mask, scores, _NEG_INF)
-    # row softmax in f32
+    # row softmax in f32; reciprocal-multiply instead of a [bq, Lk] divide
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    weights = (e / s).astype(v.dtype)
+    s_inv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    weights = (e * s_inv).astype(v.dtype)
     out_ref[0, 0] = jax.lax.dot_general(
         weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
@@ -93,7 +93,7 @@ def wavlm_gated_attention_pallas(
     pos_bias: jnp.ndarray,
     gate: jnp.ndarray,
     key_mask: Optional[jnp.ndarray] = None,
-    block_q: int = 128,
+    block_q: int = 512,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -119,20 +119,27 @@ def wavlm_gated_attention_pallas(
     mask_p = jnp.pad(key_mask.astype(jnp.int8), ((0, 0), (0, Lk - L)))[:, None, :]
 
     scale = 1.0 / float(np.sqrt(dh))
-    grid = (B, H, Lq // block_q)
+    # Grid order (h, i, b) — batch innermost — keeps the [bq, Lk] f32 slice
+    # of the shared position bias RESIDENT across all B programs (pallas
+    # skips the DMA when the index map is unchanged between consecutive
+    # steps).  The naive (b, h, i) order re-fetched the bias per batch
+    # element: ~1 GB/layer of HBM traffic at B=16, the kernel's real
+    # bottleneck on v5e.  k/v are re-fetched per program instead, which a
+    # large block_q amortises (Lk*dh bf16 = 128 KB vs the 2 MB bias block).
+    grid = (H, Lq // block_q, B)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, dh), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Lk, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Lk, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, block_q, Lk), lambda b, h, i: (h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Lk), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, dh), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Lk, dh), lambda h, i, b: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lk, dh), lambda h, i, b: (b, h, 0, 0)),
+            pl.BlockSpec((1, block_q, Lk), lambda h, i, b: (h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Lk), lambda h, i, b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda b, h, i: (b, h, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda h, i, b: (b, h, i, 0)),
     )(qt, kt, vt, bias_p, gate_p, mask_p)
     out = out[:, :, :L]  # [B, H, L, dh]
     return jnp.transpose(out, (0, 2, 1, 3))
