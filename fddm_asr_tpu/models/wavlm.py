@@ -348,17 +348,21 @@ class GatedRelPosAttention(nn.Module):
         q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k_proj")(x)
         v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="v_proj")(x)
-        q = q.reshape(B, L, H, dh)
-        k = k.reshape(B, L, H, dh)
-        v = v.reshape(B, L, H, dh)
 
         if cfg.fused_attention and deterministic:
-            from fddm_asr_tpu.ops.flash_attention import wavlm_gated_attention
+            # head-PACKED kernel: q/k/v go in (and come out) exactly as the
+            # Dense projections produce them — no [B,H,L,dh] relayout copies
+            from fddm_asr_tpu.ops.flash_attention import (
+                wavlm_gated_attention_heads_packed,
+            )
 
-            out = wavlm_gated_attention(
-                q, k, v, position_bias, gate_out[..., 0], key_mask
+            out = wavlm_gated_attention_heads_packed(
+                q, k, v, position_bias, gate_out[..., 0], key_mask, num_heads=H
             )
         else:
+            q = q.reshape(B, L, H, dh)
+            k = k.reshape(B, L, H, dh)
+            v = v.reshape(B, L, H, dh)
             gated_bias = gate_out * position_bias[None]  # [B,H,L,L]
             dropout_rng = None
             if not deterministic and cfg.attention_dropout > 0.0:
@@ -369,7 +373,7 @@ class GatedRelPosAttention(nn.Module):
                 dropout_rate=cfg.attention_dropout if not deterministic else 0.0,
                 dropout_rng=dropout_rng,
             )
-        out = out.reshape(B, L, cfg.hidden_size)
+            out = out.reshape(B, L, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(out)
         return out, position_bias
 

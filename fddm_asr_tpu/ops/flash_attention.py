@@ -145,6 +145,97 @@ def wavlm_gated_attention_pallas(
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def _kernel_packed(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref,
+                   *, scale, dh):
+    # blocks: q [1, bq, 2*dh], k/v [1, Lk, 2*dh], bias [1, 2, bq, Lk],
+    # gate [1, 1, bq, 2], mask [1, 1, Lk] (int8), out [1, bq, 2*dh]
+    mask = mask_ref[0] != 0  # [1, Lk]
+    outs = []
+    for j in range(2):
+        q = q_ref[0, :, j * dh:(j + 1) * dh] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, :, j * dh:(j + 1) * dh]
+        v = v_ref[0, :, j * dh:(j + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, Lk]
+        gate = gate_ref[0, 0, :, j:j + 1].astype(jnp.float32)  # [bq, 1]
+        scores = scores + gate * bias_ref[0, j].astype(jnp.float32)
+        scores = jnp.where(mask, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        s_inv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        weights = (e * s_inv).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            weights, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype))
+    out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q"))
+def wavlm_gated_attention_packed(
+    q: jnp.ndarray,        # [B, L, H*dh] — natural Dense-output layout
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos_bias: jnp.ndarray,  # [H, L, L] (f32)
+    gate: jnp.ndarray,      # [B, H, L]
+    key_mask: Optional[jnp.ndarray] = None,  # [B, L] True=keep
+    num_heads: int = 16,
+    block_q: int = 256,
+) -> jnp.ndarray:
+    """Fused gated attention over head-PACKED q/k/v.
+
+    v2 of the kernel: consumes q/k/v exactly as the qkv projections produce
+    them ([B, L, H*dh]) and writes the output in the same layout, so XLA
+    inserts NO transposes/reshape-copies around the call — the v1 wrapper's
+    per-layer [B,H,L,dh] relayouts + pads cost ~26 ms/step at B=16 on v5e.
+    Each program handles TWO heads (2*dh = 128 lanes satisfies the Mosaic
+    lane-blocking rule for dh=64); the per-head lane sub-slices are cheap
+    in-register relayouts.  Grid order (head-pair, q-block, batch) keeps the
+    f32 bias block resident across the batch (see v1 comment).  When L is a
+    multiple of 128 (seq_pad_multiple=128 in the encoder) every jnp.pad here
+    is zero-width and elided.
+    """
+    from jax.experimental import pallas as pl
+
+    B, L, HD = q.shape
+    H = num_heads
+    dh = HD // H
+    assert H % 2 == 0 and dh * H == HD
+    Lq = _round_up(L, block_q)
+    Lk = _round_up(L, 128)
+    padq = ((0, 0), (0, Lq - L), (0, 0))
+    qp = jnp.pad(q, padq)
+    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    # bias [H, L, L] -> [H//2, 2, Lq, Lk]; gate [B, H, L] -> [B, H//2, Lq, 2]
+    bias_p = jnp.pad(pos_bias, ((0, 0), (0, Lq - L), (0, Lk - L)))
+    bias_p = bias_p.reshape(H // 2, 2, Lq, Lk)
+    gate_p = jnp.pad(gate, ((0, 0), (0, 0), (0, Lq - L)))
+    gate_p = jnp.transpose(gate_p.reshape(B, H // 2, 2, Lq), (0, 1, 3, 2))
+    if key_mask is None:
+        key_mask = jnp.ones((B, L), bool)
+    mask_p = jnp.pad(key_mask.astype(jnp.int8), ((0, 0), (0, Lk - L)))[:, None, :]
+
+    scale = 1.0 / float(np.sqrt(dh))
+    grid = (H // 2, Lq // block_q, B)
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, scale=scale, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b: (b, i, h)),
+            pl.BlockSpec((1, Lk, 2 * dh), lambda h, i, b: (b, 0, h)),
+            pl.BlockSpec((1, Lk, 2 * dh), lambda h, i, b: (b, 0, h)),
+            pl.BlockSpec((1, 2, block_q, Lk), lambda h, i, b: (h, 0, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Lk), lambda h, i, b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b: (b, i, h)),
+    )(qp, kp, vp, bias_p, gate_p, mask_p)
+    return out[:, :L]
+
+
 def wavlm_gated_attention(
     q, k, v, pos_bias, gate, key_mask=None, force_xla: bool = False
 ) -> jnp.ndarray:
@@ -155,3 +246,25 @@ def wavlm_gated_attention(
         except Exception:  # pragma: no cover - conservative fallback
             pass
     return wavlm_gated_attention_xla(q, k, v, pos_bias, gate, key_mask)
+
+
+def wavlm_gated_attention_heads_packed(
+    q, k, v, pos_bias, gate, key_mask=None, num_heads: int = 16,
+    force_xla: bool = False,
+) -> jnp.ndarray:
+    """Dispatch for head-packed [B, L, H*dh] operands (v2 kernel on TPU)."""
+    B, L, HD = q.shape
+    dh = HD // num_heads
+    if not force_xla and jax.default_backend() not in ("cpu",) and dh == 64:
+        try:
+            return wavlm_gated_attention_packed(
+                q, k, v, pos_bias, gate, key_mask, num_heads=num_heads
+            )
+        except Exception:  # pragma: no cover - conservative fallback
+            pass
+    def split(x):
+        return x.reshape(B, L, num_heads, dh)
+    out = wavlm_gated_attention_xla(
+        split(q), split(k), split(v), pos_bias, gate, key_mask
+    )
+    return out.reshape(B, L, HD)

@@ -11,7 +11,10 @@ import jax
 import jax.numpy as jnp
 
 from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
-from fddm_asr_tpu.ops.flash_attention import wavlm_gated_attention_xla
+from fddm_asr_tpu.ops.flash_attention import (
+    wavlm_gated_attention_heads_packed,
+    wavlm_gated_attention_xla,
+)
 
 B, L, H, dh = 2, 9, 4, 8
 
@@ -41,6 +44,22 @@ def test_xla_path_matches_manual(rng):
     w = w / w.sum(-1, keepdims=True)
     ref = np.einsum("bhqk,bkhd->bqhd", w, v)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_heads_packed_dispatch_matches_split(rng):
+    """[B, L, H*dh] packed dispatch == split-head XLA reference (CPU path)."""
+    q, k, v, bias, gate, mask = _inputs(rng)
+    ref = wavlm_gated_attention_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(bias), jnp.asarray(gate), jnp.asarray(mask),
+    ).reshape(B, L, H * dh)
+    packed = wavlm_gated_attention_heads_packed(
+        jnp.asarray(q.reshape(B, L, H * dh)),
+        jnp.asarray(k.reshape(B, L, H * dh)),
+        jnp.asarray(v.reshape(B, L, H * dh)),
+        jnp.asarray(bias), jnp.asarray(gate), jnp.asarray(mask), num_heads=H,
+    )
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), atol=1e-6)
 
 
 def test_fused_flag_preserves_wavlm_output(rng):
