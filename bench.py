@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     seq_len = int(os.environ.get("BENCH_SEQ_LEN", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -48,9 +48,10 @@ def main():
     K = 8000
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     fused_fe = os.environ.get("BENCH_FUSED_FRONTEND", "0") == "1"
-    # seq-pad measured e2e-neutral alone and ~7 ms WORSE combined with
-    # gelu-tanh (extra matmul rows beat the elided pads) — default off
-    seq_pad = int(os.environ.get("BENCH_SEQ_PAD", "1"))
+    # with the head-packed kernel, 128-aligned frames make every wrapper
+    # pad zero-width (+0.4% e2e); batch 32 amortises the ~31 ms relay
+    # dispatch overhead per call (+10% over batch 16)
+    seq_pad = int(os.environ.get("BENCH_SEQ_PAD", "128"))
     gelu_tanh = os.environ.get("BENCH_GELU_TANH", "1") == "1"
     wavlm_cfg = dataclasses.replace(
         WavLMConfig.large(), scan_layers=True, fused_attention=fused,
