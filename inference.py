@@ -53,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--device", type=str, default=None, help="cpu|tpu")
     p.add_argument("--batch-size", type=int, default=8,
                    help="CSV mode: utterances per jitted batch")
+    p.add_argument("--bucket-seconds", type=float, default=1.0,
+                   help="CSV mode: round each batch's padded audio length up "
+                        "to a multiple of this many seconds, and pad the last "
+                        "chunk to --batch-size rows, so every chunk reuses "
+                        "ONE compiled program per duration bucket instead of "
+                        "recompiling per max-length (XLA compiles are remote "
+                        "and cost 30-60 s each here); 0 disables")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--wavlm-ckpt", type=str, default=None)
     p.add_argument("--condition-mask", type=str, default="auto",
@@ -101,8 +108,16 @@ def sampling_kwargs(args) -> Dict[str, Any]:
     )
 
 
-def infer_batch(pipeline, wav_paths: List[str], args, rng) -> List[Dict[str, Any]]:
-    """Batched inference over a list of WAVs (padded to the longest)."""
+def infer_batch(
+    pipeline, wav_paths: List[str], args, rng, pad_rows_to: int = 0
+) -> List[Dict[str, Any]]:
+    """Batched inference over a list of WAVs (padded to the longest).
+
+    With --bucket-seconds > 0 the padded length is rounded up to a duration
+    bucket and the row count padded to `pad_rows_to`, so chunks of varying
+    content reuse one compiled program per bucket (remote XLA compiles cost
+    30-60 s each in this environment).
+    """
     import numpy as np
 
     from fddm_asr_tpu.data.audio_io import load_audio
@@ -124,9 +139,18 @@ def infer_batch(pipeline, wav_paths: List[str], args, rng) -> List[Dict[str, Any
 
     if waves:
         T = max(lengths)
-        batch = np.zeros((len(waves), T), np.float32)
+        bucket = int(round(float(getattr(args, "bucket_seconds", 0) or 0) * 16000))
+        if bucket > 0:
+            T = ((T + bucket - 1) // bucket) * bucket
+        n_rows = len(waves)
+        if bucket > 0 and pad_rows_to > n_rows:
+            n_rows = pad_rows_to
+        batch = np.zeros((n_rows, T), np.float32)
         for j, w in enumerate(waves):
             batch[j, : len(w)] = w
+        # dummy rows: 320 samples (one frame) so their condition mask is
+        # non-empty (an all-masked cross-attention row would produce NaNs)
+        lengths = lengths + [320] * (n_rows - len(waves))
         seq_len = args.seq_len or 64  # reference default (inference.py:227)
         texts_ids = _transcribe(pipeline, batch, np.asarray(lengths), seq_len, args, rng)
         for (i, path), (text, ids) in zip(ok_paths, texts_ids):
@@ -190,7 +214,10 @@ def main(argv=None):
         cer_sum, cer_n = 0.0, 0
         for start in range(0, len(paths), bs):
             rng, step_rng = jax.random.split(rng)
-            chunk = infer_batch(pipeline, paths[start : start + bs], args, step_rng)
+            chunk = infer_batch(
+                pipeline, paths[start : start + bs], args, step_rng,
+                pad_rows_to=bs,
+            )
             for j, res in enumerate(chunk):
                 if refs is not None and "text" in res:
                     from fddm_asr_tpu.eval import calculate_cer

@@ -86,6 +86,63 @@ def test_batch_csv_inference(trained, tmp_path, capsys):
     assert all("text" in r or "error" in r for r in res)
 
 
+def test_csv_bucketing_stable_shapes(tmp_path):
+    """--bucket-seconds quantises padded length and row count so every CSV
+    chunk hits ONE compiled program per duration bucket (remote XLA compiles
+    are 30-60 s each — a per-max-length recompile would dominate)."""
+    import argparse
+
+    import inference
+
+    shapes = []
+
+    class FakePipeline:
+        use_condition_mask = True
+
+        def encode_waveform(self, batch, lengths):
+            shapes.append(tuple(batch.shape))
+            return np.zeros((batch.shape[0], 4, 8), np.float32), None
+
+        def sample(self, rng, c, seq_len, c_mask=None, **kw):
+            ids = np.zeros((c.shape[0], seq_len), np.int32)
+            return ids, np.zeros((c.shape[0], seq_len), np.float32)
+
+        def ids_to_text(self, ids):
+            return ""
+
+    from fddm_asr_tpu.data.audio_io import save_wav
+
+    paths = []
+    for i, n in enumerate((5000, 9000, 13000)):  # 0.31 s, 0.56 s, 0.81 s
+        p = str(tmp_path / f"w{i}.wav")
+        save_wav(p, np.zeros(n, np.float32), 16000)
+        paths.append(p)
+
+    args = argparse.Namespace(
+        T_infer=4, r=2, greedy=True, posterior_mode="average",
+        sampling_mode="exact", seq_len=8, bucket_seconds=1.0,
+    )
+    import jax
+
+    pipe = FakePipeline()
+    for start in range(0, 3, 2):  # chunks: [w0, w1], [w2]
+        inference.infer_batch(
+            pipe, paths[start : start + 2], args, jax.random.key(0),
+            pad_rows_to=2,
+        )
+    assert shapes == [(2, 16000), (2, 16000)], shapes
+
+    # bucketing off: shapes track content exactly (reference-like behavior)
+    shapes.clear()
+    args.bucket_seconds = 0.0
+    for start in range(0, 3, 2):
+        inference.infer_batch(
+            pipe, paths[start : start + 2], args, jax.random.key(0),
+            pad_rows_to=2,
+        )
+    assert shapes == [(2, 9000), (1, 13000)], shapes
+
+
 def test_csv_error_rows_recorded(trained, tmp_path, capsys):
     import inference
     import pandas as pd
