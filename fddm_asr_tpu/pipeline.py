@@ -116,6 +116,7 @@ class FDDMPipeline:
         )
         self.decoder_params = decoder_params
         self.encoder_params = encoder_params
+        self.mesh = None  # set by apply_mesh() for multi-chip inference
 
         self._encode_jit = jax.jit(self._encode)
         self._decode_jit = jax.jit(self._decoder_fwd)
@@ -198,6 +199,31 @@ class FDDMPipeline:
             pipeline.encoder_params = enc_vars
         return pipeline
 
+    # --------------------------------------------------------- multi-device
+    def apply_mesh(self, mesh) -> "FDDMPipeline":
+        """Shard the pipeline over a jax Mesh for multi-chip inference.
+
+        Params are placed by the dp/tp PartitionSpec rules
+        (fddm_asr_tpu.parallel.decoder_param_spec); input batches are sharded
+        on the "data" axis by encode_waveform/sample.  Under jit, GSPMD
+        partitions the programs and inserts the ICI collectives — the same
+        code path serves one chip (trivial 1x1 mesh) and a pod slice.
+        Batch sizes must be divisible by the data-axis size.
+        """
+        from fddm_asr_tpu.parallel import decoder_param_spec, shard_pytree
+
+        self.mesh = mesh
+        self.decoder_params = shard_pytree(self.decoder_params, mesh, decoder_param_spec)
+        self.encoder_params = shard_pytree(self.encoder_params, mesh, decoder_param_spec)
+        return self
+
+    def _shard_batch(self, x):
+        if x is None or getattr(self, "mesh", None) is None:
+            return x
+        from fddm_asr_tpu.parallel import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh))
+
     # -------------------------------------------------------------- kernels
     # Params flow through jit as ARGUMENTS: closing them over would bake the
     # weights into the compiled program as constants (rejected by the TPU
@@ -212,12 +238,12 @@ class FDDMPipeline:
     def encode_waveform(
         self, wave: np.ndarray, lengths: Optional[np.ndarray] = None
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        wave = jnp.asarray(wave, jnp.float32)
+        wave = self._shard_batch(jnp.asarray(wave, jnp.float32))
         if not self.use_condition_mask:
             lengths = None  # reference parity: encoder called without lengths
         feats, feat_mask, _ = self._encode_jit(
             self.encoder_params, wave,
-            jnp.asarray(lengths) if lengths is not None else None,
+            self._shard_batch(jnp.asarray(lengths)) if lengths is not None else None,
         )
         return feats, feat_mask
 

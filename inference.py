@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--device", type=str, default=None, help="cpu|tpu")
     p.add_argument("--batch-size", type=int, default=8,
                    help="CSV mode: utterances per jitted batch")
+    p.add_argument("--mesh", type=str, default="",
+                   help="device-mesh spec for multi-chip inference, e.g. "
+                        "data=8,model=1 — shards the batch on the data axis "
+                        "and the decoder by the tp rules; --batch-size must "
+                        "be divisible by the data-axis size")
     p.add_argument("--bucket-seconds", type=float, default=1.0,
                    help="CSV mode: round each batch's padded audio length up "
                         "to a multiple of this many seconds, and pad the last "
@@ -189,6 +194,11 @@ def main(argv=None):
 
     enable_compile_cache()
     pipeline = build_pipeline(args)
+    if args.mesh:
+        from train import parse_mesh
+        from fddm_asr_tpu.parallel import make_mesh
+
+        pipeline.apply_mesh(make_mesh(parse_mesh(args.mesh)))
     if args.condition_mask == "auto":
         pipeline.use_condition_mask = bool(args.csv) and args.batch_size > 1
     else:

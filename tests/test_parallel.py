@@ -46,6 +46,39 @@ def test_shard_pytree_places_leaves():
     assert sharded["odd"]["ff_0"]["kernel"].sharding.spec == P(None, None)
 
 
+def test_sharded_inference_matches_single_device():
+    """apply_mesh (dp batch + tp decoder sharding) must not change outputs."""
+    from fddm_asr_tpu.config import Config
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = Config({
+        "seed": 0,
+        "data": {"vocab_size": 96, "tokenizer_path": None},
+        "model": {"d_model": 32, "nhead": 4, "num_layers": 2, "dim_ff": 64,
+                  "encoder": {"wavlm_name": "tiny"}},
+        "diffusion": {"T": 20, "beta_max": 0.2},
+    })
+
+    class _Tok:
+        def decode(self, ids):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+    wave = np.random.default_rng(0).standard_normal((4, 3200)).astype(np.float32)
+
+    def run(mesh_spec):
+        pipe = FDDMPipeline.from_config(cfg, tokenizer=_Tok())
+        if mesh_spec is not None:
+            pipe.apply_mesh(make_mesh(mesh_spec))
+        c, c_mask = pipe.encode_waveform(wave)
+        ids, p = pipe.sample(jax.random.key(0), c, seq_len=8, c_mask=c_mask,
+                             T_infer=4, r=2, greedy=True)
+        return np.asarray(ids)
+
+    base = run(None)
+    sharded = run(MeshSpec(data=4, model=2))
+    np.testing.assert_array_equal(sharded, base)
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__
 
