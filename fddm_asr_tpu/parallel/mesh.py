@@ -96,8 +96,13 @@ def shard_pytree(tree: Any, mesh: Mesh, spec_fn=decoder_param_spec) -> Any:
         # drop axes that don't divide the leaf (e.g. nhead smaller than mesh)
         shape = getattr(leaf, "shape", ())
         axes = list(spec)
-        # scanned-layer stacks carry a leading layer axis; shift the spec
-        if axes and "layers_scan" in path and len(shape) == len(axes) + 1:
+        # scanned-layer stacks (encoder "layers_scan", decoder "blocks_scan")
+        # carry a leading layer axis; shift the spec past it
+        if (
+            axes
+            and ("layers_scan" in path or "blocks_scan" in path)
+            and len(shape) == len(axes) + 1
+        ):
             axes = [None] + axes
         for i, ax in enumerate(axes):
             if ax is None:

@@ -290,6 +290,10 @@ class FDDMPipeline:
         fn = self._sampler_for((T_infer, r, greedy, posterior_mode, sampling_mode, temperature))
         if not self.use_condition_mask:
             c_mask = None
+        # shard directly-supplied conditions too (encode_waveform outputs are
+        # already placed; device_put on a correctly-sharded array is a no-op)
+        cond = self._shard_batch(cond)
+        c_mask = self._shard_batch(c_mask)
         ids, p = fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
         return np.asarray(ids), np.asarray(p)
 

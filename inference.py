@@ -121,7 +121,10 @@ def infer_batch(
     With --bucket-seconds > 0 the padded length is rounded up to a duration
     bucket and the row count padded to `pad_rows_to`, so chunks of varying
     content reuse one compiled program per bucket (remote XLA compiles cost
-    30-60 s each in this environment).
+    30-60 s each in this environment).  Length-bucketing only activates when
+    the condition mask is on: without a mask the appended silence would
+    become real conditioning frames and change transcriptions (the --wav and
+    reference-parity paths therefore always pad to the exact max length).
     """
     import numpy as np
 
@@ -145,17 +148,24 @@ def infer_batch(
     if waves:
         T = max(lengths)
         bucket = int(round(float(getattr(args, "bucket_seconds", 0) or 0) * 16000))
+        if bucket > 0 and not pipeline.use_condition_mask:
+            bucket = 0  # unmasked zero-padding would alter transcriptions
         if bucket > 0:
             T = ((T + bucket - 1) // bucket) * bucket
         n_rows = len(waves)
-        if bucket > 0 and pad_rows_to > n_rows:
+        # a fixed row count is needed for shape stability (bucketing) AND for
+        # data-axis divisibility under a device mesh
+        if pad_rows_to > n_rows and (
+            bucket > 0 or getattr(pipeline, "mesh", None) is not None
+        ):
             n_rows = pad_rows_to
         batch = np.zeros((n_rows, T), np.float32)
         for j, w in enumerate(waves):
             batch[j, : len(w)] = w
-        # dummy rows: 320 samples (one frame) so their condition mask is
-        # non-empty (an all-masked cross-attention row would produce NaNs)
-        lengths = lengths + [320] * (n_rows - len(waves))
+        # dummy rows: 400 samples = exactly one conv-stack output frame
+        # (feat_extract_output_length(400) == 1; 320 would yield ZERO frames
+        # and an all-masked cross-attention row -> NaNs in the dummy rows)
+        lengths = lengths + [400] * (n_rows - len(waves))
         seq_len = args.seq_len or 64  # reference default (inference.py:227)
         texts_ids = _transcribe(pipeline, batch, np.asarray(lengths), seq_len, args, rng)
         for (i, path), (text, ids) in zip(ok_paths, texts_ids):

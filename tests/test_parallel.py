@@ -46,6 +46,27 @@ def test_shard_pytree_places_leaves():
     assert sharded["odd"]["ff_0"]["kernel"].sharding.spec == P(None, None)
 
 
+def test_shard_pytree_shifts_scan_stacks():
+    """Stacked scan params (leading layer axis) shift the spec past axis 0 —
+    for BOTH the encoder's layers_scan and the decoder's blocks_scan."""
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    tree = {
+        "blocks_scan": {"block": {"ff_0": {
+            "kernel": np.zeros((6, 16, 64), np.float32),
+            "bias": np.zeros((6, 64), np.float32),
+        }}},
+        "encoder": {"layers_scan": {"layer": {"attention": {"out_proj": {
+            "kernel": np.zeros((23, 64, 64), np.float32),
+        }}}}},
+    }
+    sharded = shard_pytree(tree, mesh)
+    blk = sharded["blocks_scan"]["block"]["ff_0"]
+    assert blk["kernel"].sharding.spec == P(None, None, "model")
+    assert blk["bias"].sharding.spec == P(None, "model")
+    enc = sharded["encoder"]["layers_scan"]["layer"]["attention"]["out_proj"]
+    assert enc["kernel"].sharding.spec == P(None, "model", None)
+
+
 def test_sharded_inference_matches_single_device():
     """apply_mesh (dp batch + tp decoder sharding) must not change outputs."""
     from fddm_asr_tpu.config import Config

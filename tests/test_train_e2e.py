@@ -92,6 +92,9 @@ def test_csv_bucketing_stable_shapes(tmp_path):
     are 30-60 s each — a per-max-length recompile would dominate)."""
     import argparse
 
+    # parity tests sys.path.insert(0, /root/reference); make sure `inference`
+    # resolves to THIS repo's CLI regardless of test ordering
+    sys.path.insert(0, REPO)
     import inference
 
     shapes = []
@@ -141,6 +144,15 @@ def test_csv_bucketing_stable_shapes(tmp_path):
             pad_rows_to=2,
         )
     assert shapes == [(2, 9000), (1, 13000)], shapes
+
+    # condition mask OFF (reference-parity paths: --wav, batch-size 1):
+    # bucketing must self-disable — unmasked appended silence would become
+    # real conditioning frames and change transcriptions
+    shapes.clear()
+    args.bucket_seconds = 1.0
+    pipe.use_condition_mask = False
+    inference.infer_batch(pipe, paths[:1], args, jax.random.key(0))
+    assert shapes == [(1, 5000)], shapes
 
 
 def test_csv_error_rows_recorded(trained, tmp_path, capsys):
