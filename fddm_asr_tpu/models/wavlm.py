@@ -335,15 +335,19 @@ class GatedRelPosAttention(nn.Module):
             position_bias = jnp.transpose(values, (2, 0, 1))  # [H, L, L]
 
         # --- gate from pre-projection hidden states (HF lines 168-183) ------
-        gated = x.reshape(B, L, H, dh).transpose(0, 2, 1, 3)  # [B,H,L,dh]
+        # computed in the natural [B, L, H, dh] layout (a free view of x):
+        # transposing x to [B, H, L, dh] first materialised a full-size copy
+        # per layer just to feed an H*dh -> 8 projection
+        gated = x.reshape(B, L, H, dh)
         rel_proj = nn.Dense(8, dtype=self.dtype, name="gru_rel_pos_linear")(gated)
-        rel_proj = rel_proj.reshape(B, H, L, 2, 4).sum(-1)  # [B,H,L,2]
+        rel_proj = rel_proj.reshape(B, L, H, 2, 4).sum(-1)  # [B,L,H,2]
         gates = jax.nn.sigmoid(rel_proj)
-        gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,L,1]
+        gate_a, gate_b = gates[..., 0], gates[..., 1]  # [B,L,H]
         gru_const = self.param(
             "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1), jnp.float32
         )
-        gate_out = gate_a * (gate_b * gru_const - 1.0) + 2.0  # [B,H,L,1]
+        gate_out = gate_a * (gate_b * gru_const[0, :, 0, 0] - 1.0) + 2.0  # [B,L,H]
+        gate_out = jnp.transpose(gate_out, (0, 2, 1))  # [B,H,L] (small copy)
 
         q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k_proj")(x)
@@ -357,13 +361,13 @@ class GatedRelPosAttention(nn.Module):
             )
 
             out = wavlm_gated_attention_heads_packed(
-                q, k, v, position_bias, gate_out[..., 0], key_mask, num_heads=H
+                q, k, v, position_bias, gate_out, key_mask, num_heads=H
             )
         else:
             q = q.reshape(B, L, H, dh)
             k = k.reshape(B, L, H, dh)
             v = v.reshape(B, L, H, dh)
-            gated_bias = gate_out * position_bias[None]  # [B,H,L,L]
+            gated_bias = gate_out[..., None] * position_bias[None]  # [B,H,L,L]
             dropout_rng = None
             if not deterministic and cfg.attention_dropout > 0.0:
                 dropout_rng = self.make_rng("dropout")
