@@ -53,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--device", type=str, default=None, help="cpu|tpu")
     p.add_argument("--batch-size", type=int, default=8,
                    help="CSV mode: utterances per jitted batch")
+    p.add_argument("--chunk-seconds", type=float, default=0.0,
+                   help="single-WAV mode: transcribe audio longer than this "
+                        "in fixed windows of this many seconds (batched in "
+                        "one jitted call, condition-masked) and join the "
+                        "texts — the reference-style whole-file path would "
+                        "recompile per length and exhaust memory on long "
+                        "recordings; 0 = whole-file (reference behavior)")
     p.add_argument("--mesh", type=str, default="",
                    help="device-mesh spec for multi-chip inference, e.g. "
                         "data=8,model=1 — shards the batch on the data axis "
@@ -191,6 +198,48 @@ def _transcribe(pipeline, batch, lengths, seq_len, args, rng):
     return results
 
 
+def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
+    """Chunked transcription of one long WAV.
+
+    Splits into fixed --chunk-seconds windows (every window the same shape ->
+    ONE compiled program regardless of recording length), transcribes them as
+    batches of --batch-size with the real lengths condition-masked, and joins
+    the window texts.  Windows are independent — a boundary can split a
+    token; acceptable for long-form transcription where the whole-file path
+    is unusable (per-length recompiles + memory).
+    """
+    import numpy as np
+
+    from fddm_asr_tpu.data.audio_io import load_audio
+
+    wav, _ = load_audio(path, target_sr=16000, mono=True)
+    win = max(400, int(args.chunk_seconds * 16000))
+    n = max(1, -(-len(wav) // win))
+    seq_len = args.seq_len or 64
+    texts, ids = [], []
+    bs = max(1, args.batch_size)
+    for start in range(0, n, bs):
+        rows = min(bs, n - start)
+        batch = np.zeros((rows, win), np.float32)
+        lengths = []
+        for j in range(rows):
+            seg = wav[(start + j) * win : (start + j + 1) * win]
+            batch[j, : len(seg)] = seg
+            lengths.append(max(len(seg), 400))
+        rng, step_rng = __import__("jax").random.split(rng)
+        for text, id_list in _transcribe(
+            pipeline, batch, np.asarray(lengths), seq_len, args, step_rng
+        ):
+            texts.append(text)
+            ids.append(id_list)
+    return {
+        "wav": path, "text": "".join(texts), "chunks": texts, "ids": ids,
+        "chunk_seconds": args.chunk_seconds, "T_infer": args.T_infer,
+        "r": args.r, "greedy": args.greedy,
+        "posterior_mode": args.posterior_mode,
+    }
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.device and args.device.startswith("cpu"):
@@ -217,7 +266,12 @@ def main(argv=None):
     results: List[Dict[str, Any]] = []
 
     if args.wav:
-        res = infer_batch(pipeline, [args.wav], args, rng)[0]
+        if args.chunk_seconds and args.chunk_seconds > 0:
+            # windows are zero-padded batches; masking the pad is required
+            pipeline.use_condition_mask = True
+            res = infer_long(pipeline, args.wav, args, rng)
+        else:
+            res = infer_batch(pipeline, [args.wav], args, rng)[0]
         results.append(res)
         print(json.dumps(res, ensure_ascii=False, indent=2))
     else:

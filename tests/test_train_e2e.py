@@ -155,6 +155,39 @@ def test_csv_bucketing_stable_shapes(tmp_path):
     assert shapes == [(1, 5000)], shapes
 
 
+def test_chunked_long_wav_inference(trained, tmp_path, capsys):
+    """--chunk-seconds transcribes long audio in fixed windows and joins
+    the texts (the whole-file path would recompile per recording length)."""
+    import inference
+    from fddm_asr_tpu.data.audio_io import load_audio, save_wav
+
+    import numpy as np
+
+    wav, sr = load_audio(
+        f"{trained}/data/processed/clips/test_000.wav", target_sr=16000
+    )
+    long_wav = np.concatenate([wav] * 3)  # ~1.5 s
+    path = str(tmp_path / "long.wav")
+    save_wav(path, long_wav, 16000)
+
+    out_json = str(tmp_path / "long.json")
+    inference.main([
+        "--wav", path,
+        "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--main-config", f"{trained}/config.yaml",
+        "--diffusion-config", f"{trained}/config.yaml",
+        "--tokenizer", f"{trained}/data/tokenizer/toy/spm_toy.model",
+        "--T-infer", "4", "--r", "2", "--greedy", "--seq-len", "8",
+        "--chunk-seconds", "0.6", "--batch-size", "2",
+        "--out-json", out_json,
+    ])
+    capsys.readouterr()
+    res = json.load(open(out_json))[0]
+    assert len(res["chunks"]) == 3  # ceil(1.5 / 0.6)
+    assert res["text"] == "".join(res["chunks"])
+    assert len(res["ids"]) == 3 and all(len(i) == 8 for i in res["ids"])
+
+
 def test_csv_error_rows_recorded(trained, tmp_path, capsys):
     import inference
     import pandas as pd
