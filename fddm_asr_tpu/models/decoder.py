@@ -24,9 +24,11 @@ dynamics match.  Notable reference quirks reproduced deliberately:
     is added to every position through a Linear projection.
 
 TPU-first design choices:
-  * Pure Flax (linen) module; attention goes through a pluggable kernel from
-    `fddm_asr_tpu.ops.attention` (XLA einsum path by default, Pallas flash
-    attention on TPU for long sequences).
+  * Pure Flax (linen) module; attention goes through a pluggable
+    `attention_fn` (default: the XLA einsum path in
+    `fddm_asr_tpu.ops.attention` — at L=64 text tokens the decoder is not
+    attention-bound; the fused Pallas kernels in `ops.flash_attention`
+    serve the WavLM encoder's 1k-frame sequences).
   * A `dtype` knob runs matmuls in bfloat16 (params stay float32); the head
     logits are always float32 for stable softmax/KL at K=8000.
   * Parameter tree uses separate q/k/v/out projections (TP-shardable along the
