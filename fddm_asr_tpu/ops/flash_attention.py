@@ -181,7 +181,7 @@ def wavlm_gated_attention_packed(
     gate: jnp.ndarray,      # [B, H, L]
     key_mask: Optional[jnp.ndarray] = None,  # [B, L] True=keep
     num_heads: int = 16,
-    block_q: int = 256,
+    block_q: int = 512,
 ) -> jnp.ndarray:
     """Fused gated attention over head-PACKED q/k/v.
 
