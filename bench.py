@@ -53,10 +53,16 @@ def main():
     # dispatch overhead per call (+10% over batch 16)
     seq_pad = int(os.environ.get("BENCH_SEQ_PAD", "128"))
     gelu_tanh = os.environ.get("BENCH_GELU_TANH", "1") == "1"
+    # int8 MXU path for the encoder's FFN + QKV/out matmuls (dynamic
+    # symmetric quantization, ops/quant.py).  Opt-in: the recorded headline
+    # stays full-precision bf16 until quality is validated on real
+    # wavlm-large weights + a trained decoder (quant error bounds are
+    # pinned by tests/test_quant.py).
+    quant = os.environ.get("BENCH_QUANT", "none")
     wavlm_cfg = dataclasses.replace(
         WavLMConfig.large(), scan_layers=True, fused_attention=fused,
         fused_frontend=fused_fe, seq_pad_multiple=seq_pad,
-        gelu_approx_tanh=gelu_tanh,
+        gelu_approx_tanh=gelu_tanh, quant_dense=quant,
     )
     encoder = AcousticEncoder(config=wavlm_cfg, d_model=768, dtype=jnp.bfloat16)
     decoder = DenoisingTransformerDecoder(
@@ -141,7 +147,8 @@ def main():
                   + (" fused-attn" if fused else "")
                   + (" fused-frontend" if fused_fe else "")
                   + (f" seqpad{seq_pad}" if seq_pad > 1 else "")
-                  + (" gelu-tanh" if gelu_tanh else ""),
+                  + (" gelu-tanh" if gelu_tanh else "")
+                  + (f" quant-{quant}" if quant != "none" else ""),
     }))
 
 

@@ -98,6 +98,15 @@ class WavLMConfig:
     # below the bf16 compute noise of the flagship path.  Off by default:
     # exact-erf matches HF WavLM for the f32 parity suite.
     gelu_approx_tanh: bool = False
+    # Run the encoder's large matmuls (FFN intermediate/output, attention
+    # q/k/v/out projections) through the int8 MXU path with dynamic
+    # symmetric quantization (per-token activation scales x per-channel
+    # weight scales) — ~1.32x on those matmuls on v5e (measured,
+    # scripts/probe_int8.py).  Values: "none" | "int8".  Parameter layout
+    # is unchanged (quantized on the fly), so checkpoints are shared with
+    # the full-precision path.  Inference-only: keep "none" for training
+    # and for the f32 parity suite.  See fddm_asr_tpu/ops/quant.py.
+    quant_dense: str = "none"
     # Pad the encoder sequence axis up to a multiple of this at encoder entry
     # (zero frames + key-mask).  Real-frame numerics are unchanged: the
     # encoder zeroes masked positions before pos_conv exactly like HF, and the
@@ -166,6 +175,15 @@ class WavLMConfig:
 
 def _gelu(x, approximate: bool = False):
     return jax.nn.gelu(x, approximate=approximate)
+
+
+def _dense(cfg: "WavLMConfig", features: int, dtype: Dtype, name: str):
+    """nn.Dense, or its int8-MXU drop-in when cfg.quant_dense == "int8"."""
+    if cfg.quant_dense == "int8":
+        from fddm_asr_tpu.ops.quant import Int8Dense
+
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
 
 
 class ConvLayer(nn.Module):
@@ -349,9 +367,9 @@ class GatedRelPosAttention(nn.Module):
         gate_out = gate_a * (gate_b * gru_const[0, :, 0, 0] - 1.0) + 2.0  # [B,L,H]
         gate_out = jnp.transpose(gate_out, (0, 2, 1))  # [B,H,L] (small copy)
 
-        q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        q = _dense(cfg, cfg.hidden_size, self.dtype, "q_proj")(x)
+        k = _dense(cfg, cfg.hidden_size, self.dtype, "k_proj")(x)
+        v = _dense(cfg, cfg.hidden_size, self.dtype, "v_proj")(x)
 
         if cfg.fused_attention and deterministic:
             # head-PACKED kernel: q/k/v go in (and come out) exactly as the
@@ -378,7 +396,7 @@ class GatedRelPosAttention(nn.Module):
                 dropout_rng=dropout_rng,
             )
             out = out.reshape(B, L, cfg.hidden_size)
-        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(out)
+        out = _dense(cfg, cfg.hidden_size, self.dtype, "out_proj")(out)
         return out, position_bias
 
 
@@ -389,10 +407,10 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        h = _dense(cfg, cfg.intermediate_size, self.dtype, "intermediate_dense")(x)
         h = _gelu(h, cfg.gelu_approx_tanh)
         h = nn.Dropout(cfg.activation_dropout, deterministic=deterministic)(h)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
+        h = _dense(cfg, cfg.hidden_size, self.dtype, "output_dense")(h)
         return nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
 
 

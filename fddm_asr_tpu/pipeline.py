@@ -53,7 +53,11 @@ def build_wavlm_config(encoder_cfg: Config) -> WavLMConfig:
         # fused_attention: head-packed Pallas kernel on TPU (XLA elsewhere);
         # seq_pad_multiple=128: zero-width wrapper pads, identical real-frame
         # numerics (parity-tested).  For +8% more, set
-        # encoder.wavlm_config.gelu_approx_tanh: true (deviates ~1e-3).
+        # encoder.wavlm_config.gelu_approx_tanh: true (deviates ~1e-3);
+        # for +15% more, encoder.wavlm_config.quant_dense: "int8" runs the
+        # encoder FFN/QKV matmuls on the int8 MXU (ops/quant.py; dynamic
+        # quantization, same checkpoints, rel-L2 drift <5% on the encoder
+        # output — tests/test_quant.py).
         cfg = dataclasses.replace(
             WavLMConfig.large(), scan_layers=True, fused_attention=True,
             seq_pad_multiple=128,

@@ -1,0 +1,109 @@
+# -*- coding: utf-8 -*-
+"""Int8 dynamic-quantized dense path (fddm_asr_tpu/ops/quant.py).
+
+Verifies quantization error bounds, checkpoint interchangeability with
+nn.Dense (identical parameter layout), and that the quantized WavLM
+encoder tracks the full-precision one closely enough for the frozen
+acoustic-condition role.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from fddm_asr_tpu.ops.quant import Int8Dense, int8_matmul, quantize_cols_int8, quantize_rows_int8
+
+
+def _rel_l2(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+class TestQuantPrimitives:
+    def test_row_quant_roundtrip(self):
+        x = jax.random.normal(jax.random.key(0), (64, 128), jnp.float32) * 3.0
+        xq, s = quantize_rows_int8(x)
+        assert xq.dtype == jnp.int8 and s.shape == (64, 1)
+        # per-row symmetric quant: reconstruction error <= scale/2 per element
+        err = np.abs(np.asarray(xq, np.float32) * np.asarray(s) - np.asarray(x))
+        assert np.all(err <= np.asarray(s) * 0.5 + 1e-6)
+
+    def test_col_quant_uses_full_range(self):
+        w = jax.random.normal(jax.random.key(1), (32, 16), jnp.float32)
+        wq, s = quantize_cols_int8(w)
+        assert s.shape == (1, 16)
+        # each column's max magnitude maps to +-127
+        assert np.all(np.max(np.abs(np.asarray(wq, np.int32)), axis=0) == 127)
+
+    def test_int8_matmul_close_to_f32(self):
+        r1, r2 = jax.random.split(jax.random.key(2))
+        x = jax.random.normal(r1, (256, 384), jnp.float32)
+        w = jax.random.normal(r2, (384, 512), jnp.float32) * 0.05
+        y_ref = x @ w
+        y = int8_matmul(x, w, out_dtype=jnp.float32)
+        assert _rel_l2(y, y_ref) < 0.015  # ~1% typical for dynamic int8
+
+    def test_int8_matmul_bias_and_batch_dims(self):
+        r1, r2, r3 = jax.random.split(jax.random.key(3), 3)
+        x = jax.random.normal(r1, (4, 16, 24), jnp.bfloat16)
+        w = jax.random.normal(r2, (24, 8), jnp.float32)
+        b = jax.random.normal(r3, (8,), jnp.float32)
+        y = int8_matmul(x, w, b, out_dtype=jnp.float32)
+        y_ref = x.astype(jnp.float32) @ w + b
+        assert y.shape == (4, 16, 8)
+        assert _rel_l2(y, y_ref) < 0.02
+
+
+class TestInt8Dense:
+    def test_param_layout_matches_nn_dense(self):
+        x = jnp.zeros((2, 8, 24))
+        pq = Int8Dense(16).init(jax.random.key(0), x)
+        pd = nn.Dense(16).init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(pq) == jax.tree_util.tree_structure(pd)
+        for a, b in zip(jax.tree_util.tree_leaves(pq), jax.tree_util.tree_leaves(pd)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_same_params_close_output(self):
+        x = jax.random.normal(jax.random.key(4), (3, 10, 24), jnp.float32)
+        params = nn.Dense(16).init(jax.random.key(5), x)
+        y_ref = nn.Dense(16).apply(params, x)
+        y = Int8Dense(16, dtype=jnp.float32).apply(params, x)
+        assert _rel_l2(y, y_ref) < 0.02
+
+
+class TestQuantizedWavLM:
+    @pytest.mark.parametrize("scan_layers", [False, True])
+    def test_encoder_tracks_full_precision(self, scan_layers):
+        import dataclasses
+
+        from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+        base = dataclasses.replace(
+            WavLMConfig.tiny_for_tests(), scan_layers=scan_layers
+        )
+        quant = dataclasses.replace(base, quant_dense="int8")
+        wave = jax.random.normal(jax.random.key(6), (2, 3200), jnp.float32) * 0.1
+
+        m_ref = WavLMModel(base)
+        m_q = WavLMModel(quant)
+        params = m_ref.init(jax.random.key(7), wave)
+        # identical parameter trees: quantization happens on the fly
+        params_q = m_q.init(jax.random.key(7), wave)
+        assert (
+            jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_q)
+        )
+
+        y_ref = m_ref.apply(params, wave, deterministic=True)
+        y_q = m_q.apply(params, wave, deterministic=True)
+        assert y_q.shape == y_ref.shape
+        err = _rel_l2(y_q, y_ref)
+        assert err < 0.05, f"quantized encoder drifted: rel L2 {err:.4f}"
+        # direction preserved (the decoder consumes c through cross-attention)
+        a = np.asarray(y_ref, np.float64).ravel()
+        b = np.asarray(y_q, np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.995
