@@ -342,9 +342,10 @@ def run_training(
                         os.path.join(ckpt_dir, "best_model"), state, epoch, raw_cfg,
                         best_val_cer, export_pt,
                     )
+                    best_art = "best_model.pt" if export_pt else "best_model.orbax"
                     logging.info(
                         f"Saved BEST model (epoch {best_epoch}, val_cer {best_val_cer:.4f}) "
-                        f"→ {os.path.join(ckpt_dir, 'best_model.pt')}"
+                        f"→ {os.path.join(ckpt_dir, best_art)}"
                     )
             if test_ds is not None and len(test_ds) > 0:
                 test_cer = E.evaluate_cer_with_jumpy_sampling(
@@ -374,7 +375,10 @@ def run_training(
     logging.info("=" * 50)
     logging.info("TRAINING COMPLETED!")
     logging.info(f"Best validation CER: {best_val_cer:.4f} (Epoch {best_epoch})")
-    logging.info(f"Best model saved at: {os.path.join(ckpt_dir, 'best_model.pt')}")
+    logging.info(
+        "Best model saved at: "
+        + os.path.join(ckpt_dir, "best_model.pt" if export_pt else "best_model.orbax")
+    )
     logging.info("=" * 50)
     return summary
 

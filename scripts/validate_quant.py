@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Quantization validation harness: full-precision vs int8-MXU inference.
+
+Loads one trained checkpoint twice — once with the stock encoder, once with
+``wavlm_config.quant_dense="int8"`` (fddm_asr_tpu/ops/quant.py) — runs
+jumpy-sampling transcription over a manifest, and reports per-variant CER
+plus transcript agreement between the two.  This is the evidence gate for
+enabling int8 on a deployment: the quantized encoder must not change
+transcripts (or must change CER within a stated budget).
+
+Usage:
+  python scripts/validate_quant.py --config synth/config.yaml \
+      --ckpt synth/ckpts/best_model.orbax --manifest synth/data/processed/test.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="training config.yaml")
+    ap.add_argument("--ckpt", required=True, help="orbax dir or .pt checkpoint")
+    ap.add_argument("--manifest", required=True, help="manifest JSON with wav paths + text")
+    ap.add_argument("--seq-len", type=int, default=None, help="default: data.max_len")
+    ap.add_argument("--T-infer", type=int, default=None)
+    ap.add_argument("--r", type=int, default=None)
+    ap.add_argument("--device", default=None, help="cpu to force the CPU backend")
+    args = ap.parse_args(argv)
+
+    from fddm_asr_tpu.runtime import enable_compile_cache, force_cpu
+
+    if args.device == "cpu":
+        force_cpu()
+    enable_compile_cache()
+
+    import numpy as np
+
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.data.audio_io import load_audio
+    from fddm_asr_tpu.eval import calculate_cer
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+    from fddm_asr_tpu.tokenizer import load_tokenizer
+
+    cfg = load_config(args.config)
+    tokenizer = load_tokenizer(cfg.data.tokenizer_path)
+    T_infer = args.T_infer or cfg.get("inference", {}).get("T_infer", 20)
+    r = args.r or cfg.get("inference", {}).get("r", 5)
+    seq_len = args.seq_len or cfg.data.get("max_len", 64)
+
+    records = json.load(open(args.manifest, encoding="utf-8"))
+    waves, refs = [], []
+    for rec in records:
+        wav, _ = load_audio(rec["processed_path"], target_sr=16000, mono=True)
+        waves.append(wav)
+        refs.append(rec.get("text") or rec.get("sentence") or "")
+    T = max(len(w) for w in waves)
+    batch = np.zeros((len(waves), T), np.float32)
+    lengths = np.asarray([len(w) for w in waves])
+    for i, w in enumerate(waves):
+        batch[i, : len(w)] = w
+
+    variants = {}
+    for name, quant in (("fp", "none"), ("int8", "int8")):
+        vcfg = cfg.updated({"model": {"encoder": {"wavlm_config": {"quant_dense": quant}}}})
+        pipe = FDDMPipeline.from_config(vcfg, ckpt_path=args.ckpt, tokenizer=tokenizer)
+        texts = pipe.transcribe(
+            batch, lengths, seq_len=seq_len, T_infer=T_infer, r=r, greedy=True,
+        )
+        cer = float(np.mean([calculate_cer(rf, hy) for rf, hy in zip(refs, texts)]))
+        variants[name] = {"texts": texts, "cer": cer}
+
+    fp, q = variants["fp"], variants["int8"]
+    agree = float(np.mean([a == b for a, b in zip(fp["texts"], q["texts"])]))
+    diffs = [
+        {"ref": rf, "fp": a, "int8": b}
+        for rf, a, b in zip(refs, fp["texts"], q["texts"]) if a != b
+    ]
+    print(json.dumps({
+        "n": len(refs),
+        "cer_fp": round(fp["cer"], 4),
+        "cer_int8": round(q["cer"], 4),
+        "transcript_agreement": round(agree, 4),
+        "disagreements": diffs[:10],
+        "T_infer": T_infer, "r": r, "seq_len": seq_len,
+    }, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -245,6 +245,22 @@ def test_resume_from_orbax(trained):
     ])
 
 
+def test_validate_quant_harness(trained, capsys):
+    """fp-vs-int8 validation harness runs end to end and reports agreement."""
+    from scripts.validate_quant import main as vq
+
+    vq([
+        "--config", f"{trained}/config.yaml",
+        "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--manifest", f"{trained}/data/processed/test.json",
+        "--device", "cpu", "--T-infer", "4", "--r", "2",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n"] == 8
+    assert 0.0 <= report["transcript_agreement"] <= 1.0
+    assert "cer_fp" in report and "cer_int8" in report
+
+
 def test_cer_metrics():
     from fddm_asr_tpu.eval import calculate_cer, calculate_wer
 
