@@ -102,7 +102,9 @@ class WavLMConfig:
     # q/k/v/out projections) through the int8 MXU path with dynamic
     # symmetric quantization (per-token activation scales x per-channel
     # weight scales) — ~1.32x on those matmuls on v5e (measured,
-    # scripts/probe_int8.py).  Values: "none" | "int8".  Parameter layout
+    # scripts/probe_int8.py).  Values: "none" | "int8" | "int8_fused"
+    # (the latter runs the same numerics through a single Pallas pass that
+    # keeps activation quantization in VMEM).  Parameter layout
     # is unchanged (quantized on the fly), so checkpoints are shared with
     # the full-precision path.  Inference-only: keep "none" for training
     # and for the f32 parity suite.  See fddm_asr_tpu/ops/quant.py.
@@ -178,11 +180,19 @@ def _gelu(x, approximate: bool = False):
 
 
 def _dense(cfg: "WavLMConfig", features: int, dtype: Dtype, name: str):
-    """nn.Dense, or its int8-MXU drop-in when cfg.quant_dense == "int8"."""
-    if cfg.quant_dense == "int8":
+    """nn.Dense, or its int8-MXU drop-in when cfg.quant_dense != "none".
+
+    "int8" = XLA dynamic-quant path; "int8_fused" = single-pass Pallas
+    kernel (same numerics, quantization fused into the matmul's VMEM
+    residency — fddm_asr_tpu/ops/quant.py::int8_matmul_fused).
+    """
+    if cfg.quant_dense in ("int8", "int8_fused"):
         from fddm_asr_tpu.ops.quant import Int8Dense
 
-        return Int8Dense(features, dtype=dtype, name=name)
+        return Int8Dense(
+            features, dtype=dtype, name=name,
+            fused=cfg.quant_dense == "int8_fused",
+        )
     return nn.Dense(features, dtype=dtype, name=name)
 
 

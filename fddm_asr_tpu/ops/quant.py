@@ -34,9 +34,13 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Dtype = Any
 
@@ -85,12 +89,132 @@ def int8_matmul(
     return y.astype(out_dtype)
 
 
+def _fused_kernel(x_ref, wq_ref, sw_ref, bias_ref, out_ref, xq_ref, sx_ref,
+                  *, out_dtype, eps):
+    """Pallas body: per-row quantize (once per row-block) + int8 MXU matmul
+    + f32 dequant/bias epilogue, all in VMEM.
+
+    Grid is (M, N) with N innermost; the x block's index_map depends only on
+    the M index, so Mosaic keeps it resident across the N sweep and the
+    quantization runs once per row-block (guarded by ``j == 0``), its result
+    parked in VMEM scratch.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quantize_rows():
+        xf = x_ref[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, eps) * (1.0 / 127.0)
+        xq_ref[...] = jnp.clip(jnp.round(xf / scale), -127.0, 127.0).astype(jnp.int8)
+        sx_ref[...] = scale
+
+    acc = jax.lax.dot_general(
+        xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx_ref[...] * sw_ref[...]
+    if bias_ref is not None:
+        y = y + bias_ref[...]
+    out_ref[...] = y.astype(out_dtype)
+
+
+def int8_matmul_fused(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    out_dtype: Dtype = jnp.bfloat16,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    eps: float = 1e-8,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused-quantization variant of :func:`int8_matmul` (single Pallas pass).
+
+    Numerics are identical to the XLA path (same symmetric per-row/
+    per-channel scheme, int32 accumulation, f32 epilogue); the difference is
+    that the activation quantization never round-trips HBM: XLA materializes
+    ``xq`` (an extra read+write of the activations plus a separate abs-max
+    reduction pass, measured at ~245 Teff/s vs the 379 TOPS pure-int8-matmul
+    rate on v5e — scripts/probe_int8_pure.py), while here the row-block is
+    quantized once in VMEM and consumed in place by the MXU.
+
+    Weight quantization stays outside the kernel: it is loop-invariant under
+    ``lax.scan`` over encoder layers, so XLA hoists it out of the scanned
+    body exactly as in the unfused path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    *lead, din = x.shape
+    dout = kernel.shape[1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, din)
+
+    wq, sw = quantize_cols_int8(kernel)
+
+    block_m = min(block_m, max(8, rows))
+    block_n = min(block_n, dout)
+    pad_m = (-rows) % block_m
+    pad_n = (-dout) % block_n
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    if pad_n:
+        wq = jnp.pad(wq, ((0, 0), (0, pad_n)))
+        sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
+    M, N = x2.shape[0], wq.shape[1]
+
+    operands = [x2, wq, sw]
+    in_specs = [
+        pl.BlockSpec((block_m, din), lambda i, j: (i, 0)),
+        pl.BlockSpec((din, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+    ]
+    if bias is not None:
+        b2 = bias.astype(jnp.float32).reshape(1, dout)
+        if pad_n:
+            b2 = jnp.pad(b2, ((0, 0), (0, pad_n)))
+        operands.append(b2)
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j: (0, j)))
+        body = functools.partial(_fused_kernel, out_dtype=out_dtype, eps=eps)
+    else:
+        def body(x_ref, wq_ref, sw_ref, out_ref, xq_ref, sx_ref):
+            return _fused_kernel(
+                x_ref, wq_ref, sw_ref, None, out_ref, xq_ref, sx_ref,
+                out_dtype=out_dtype, eps=eps,
+            )
+
+    out = pl.pallas_call(
+        body,
+        grid=(M // block_m, N // block_n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, din), jnp.int8),
+            pltpu.VMEM((block_m, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    if pad_m or pad_n:
+        out = out[:rows, :dout]
+    return out.reshape(*lead, dout)
+
+
 class Int8Dense(nn.Module):
     """Drop-in nn.Dense replacement running its matmul on the int8 MXU.
 
     Parameter layout is bit-identical to ``nn.Dense`` (``kernel`` [din,
     features], optional ``bias`` [features]) so checkpoints are
-    interchangeable with the full-precision configuration.
+    interchangeable with the full-precision configuration.  ``fused=True``
+    routes through the single-pass Pallas kernel (int8_matmul_fused).
     """
 
     features: int
@@ -99,6 +223,7 @@ class Int8Dense(nn.Module):
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros_init()
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -110,4 +235,6 @@ class Int8Dense(nn.Module):
             self.param("bias", self.bias_init, (self.features,), self.param_dtype)
             if self.use_bias else None
         )
+        if self.fused:
+            return int8_matmul_fused(x, kernel, bias, out_dtype=self.dtype)
         return int8_matmul(x, kernel, bias, out_dtype=self.dtype)

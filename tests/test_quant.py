@@ -12,7 +12,13 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from fddm_asr_tpu.ops.quant import Int8Dense, int8_matmul, quantize_cols_int8, quantize_rows_int8
+from fddm_asr_tpu.ops.quant import (
+    Int8Dense,
+    int8_matmul,
+    int8_matmul_fused,
+    quantize_cols_int8,
+    quantize_rows_int8,
+)
 
 
 def _rel_l2(a, b):
@@ -54,6 +60,54 @@ class TestQuantPrimitives:
         y_ref = x.astype(jnp.float32) @ w + b
         assert y.shape == (4, 16, 8)
         assert _rel_l2(y, y_ref) < 0.02
+
+
+class TestFusedKernel:
+    """int8_matmul_fused must reproduce the XLA path's numerics exactly:
+    same quantized integers, same f32 epilogue — only the scheduling
+    (VMEM-resident quantization) differs."""
+
+    def test_matches_unfused_exactly(self):
+        r1, r2, r3 = jax.random.split(jax.random.key(10), 3)
+        x = jax.random.normal(r1, (96, 128), jnp.float32)
+        w = jax.random.normal(r2, (128, 256), jnp.float32) * 0.05
+        b = jax.random.normal(r3, (256,), jnp.float32)
+        y_ref = int8_matmul(x, w, b, out_dtype=jnp.float32)
+        y = int8_matmul_fused(x, w, b, out_dtype=jnp.float32,
+                              block_m=32, block_n=128)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_padded_edges_and_no_bias(self):
+        # rows/dout not multiples of the block sizes exercise the pad+slice path
+        r1, r2 = jax.random.split(jax.random.key(11))
+        x = jax.random.normal(r1, (3, 17, 64), jnp.bfloat16)
+        w = jax.random.normal(r2, (64, 136), jnp.float32)
+        y_ref = int8_matmul(x, w, out_dtype=jnp.float32)
+        y = int8_matmul_fused(x, w, out_dtype=jnp.float32,
+                              block_m=32, block_n=128)
+        assert y.shape == (3, 17, 136)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_wavlm_fused_matches_int8(self):
+        import dataclasses
+
+        from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+        base = dataclasses.replace(
+            WavLMConfig.tiny_for_tests(), quant_dense="int8"
+        )
+        fused = dataclasses.replace(base, quant_dense="int8_fused")
+        wave = jax.random.normal(jax.random.key(12), (2, 3200), jnp.float32) * 0.1
+        m_a, m_b = WavLMModel(base), WavLMModel(fused)
+        params = m_a.init(jax.random.key(13), wave)
+        y_a = m_a.apply(params, wave, deterministic=True)
+        y_b = m_b.apply(params, wave, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(y_a, np.float32), np.asarray(y_b, np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
 
 
 class TestInt8Dense:
