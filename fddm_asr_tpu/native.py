@@ -30,13 +30,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-s"],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except (OSError, subprocess.SubprocessError):
+        try:
+            # no-op when the .so is newer than the source; rebuilds stale ones
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            if not os.path.exists(_SO_PATH):
                 return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
@@ -53,6 +54,23 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
+        try:
+            lib.bpe_new.restype = ctypes.c_void_p
+            lib.bpe_new.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32, ctypes.c_int32,
+            ]
+            lib.bpe_free.restype = None
+            lib.bpe_free.argtypes = [ctypes.c_void_p]
+            lib.bpe_encode_batch.restype = ctypes.c_int64
+            lib.bpe_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+        except AttributeError:  # stale .so built before bpe_* existed
+            pass
         _lib = lib
         return _lib
 
@@ -123,3 +141,75 @@ def _levenshtein_py(a: np.ndarray, b: np.ndarray) -> int:
                 cur[j] = cur[j - 1] + 1
         prev = cur
     return int(prev[m])
+
+
+class BpeEncoder:
+    """Native BPE merge-loop encoder over a piece table (native bpe_* ABI).
+
+    Construct with the tokenizer's piece table; ``encode_batch`` takes
+    POST-normalization texts (dummy prefix added, spaces already escaped to
+    U+2581 — i.e. the exact string spm.py hands its merge loop) and returns
+    per-text id lists.  Returns None from ``create`` when the native library
+    (or the bpe_* symbols) is unavailable; callers fall back to the Python
+    codec, which implements the identical algorithm.
+    """
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+
+    @classmethod
+    def create(cls, pieces: Sequence[str], scores: Sequence[float],
+               types: Sequence[int], unk_id: int) -> Optional["BpeEncoder"]:
+        lib = _load()
+        if lib is None or not hasattr(lib, "bpe_new"):
+            return None
+        blobs = [p.encode("utf-8") for p in pieces]
+        offs = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        concat = b"".join(blobs)
+        sc = np.ascontiguousarray(scores, np.float64)
+        ty = np.ascontiguousarray(types, np.uint8)
+        handle = lib.bpe_new(
+            concat, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ty.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(blobs), int(unk_id),
+        )
+        if not handle:
+            return None
+        return cls(lib, handle)
+
+    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        blobs = [t.encode("utf-8") for t in texts]
+        offs = np.zeros(len(blobs) + 1, np.int64)
+        np.cumsum([len(b) for b in blobs], out=offs[1:])
+        concat = b"".join(blobs)
+        # one id per codepoint is the worst case
+        cap = max(1, sum(len(t) for t in texts))
+        out = np.zeros(cap, np.int32)
+        counts = np.zeros(max(1, len(blobs)), np.int32)
+        total = self._lib.bpe_encode_batch(
+            self._handle, concat,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(blobs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if total < 0:  # capacity miscount: should be impossible
+            raise RuntimeError("bpe_encode_batch capacity exceeded")
+        res: List[List[int]] = []
+        pos = 0
+        for c in counts[: len(blobs)]:
+            res.append(out[pos: pos + int(c)].tolist())
+            pos += int(c)
+        return res
+
+    def encode(self, text: str) -> List[int]:
+        return self.encode_batch([text])[0]
+
+    def __del__(self):
+        try:
+            self._lib.bpe_free(self._handle)
+        except Exception:
+            pass

@@ -44,6 +44,8 @@ class SentencePieceProcessor:
         self._unk_id = 0
         self._add_dummy_prefix = True
         self._remove_extra_ws = True
+        self._native = None
+        self._native_tried = False
         if model_file:
             self.load(model_file)
 
@@ -63,6 +65,8 @@ class SentencePieceProcessor:
         self._unk_id = model.unk_id
         self._add_dummy_prefix = model.add_dummy_prefix
         self._remove_extra_ws = model.remove_extra_whitespaces
+        self._native = None          # C++ merge loop (native/fddm_native.cc)
+        self._native_tried = False
 
     def _load_vocab_tsv(self, path: str) -> None:
         """Build from a `.vocab` tsv; first <unk> is UNKNOWN, <s></s><pad> CONTROL."""
@@ -113,13 +117,36 @@ class SentencePieceProcessor:
         return text
 
     # ---------------------------------------------------------------- encode
-    def encode_as_pieces(self, text: str) -> List[str]:
+    def _pretokenize(self, text: str) -> str:
+        """normalize + dummy prefix + U+2581 escaping — the merge-loop input."""
         text = self._normalize(text)
         if not text:
-            return []
+            return ""
         if self._add_dummy_prefix:
             text = " " + text
-        text = text.replace(" ", WS)
+        return text.replace(" ", WS)
+
+    def _native_encoder(self):
+        """Lazily builds the C++ merge-loop encoder (None when unavailable)."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from fddm_asr_tpu.native import BpeEncoder
+
+                self._native = BpeEncoder.create(
+                    [p.piece for p in self._pieces],
+                    [p.score for p in self._pieces],
+                    [p.type for p in self._pieces],
+                    self._unk_id,
+                )
+            except Exception:
+                self._native = None
+        return self._native
+
+    def encode_as_pieces(self, text: str) -> List[str]:
+        text = self._pretokenize(text)
+        if not text:
+            return []
 
         symbols: List[str] = list(text)
         # BPE merge with a lazy heap: entries (neg_score, position, left, right)
@@ -162,9 +189,16 @@ class SentencePieceProcessor:
     EncodeAsPieces = encode_as_pieces
 
     def encode(self, text: str, out_type=int) -> List:
-        pieces = self.encode_as_pieces(text)
         if out_type is str:
-            return pieces
+            return self.encode_as_pieces(text)
+        native = self._native_encoder()
+        if native is not None:
+            return native.encode(self._pretokenize(text))
+        return self._encode_ids_py(text)
+
+    def _encode_ids_py(self, text: str) -> List[int]:
+        """Pure-Python reference path (also the no-toolchain fallback)."""
+        pieces = self.encode_as_pieces(text)
         ids: List[int] = []
         for p in pieces:
             pid = self._piece_to_id.get(p)

@@ -117,3 +117,56 @@ class TestTraining:
         sp_vocab = SentencePieceProcessor(prefix + ".vocab")
         text = "我們可以一起交流"
         assert sp_model.encode(text) == sp_vocab.encode(text)
+
+
+class TestNativeBpeParity:
+    """The C++ merge loop (native/fddm_native.cc bpe_*) must produce
+    token-for-token identical ids to the pure-Python codec on every input."""
+
+    CASES = [
+        "我們可以一起交流",
+        "台灣的高速公路很大",
+        "hello world",
+        "mixed 中英 text  with   spaces",
+        "",
+        " ",
+        "\t\n我們\r",
+        "ascii-only punctuation!?",
+        "🎸 emoji and ∑ symbols",
+        "我" * 200,
+    ]
+
+    def _check(self, sp):
+        from fddm_asr_tpu.native import available
+
+        if not available() or sp._native_encoder() is None:
+            pytest.skip("native library unavailable")
+        for text in self.CASES:
+            ids_native = sp.encode(text)
+            ids_py = sp._encode_ids_py(text)
+            assert ids_native == ids_py, f"native/python mismatch on {text!r}"
+            # decode round-trips through the same surface either way
+            assert sp.decode(ids_native) == sp.decode(ids_py)
+
+    @pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+    def test_shipped_vocab(self):
+        self._check(load_tokenizer(REF_VOCAB))
+
+    def test_trained_toy_vocab(self, tmp_path):
+        model = train_bpe(CORPUS, vocab_size=128)
+        path = os.path.join(tmp_path, "toy.model")
+        with open(path, "wb") as f:
+            f.write(mp.serialize_model(model))
+        self._check(SentencePieceProcessor(path))
+
+    def test_batch_matches_single(self):
+        if not has_reference():
+            pytest.skip("reference repo not mounted")
+        sp = load_tokenizer(REF_VOCAB)
+        enc = sp._native_encoder()
+        if enc is None:
+            pytest.skip("native library unavailable")
+        texts = [sp._pretokenize(t) for t in self.CASES]
+        batched = enc.encode_batch(texts)
+        singles = [enc.encode(t) for t in texts]
+        assert batched == singles
