@@ -161,3 +161,34 @@ class TestQuantizedWavLM:
         b = np.asarray(y_q, np.float64).ravel()
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.995
+
+
+def test_training_with_int8_encoder(tmp_path):
+    """Training with the quantized frozen encoder runs end-to-end: the int8
+    path is inference-only math (no grads flow through the encoder), so it
+    is equally valid under the training step; loss must stay finite and
+    checkpoints must materialize."""
+    import io
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.make_synth_data import main as make
+
+    out = str(tmp_path / "synth")
+    make(["--out", out, "--n", "4", "--seconds", "0.5"])
+    cfg_path = os.path.join(out, "config.yaml")
+    cfg_text = open(cfg_path).read()
+    cfg_text = cfg_text.replace(
+        "    wavlm_name: tiny",
+        "    wavlm_name: tiny\n    wavlm_config:\n      quant_dense: int8",
+    )
+    open(cfg_path, "w").write(cfg_text)
+
+    import train as train_cli
+
+    train_cli.main([
+        "--config", cfg_path, "--device", "cpu", "--mesh", "data=4,model=2",
+        "--max-steps-per-epoch", "2", "--no-pt-export",
+    ])
+    assert os.path.isdir(os.path.join(out, "ckpts", "ep001.orbax"))
