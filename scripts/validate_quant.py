@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)
     ap.add_argument("--device", default=None, help="cpu to force the CPU backend")
+    ap.add_argument("--variants", default="fp,int8",
+                    help="comma list; first is the baseline (fp|int8|int8_fused)")
     args = ap.parse_args(argv)
 
     from fddm_asr_tpu.runtime import enable_compile_cache, force_cpu
@@ -67,8 +69,10 @@ def main(argv=None):
     for i, w in enumerate(waves):
         batch[i, : len(w)] = w
 
+    names = [v.strip() for v in args.variants.split(",") if v.strip()]
     variants = {}
-    for name, quant in (("fp", "none"), ("int8", "int8")):
+    for name in names:
+        quant = "none" if name == "fp" else name
         vcfg = cfg.updated({"model": {"encoder": {"wavlm_config": {"quant_dense": quant}}}})
         pipe = FDDMPipeline.from_config(vcfg, ckpt_path=args.ckpt, tokenizer=tokenizer)
         texts = pipe.transcribe(
@@ -77,20 +81,21 @@ def main(argv=None):
         cer = float(np.mean([calculate_cer(rf, hy) for rf, hy in zip(refs, texts)]))
         variants[name] = {"texts": texts, "cer": cer}
 
-    fp, q = variants["fp"], variants["int8"]
-    agree = float(np.mean([a == b for a, b in zip(fp["texts"], q["texts"])]))
-    diffs = [
-        {"ref": rf, "fp": a, "int8": b}
-        for rf, a, b in zip(refs, fp["texts"], q["texts"]) if a != b
-    ]
-    print(json.dumps({
-        "n": len(refs),
-        "cer_fp": round(fp["cer"], 4),
-        "cer_int8": round(q["cer"], 4),
-        "transcript_agreement": round(agree, 4),
-        "disagreements": diffs[:10],
-        "T_infer": T_infer, "r": r, "seq_len": seq_len,
-    }, ensure_ascii=False))
+    fp = variants[names[0]]
+    report = {"n": len(refs), f"cer_{names[0]}": round(fp["cer"], 4)}
+    diffs = []
+    for name in names[1:]:
+        q = variants[name]
+        agree = float(np.mean([a == b for a, b in zip(fp["texts"], q["texts"])]))
+        report[f"cer_{name}"] = round(q["cer"], 4)
+        report[f"transcript_agreement_{name}" if len(names) > 2 else "transcript_agreement"] = round(agree, 4)
+        diffs += [
+            {"ref": rf, names[0]: a, name: b}
+            for rf, a, b in zip(refs, fp["texts"], q["texts"]) if a != b
+        ]
+    report["disagreements"] = diffs[:10]
+    report.update({"T_infer": T_infer, "r": r, "seq_len": seq_len})
+    print(json.dumps(report, ensure_ascii=False))
 
 
 if __name__ == "__main__":
