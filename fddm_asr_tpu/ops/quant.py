@@ -156,8 +156,11 @@ def int8_matmul_fused(
 
     wq, sw = quantize_cols_int8(kernel)
 
-    block_m = min(block_m, max(8, rows))
-    block_n = min(block_n, dout)
+    # clamp blocks to the (padded) problem, keeping TPU tile alignment:
+    # sublane multiples of 8 for the row block, lane multiples of 128 for
+    # the output-channel block
+    block_m = min(block_m, -(-rows // 8) * 8)
+    block_n = min(block_n, -(-dout // 128) * 128)
     pad_m = (-rows) % block_m
     pad_n = (-dout) % block_n
     if pad_m:

@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--max-len", type=int, default=128)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--lfd", action="store_true", help="include the L_fd step variant")
+    ap.add_argument("--quant", default="none",
+                    help="encoder quant_dense for the frozen forward: none|int8|int8_fused")
     args = ap.parse_args(argv)
 
     from fddm_asr_tpu.runtime import enable_compile_cache
@@ -48,7 +50,10 @@ def main(argv=None):
             "d_model": d_model, "nhead": 12, "num_layers": 6, "dim_ff": 2048,
             "dropout": 0.1,
             "encoder": {"wavlm_name": "microsoft/wavlm-large", "freeze": True,
-                        "proj": "linear", "pooling": "none"},
+                        "proj": "linear", "pooling": "none",
+                        # int8 on the frozen encoder is training-valid: no
+                        # grads flow through it (tests/test_quant.py)
+                        "wavlm_config": {"quant_dense": args.quant}},
             "projector": {"d_proj": d_proj},
         },
         "diffusion": {"T": 200, "beta_max": 0.2},
