@@ -161,6 +161,21 @@ def int8_matmul_fused(
     # the output-channel block
     block_m = min(block_m, -(-rows // 8) * 8)
     block_n = min(block_n, -(-dout // 128) * 128)
+
+    # fit the working set under the TPU's ~16 MB scoped-VMEM limit
+    # (double-buffered x/w/out blocks + xq/sx scratch + int32 acc + f32 y)
+    def _vmem_bytes(bm, bn):
+        x_bytes = 2 if x2.dtype == jnp.bfloat16 else 4
+        return (2 * bm * din * x_bytes + bm * din      # x in (x2) + xq scratch
+                + 2 * din * bn                          # wq in (x2)
+                + 2 * bm * bn * 2                       # out (x2)
+                + bm * bn * 8)                          # acc int32 + y f32
+
+    vmem_budget = 13 * 2**20  # measured sweet spot (probe_int8_fused)
+    while block_m > 64 and _vmem_bytes(block_m, block_n) > vmem_budget:
+        block_m //= 2
+    while block_n > 128 and _vmem_bytes(block_m, block_n) > vmem_budget:
+        block_n //= 2
     pad_m = (-rows) % block_m
     pad_n = (-dout) % block_n
     if pad_m:

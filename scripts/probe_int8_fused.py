@@ -9,7 +9,11 @@ Compares three implementations of the same dynamic-quant matmul chain
 Anchors: pure int8 matmul = 379 TOPS, +f32 dequant = 329, XLA dynamic
 path = 245 (scripts/probe_int8_pure.py / probe_int8.py).
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
