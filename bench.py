@@ -46,6 +46,10 @@ def main():
 
     platform = jax.devices()[0].platform
     K = 8000
+    # BENCH_MODEL=paper benches the 253 M decoder (configs/fddm_zhTW_253m.yaml
+    # geometry: d1024 x 12 x ff4096, scanned blocks) instead of the d768x6
+    # flagship; the recorded headline stays the flagship.
+    model_scale = os.environ.get("BENCH_MODEL", "base")
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     fused_fe = os.environ.get("BENCH_FUSED_FRONTEND", "0") == "1"
     # with the head-packed kernel, 128-aligned frames make every wrapper
@@ -68,10 +72,15 @@ def main():
         fused_frontend=fused_fe, seq_pad_multiple=seq_pad,
         gelu_approx_tanh=gelu_tanh, quant_dense=quant,
     )
-    encoder = AcousticEncoder(config=wavlm_cfg, d_model=768, dtype=jnp.bfloat16)
+    if model_scale == "paper":
+        d_model, nhead, n_layers, dim_ff, scan_blocks = 1024, 16, 12, 4096, True
+    else:
+        d_model, nhead, n_layers, dim_ff, scan_blocks = 768, 12, 6, 2048, False
+    encoder = AcousticEncoder(config=wavlm_cfg, d_model=d_model, dtype=jnp.bfloat16)
     decoder = DenoisingTransformerDecoder(
-        vocab_size=K, d_model=768, nhead=12, num_layers=6, dim_ff=2048,
-        max_len=1024, pad_id=0, dtype=jnp.bfloat16,
+        vocab_size=K, d_model=d_model, nhead=nhead, num_layers=n_layers,
+        dim_ff=dim_ff, max_len=1024, pad_id=0, dtype=jnp.bfloat16,
+        scan_blocks=scan_blocks,
     )
     sched = D.make_schedule(K, 200, 0.2)
     scfg = SamplerConfig(K=K, T_train=200, T_infer=20, r=5, greedy=True,
@@ -87,7 +96,7 @@ def main():
     enc_params = encoder.init(r_enc, wave[:1])
     dec_params = decoder.init(
         r_dec, jnp.zeros((1, seq_len), jnp.int32), jnp.ones((1,), jnp.int32),
-        jnp.zeros((1, S, 768)),
+        jnp.zeros((1, S, d_model)),
     )
     init_s = time.perf_counter() - t0
 
@@ -147,7 +156,7 @@ def main():
         "step_seconds": round(step_s, 4),
         "single_step_latency_seconds": round(latency_s, 4),
         "compile_seconds": round(compile_s, 1),
-        "config": "wavlm-large + d768x6, T_infer=20 r=5 exact greedy bf16"
+        "config": f"wavlm-large + d{d_model}x{n_layers}, T_infer=20 r=5 exact greedy bf16"
                   + (" fused-attn" if fused else "")
                   + (" fused-frontend" if fused_fe else "")
                   + (f" seqpad{seq_pad}" if seq_pad > 1 else "")

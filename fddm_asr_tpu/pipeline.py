@@ -315,9 +315,25 @@ class FDDMPipeline:
         rng: Optional[jax.Array] = None,
         **sampling,
     ) -> List[str]:
+        return [t for t, _ in self.transcribe_with_ids(
+            wave, lengths, seq_len=seq_len, rng=rng, **sampling)]
+
+    def transcribe_with_ids(
+        self,
+        wave: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        seq_len: int = 64,
+        rng: Optional[jax.Array] = None,
+        **sampling,
+    ):
+        """Like transcribe, but returns [(text, raw_ids list)] per utterance
+        (the reference's result JSON carries both — inference.py:247-255)."""
         if wave.ndim == 1:
             wave = wave[None]
         c, c_mask = self.encode_waveform(wave, lengths)
         rng = rng if rng is not None else jax.random.key(0)
         ids, _ = self.sample(rng, c, seq_len=seq_len, c_mask=c_mask, **sampling)
-        return [self.ids_to_text(ids[i]) for i in range(ids.shape[0])]
+        return [
+            (self.ids_to_text(ids[i]), np.asarray(ids[i]).tolist())
+            for i in range(ids.shape[0])
+        ]

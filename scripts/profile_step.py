@@ -32,7 +32,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def build_transcribe(batch, seconds, seq_len, gelu_tanh, seq_pad):
+def build_transcribe(batch, seconds, seq_len, gelu_tanh, seq_pad,
+                     quant="none"):
     from fddm_asr_tpu.models.decoder import DenoisingTransformerDecoder
     from fddm_asr_tpu.models.encoder import AcousticEncoder
     from fddm_asr_tpu.models.wavlm import WavLMConfig
@@ -43,6 +44,7 @@ def build_transcribe(batch, seconds, seq_len, gelu_tanh, seq_pad):
     wavlm_cfg = dataclasses.replace(
         WavLMConfig.large(), scan_layers=True, fused_attention=True,
         gelu_approx_tanh=gelu_tanh, seq_pad_multiple=seq_pad,
+        quant_dense=quant,
     )
     encoder = AcousticEncoder(config=wavlm_cfg, d_model=768, dtype=jnp.bfloat16)
     decoder = DenoisingTransformerDecoder(
@@ -115,10 +117,12 @@ def main():
     ap.add_argument("--gelu-tanh", type=int, default=1)
     ap.add_argument("--seq-pad", type=int, default=1)
     ap.add_argument("--out", default="/tmp/jaxtrace")
+    ap.add_argument("--quant", default="none", help="none|int8|int8_fused")
     args = ap.parse_args()
 
     transcribe, (enc_params, dec_params, wave) = build_transcribe(
-        args.batch, args.seconds, args.seq_len, bool(args.gelu_tanh), args.seq_pad
+        args.batch, args.seconds, args.seq_len, bool(args.gelu_tanh),
+        args.seq_pad, quant=args.quant,
     )
     # warm-up/compile outside the trace
     jax.block_until_ready(transcribe(enc_params, dec_params, wave, jax.random.key(1)))

@@ -1,0 +1,330 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Batching HTTP inference server for FDDM-ASR-TPU.
+
+Production-style serving front-end over FDDMPipeline: concurrent HTTP
+requests are gathered by a background batcher into device batches (dynamic
+batching with a max-wait window), padded to duration buckets so every batch
+shape reuses ONE compiled program per bucket (remote XLA compiles cost
+30-60 s in this environment — see inference.py's CSV bucketing, which this
+mirrors), and answered with the reference's result-JSON schema
+(/root/reference/inference.py:247-255: wav/text/ids/T_infer/r/greedy/
+posterior_mode).
+
+The reference has no serving layer (SURVEY §1: "no serving layer"); this is
+framework surface beyond parity, built TPU-first: batches ride the same
+jitted transcribe program as bench.py, and JAX async dispatch overlaps the
+next batch's host work with device execution.
+
+Endpoints:
+  POST /v1/transcribe   body = WAV bytes (Content-Type: audio/wav), or
+                        JSON {"path": "/abs/file.wav"}; optional query
+                        params seq_len/T_infer/r are fixed server-wide.
+  GET  /healthz         liveness + config echo
+  GET  /stats           request counts, latency percentiles, batch sizes,
+                        audio seconds served, running RTFx
+
+Usage:
+  python serve.py --config cfg.yaml --ckpt ckpts/best_model.orbax \
+      [--port 8080] [--max-batch 16] [--max-wait-ms 20] [--device cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("wave", "name", "done", "result", "t_enqueue")
+
+    def __init__(self, wave: np.ndarray, name: str):
+        self.wave = wave
+        self.name = name
+        self.done = threading.Event()
+        self.result = None
+        self.t_enqueue = time.perf_counter()
+
+
+class BatchingEngine:
+    """Gathers requests into bucketed device batches and transcribes them.
+
+    One background thread owns the device; HTTP threads only enqueue and
+    wait.  This honors the one-TPU-client constraint by construction and
+    keeps all compiled-shape decisions in one place.
+    """
+
+    def __init__(self, pipeline, sampling: dict, seq_len: int,
+                 max_batch: int = 16, max_wait_ms: float = 20.0,
+                 bucket_seconds: float = 1.0, max_seconds: float = 30.0):
+        self.pipeline = pipeline
+        self.sampling = sampling
+        self.seq_len = seq_len
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.bucket = int(bucket_seconds * 16000)
+        self.max_samples = int(max_seconds * 16000)
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0, "errors": 0, "batches": 0,
+            "audio_seconds": 0.0, "device_seconds": 0.0,
+            "batch_sizes": [], "latencies_ms": [],
+        }
+        self._stop = threading.Event()
+        self._rng_counter = 0
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    # ------------------------------------------------------------------ api
+    def submit(self, wave: np.ndarray, name: str) -> dict:
+        if len(wave) > self.max_samples:
+            wave = wave[: self.max_samples]
+        req = _Request(np.asarray(wave, np.float32), name)
+        self.q.put(req)
+        req.done.wait()
+        return req.result
+
+    def shutdown(self):
+        self._stop.set()
+        self.thread.join(timeout=5)
+
+    # ------------------------------------------------------------ internals
+    def _gather(self) -> List[_Request]:
+        try:
+            first = self.q.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        import jax
+
+        while not self._stop.is_set():
+            batch = self._gather()
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            try:
+                # one duration bucket per batch: pad to the longest request's
+                # bucket so co-batched shorter clips share the program
+                longest = max(len(r.wave) for r in batch)
+                T = -(-max(longest, 1) // self.bucket) * self.bucket
+                wave = np.zeros((len(batch), T), np.float32)
+                lengths = np.zeros((len(batch),), np.int64)
+                for i, r in enumerate(batch):
+                    wave[i, : len(r.wave)] = r.wave
+                    lengths[i] = len(r.wave)
+                self._rng_counter += 1
+                texts_ids = self.pipeline.transcribe_with_ids(
+                    wave, lengths, seq_len=self.seq_len,
+                    rng=jax.random.key(self._rng_counter), **self.sampling,
+                )
+                device_s = time.perf_counter() - t0
+                now = time.perf_counter()
+                for r, (text, ids) in zip(batch, texts_ids):
+                    r.result = {
+                        "wav": r.name, "text": text,
+                        "ids": ids,
+                        "T_infer": self.sampling.get("T_infer"),
+                        "r": self.sampling.get("r"),
+                        "greedy": self.sampling.get("greedy", True),
+                        "posterior_mode": self.sampling.get("posterior_mode", "average"),
+                    }
+                    r.done.set()
+                with self.stats_lock:
+                    self.stats["requests"] += len(batch)
+                    self.stats["batches"] += 1
+                    self.stats["audio_seconds"] += float(lengths.sum()) / 16000.0
+                    self.stats["device_seconds"] += device_s
+                    self.stats["batch_sizes"].append(len(batch))
+                    self.stats["latencies_ms"] += [
+                        (now - r.t_enqueue) * 1e3 for r in batch
+                    ]
+            except Exception as e:  # noqa: BLE001 - per-batch fault isolation
+                for r in batch:
+                    if not r.done.is_set():
+                        r.result = {"wav": r.name, "error": str(e)}
+                        r.done.set()
+                with self.stats_lock:
+                    self.stats["errors"] += len(batch)
+
+    def stats_snapshot(self) -> dict:
+        with self.stats_lock:
+            lat = sorted(self.stats["latencies_ms"])[-1000:]
+            snap = {
+                "requests": self.stats["requests"],
+                "errors": self.stats["errors"],
+                "batches": self.stats["batches"],
+                "audio_seconds": round(self.stats["audio_seconds"], 2),
+                "mean_batch_size": (
+                    round(float(np.mean(self.stats["batch_sizes"])), 2)
+                    if self.stats["batch_sizes"] else 0.0
+                ),
+                "rtfx": (
+                    round(self.stats["audio_seconds"] / self.stats["device_seconds"], 1)
+                    if self.stats["device_seconds"] > 0 else None
+                ),
+            }
+            if lat:
+                snap["latency_ms"] = {
+                    "p50": round(lat[len(lat) // 2], 1),
+                    "p95": round(lat[int(len(lat) * 0.95)], 1),
+                    "max": round(lat[-1], 1),
+                }
+            return snap
+
+
+def _decode_wav_bytes(body: bytes, target_sr: int = 16000) -> np.ndarray:
+    from fddm_asr_tpu.data.audio_io import load_wav, resample
+
+    data, sr = load_wav(io.BytesIO(body))
+    if data.ndim > 1:
+        data = data.mean(axis=0)
+    if sr != target_sr:
+        data = resample(data, sr, target_sr)
+    return np.asarray(data, np.float32)
+
+
+def make_handler(engine: BatchingEngine, config_echo: dict):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            payload = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._reply(200, {"status": "ok", **config_echo})
+            elif self.path.startswith("/stats"):
+                self._reply(200, engine.stats_snapshot())
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if not self.path.startswith("/v1/transcribe"):
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                ctype = (self.headers.get("Content-Type") or "").lower()
+                if ctype.startswith("application/json"):
+                    req = json.loads(body.decode("utf-8"))
+                    path = req["path"]
+                    from fddm_asr_tpu.data.audio_io import load_audio
+
+                    wave, _ = load_audio(path, target_sr=16000, mono=True)
+                    name = path
+                else:
+                    wave = _decode_wav_bytes(body)
+                    name = f"<upload:{n}B>"
+            except Exception as e:  # noqa: BLE001 - bad request isolation
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+            result = engine.submit(wave, name)
+            self._reply(200 if "error" not in result else 500, result)
+
+    return Handler
+
+
+def build_server(args) -> ThreadingHTTPServer:
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+    from fddm_asr_tpu.tokenizer import load_tokenizer
+
+    cfg = load_config(args.config)
+    tokenizer = load_tokenizer(args.tokenizer or cfg.data.tokenizer_path)
+    pipeline = FDDMPipeline.from_config(
+        cfg, ckpt_path=args.ckpt, tokenizer=tokenizer,
+        use_condition_mask=True,  # bucket padding must not alter transcripts
+    )
+    inf = cfg.get("inference", {})
+    sampling = {
+        "T_infer": args.T_infer or inf.get("T_infer", 20),
+        "r": args.r or inf.get("r", 5),
+        "greedy": True,
+    }
+    seq_len = args.seq_len or cfg.data.get("max_len", 64)
+    engine = BatchingEngine(
+        pipeline, sampling, seq_len,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        bucket_seconds=args.bucket_seconds,
+    )
+    echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
+            "max_batch": args.max_batch}
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(engine, echo))
+    server.engine = engine  # for tests / shutdown
+    return server
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description="FDDM-ASR-TPU inference server")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--bucket-seconds", type=float, default=1.0)
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--T-infer", type=int, default=None)
+    ap.add_argument("--r", type=int, default=None)
+    ap.add_argument("--device", default=None, help="cpu forces the CPU backend")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device == "cpu":
+        from fddm_asr_tpu.runtime import force_cpu
+
+        force_cpu()
+    from fddm_asr_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    server = build_server(args)
+    print(json.dumps({"serving": f"http://{args.host}:{server.server_address[1]}",
+                      "endpoints": ["/v1/transcribe", "/healthz", "/stats"]}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()
