@@ -67,6 +67,9 @@ def main():
     # "int8_fused" selects the Pallas kernel (faster in isolation, slower
     # e2e — it breaks XLA's LN/residual/GELU epilogue fusions).
     quant = os.environ.get("BENCH_QUANT", "int8")
+    # BENCH_QUANT_DEC=int8 also quantizes the decoder's projections/FFN/head
+    # (models/decoder.py::_qdense); gate: validate_quant.py variant int8_all.
+    quant_dec = os.environ.get("BENCH_QUANT_DEC", "none")
     wavlm_cfg = dataclasses.replace(
         WavLMConfig.large(), scan_layers=True, fused_attention=fused,
         fused_frontend=fused_fe, seq_pad_multiple=seq_pad,
@@ -80,7 +83,7 @@ def main():
     decoder = DenoisingTransformerDecoder(
         vocab_size=K, d_model=d_model, nhead=nhead, num_layers=n_layers,
         dim_ff=dim_ff, max_len=1024, pad_id=0, dtype=jnp.bfloat16,
-        scan_blocks=scan_blocks,
+        scan_blocks=scan_blocks, quant_dense=quant_dec,
     )
     sched = D.make_schedule(K, 200, 0.2)
     scfg = SamplerConfig(K=K, T_train=200, T_infer=20, r=5, greedy=True,
@@ -161,7 +164,8 @@ def main():
                   + (" fused-frontend" if fused_fe else "")
                   + (f" seqpad{seq_pad}" if seq_pad > 1 else "")
                   + (" gelu-tanh" if gelu_tanh else "")
-                  + (f" quant-{quant}" if quant != "none" else ""),
+                  + (f" quant-{quant}" if quant != "none" else "")
+                  + (f" dec-quant-{quant_dec}" if quant_dec != "none" else ""),
     }))
 
 

@@ -127,6 +127,22 @@ class FiLMLayer(nn.Module):
         return x * (1.0 + scale) + shift
 
 
+def _qdense(quant: str, features: int, dtype, name: str):
+    """nn.Dense, or the int8-MXU drop-in (same param layout) when quant=="int8".
+
+    The decoder is trained but FIXED at inference, so dynamic symmetric
+    quantization applies exactly as for the frozen encoder
+    (fddm_asr_tpu/ops/quant.py); inference-only — training configs keep
+    "none".  Quality-gated at the transcript level by
+    scripts/validate_quant.py --variants (decoder rows).
+    """
+    if quant == "int8":
+        from fddm_asr_tpu.ops.quant import Int8Dense
+
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class MultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent (separate q/k/v/out Dense).
 
@@ -140,6 +156,7 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    quant_dense: str = "none"
 
     @nn.compact
     def __call__(
@@ -153,9 +170,9 @@ class MultiheadAttention(nn.Module):
         B, Lq, _ = query.shape
         Lk = key.shape[1]
         dh = self.d_model // self.nhead
-        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(key)
-        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(value)
+        q = _qdense(self.quant_dense, self.d_model, self.dtype, "q_proj")(query)
+        k = _qdense(self.quant_dense, self.d_model, self.dtype, "k_proj")(key)
+        v = _qdense(self.quant_dense, self.d_model, self.dtype, "v_proj")(value)
         q = q.reshape(B, Lq, self.nhead, dh)
         k = k.reshape(B, Lk, self.nhead, dh)
         v = v.reshape(B, Lk, self.nhead, dh)
@@ -171,7 +188,7 @@ class MultiheadAttention(nn.Module):
             dropout_rng=dropout_rng,
         )  # [B, Lq, H, dh]
         out = out.reshape(B, Lq, self.d_model)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        return _qdense(self.quant_dense, self.d_model, self.dtype, "out_proj")(out)
 
 
 def masked_mean_pool(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -193,6 +210,7 @@ class DecoderBlock(nn.Module):
     pos_emb_type: str = "rope"
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    quant_dense: str = "none"
 
     @nn.compact
     def __call__(
@@ -216,13 +234,15 @@ class DecoderBlock(nn.Module):
 
         x2 = MultiheadAttention(
             self.d_model, self.nhead, self.dropout, self.dtype,
-            attention_fn=self.attention_fn, name="self_attn",
+            attention_fn=self.attention_fn, quant_dense=self.quant_dense,
+            name="self_attn",
         )(q_in, k_in, v_in, key_mask=x_mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + drop(x2))
 
         x2 = MultiheadAttention(
             self.d_model, self.nhead, self.dropout, self.dtype,
-            attention_fn=self.attention_fn, name="cross_attn",
+            attention_fn=self.attention_fn, quant_dense=self.quant_dense,
+            name="cross_attn",
         )(x, cond, cond, key_mask=c_mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + drop(x2))
 
@@ -230,10 +250,10 @@ class DecoderBlock(nn.Module):
             cond_pooled = masked_mean_pool(cond, c_mask)
             x = FiLMLayer(self.d_model, self.dtype, name="film_layer")(x, cond_pooled)
 
-        h = nn.Dense(self.dim_ff, dtype=self.dtype, name="ff_0")(x)
+        h = _qdense(self.quant_dense, self.dim_ff, self.dtype, "ff_0")(x)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
         h = drop(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="ff_3")(h)
+        h = _qdense(self.quant_dense, self.d_model, self.dtype, "ff_3")(h)
         x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x + drop(h))
         return x
 
@@ -250,13 +270,15 @@ class _ScanDecoderBlock(nn.Module):
     deterministic: bool
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    quant_dense: str = "none"
 
     @nn.compact
     def __call__(self, x, cond, x_mask, c_mask, rope_cos, rope_sin):
         x = DecoderBlock(
             self.d_model, self.nhead, self.dim_ff, self.dropout,
             self.use_film, self.pos_emb_type, self.dtype,
-            attention_fn=self.attention_fn, name="block",
+            attention_fn=self.attention_fn, quant_dense=self.quant_dense,
+            name="block",
         )(x, cond, x_mask, c_mask, rope_cos, rope_sin, self.deterministic)
         return x, None
 
@@ -287,6 +309,9 @@ class DenoisingTransformerDecoder(nn.Module):
     # times flat.  Identical numerics (parity-tested); the torch-checkpoint
     # converter stacks/unstacks accordingly.
     scan_blocks: bool = False
+    # "int8": run the q/k/v/out projections, FFN, and vocab head on the
+    # int8 MXU (dynamic quantization — see _qdense).  Inference-only.
+    quant_dense: str = "none"
 
     @nn.compact
     def __call__(
@@ -342,7 +367,7 @@ class DenoisingTransformerDecoder(nn.Module):
             )(
                 self.d_model, self.nhead, self.dim_ff, self.dropout,
                 self.use_film, self.pos_emb_type, deterministic, self.dtype,
-                self.attention_fn, name="blocks_scan",
+                self.attention_fn, self.quant_dense, name="blocks_scan",
             )
             x, _ = scanned(x, cond, x_mask, c_mask, rope_cos, rope_sin)
         else:
@@ -350,11 +375,12 @@ class DenoisingTransformerDecoder(nn.Module):
                 x = DecoderBlock(
                     self.d_model, self.nhead, self.dim_ff, self.dropout,
                     self.use_film, self.pos_emb_type, self.dtype,
-                    attention_fn=self.attention_fn, name=f"blocks_{i}",
+                    attention_fn=self.attention_fn, quant_dense=self.quant_dense,
+                    name=f"blocks_{i}",
                 )(x, cond, x_mask, c_mask, rope_cos, rope_sin, deterministic)
 
         # Head logits in float32: softmax/KL over K=8000 classes needs f32.
-        logits = nn.Dense(self.vocab_size, dtype=jnp.float32, name="head")(
+        logits = _qdense(self.quant_dense, self.vocab_size, jnp.float32, "head")(
             x.astype(jnp.float32)
         )
         return logits

@@ -107,6 +107,10 @@ class FDDMPipeline:
             # of num_layers unrolled copies — same numerics, much smaller HLO
             # (matters for paper-scale 12+ layer decoders with remote compile).
             scan_blocks=model_cfg.get("scan_blocks", False),
+            # model.quant_dense: "int8" runs the decoder's projections/FFN/
+            # head on the int8 MXU at inference (same checkpoints; decoder
+            # rows of the validate_quant.py gate)
+            quant_dense=model_cfg.get("quant_dense", "none"),
             dtype=dtype,
         )
         enc_cfg = model_cfg.get("encoder", Config())

@@ -72,8 +72,14 @@ def main(argv=None):
     names = [v.strip() for v in args.variants.split(",") if v.strip()]
     variants = {}
     for name in names:
-        quant = "none" if name == "fp" else name
-        vcfg = cfg.updated({"model": {"encoder": {"wavlm_config": {"quant_dense": quant}}}})
+        # "fp" = full precision; "int8"/"int8_fused" quantize the encoder;
+        # "int8_all" quantizes encoder AND decoder (projections/FFN/head)
+        enc_quant = "none" if name == "fp" else ("int8" if name == "int8_all" else name)
+        dec_quant = "int8" if name == "int8_all" else "none"
+        vcfg = cfg.updated({"model": {
+            "quant_dense": dec_quant,
+            "encoder": {"wavlm_config": {"quant_dense": enc_quant}},
+        }})
         pipe = FDDMPipeline.from_config(vcfg, ckpt_path=args.ckpt, tokenizer=tokenizer)
         texts = pipe.transcribe(
             batch, lengths, seq_len=seq_len, T_infer=T_infer, r=r, greedy=True,

@@ -192,3 +192,44 @@ def test_training_with_int8_encoder(tmp_path):
         "--max-steps-per-epoch", "2", "--no-pt-export",
     ])
     assert os.path.isdir(os.path.join(out, "ckpts", "ep001.orbax"))
+
+
+class TestQuantizedDecoder:
+    def test_decoder_int8_param_layout_and_logits(self):
+        """quant_dense=int8 shares the exact parameter tree with the fp
+        decoder (checkpoint compatibility) and tracks its logits closely."""
+        from fddm_asr_tpu.models.decoder import DenoisingTransformerDecoder
+
+        kw = dict(vocab_size=64, d_model=32, nhead=4, num_layers=2,
+                  dim_ff=64, dropout=0.0, pad_id=0)
+        dec_fp = DenoisingTransformerDecoder(**kw)
+        dec_q = DenoisingTransformerDecoder(**kw, quant_dense="int8")
+        xt = jnp.array([[5, 6, 7, 0, 0, 0, 1, 2]], jnp.int32)
+        t = jnp.array([3], jnp.int32)
+        cond = jax.random.normal(jax.random.key(20), (1, 10, 32))
+        params = dec_fp.init(jax.random.key(21), xt, t, cond)
+        params_q = dec_q.init(jax.random.key(21), xt, t, cond)
+        assert (
+            jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_q)
+        )
+        y_fp = dec_fp.apply(params, xt, t, cond, deterministic=True)
+        y_q = dec_q.apply(params, xt, t, cond, deterministic=True)
+        assert y_q.shape == y_fp.shape
+        assert _rel_l2(y_q, y_fp) < 0.05
+        # argmax tokens (what sampling consumes) should essentially agree
+        agree = float(np.mean(np.argmax(np.asarray(y_q), -1)
+                              == np.argmax(np.asarray(y_fp), -1)))
+        assert agree >= 0.8, agree
+
+    def test_scan_blocks_variant(self):
+        from fddm_asr_tpu.models.decoder import DenoisingTransformerDecoder
+
+        kw = dict(vocab_size=64, d_model=32, nhead=4, num_layers=2,
+                  dim_ff=64, dropout=0.0, pad_id=0, scan_blocks=True)
+        dec = DenoisingTransformerDecoder(**kw, quant_dense="int8")
+        xt = jnp.array([[5, 6, 7, 1]], jnp.int32)
+        cond = jax.random.normal(jax.random.key(22), (1, 6, 32))
+        params = dec.init(jax.random.key(23), xt, jnp.array([2]), cond)
+        y = dec.apply(params, xt, jnp.array([2]), cond, deterministic=True)
+        assert np.isfinite(np.asarray(y)).all()
