@@ -140,6 +140,10 @@ def _qdense(quant: str, features: int, dtype, name: str):
         from fddm_asr_tpu.ops.quant import Int8Dense
 
         return Int8Dense(features, dtype=dtype, name=name)
+    if quant != "none":
+        raise ValueError(
+            f"decoder quant_dense={quant!r}: expected 'none' or 'int8'"
+        )
     return nn.Dense(features, dtype=dtype, name=name)
 
 

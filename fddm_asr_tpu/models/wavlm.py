@@ -193,6 +193,11 @@ def _dense(cfg: "WavLMConfig", features: int, dtype: Dtype, name: str):
             features, dtype=dtype, name=name,
             fused=cfg.quant_dense == "int8_fused",
         )
+    if cfg.quant_dense != "none":
+        raise ValueError(
+            f"quant_dense={cfg.quant_dense!r}: expected 'none', 'int8', or"
+            " 'int8_fused'"
+        )
     return nn.Dense(features, dtype=dtype, name=name)
 
 

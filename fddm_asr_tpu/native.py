@@ -31,11 +31,17 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            # no-op when the .so is newer than the source; rebuilds stale ones
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True, capture_output=True, timeout=120,
-            )
+            # no-op when the .so is newer than the source; rebuilds stale
+            # ones.  flock serialises concurrent processes (sweep workers,
+            # train + serve) so none dlopens a half-relinked .so.
+            import fcntl
+
+            with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True, capture_output=True, timeout=120,
+                )
         except (OSError, subprocess.SubprocessError):
             if not os.path.exists(_SO_PATH):
                 return None

@@ -152,6 +152,8 @@ def int8_matmul_fused(
     rows = 1
     for d in lead:
         rows *= d
+    if rows == 0:  # empty batch: match nn.Dense's shape semantics
+        return jnp.zeros((*lead, dout), out_dtype)
     x2 = x.reshape(rows, din)
 
     wq, sw = quantize_cols_int8(kernel)
@@ -172,10 +174,11 @@ def int8_matmul_fused(
                 + bm * bn * 8)                          # acc int32 + y f32
 
     vmem_budget = 13 * 2**20  # measured sweet spot (probe_int8_fused)
+    # shrink while PRESERVING tile alignment (sublane x8 / lane x128)
     while block_m > 64 and _vmem_bytes(block_m, block_n) > vmem_budget:
-        block_m //= 2
+        block_m = max(64, (block_m // 2 // 8) * 8)
     while block_n > 128 and _vmem_bytes(block_m, block_n) > vmem_budget:
-        block_n //= 2
+        block_n = max(128, (block_n // 2 // 128) * 128)
     pad_m = (-rows) % block_m
     pad_n = (-dout) % block_n
     if pad_m:

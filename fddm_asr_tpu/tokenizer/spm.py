@@ -193,7 +193,12 @@ class SentencePieceProcessor:
             return self.encode_as_pieces(text)
         native = self._native_encoder()
         if native is not None:
-            return native.encode(self._pretokenize(text))
+            try:
+                return native.encode(self._pretokenize(text))
+            except (UnicodeEncodeError, RuntimeError):
+                # e.g. lone surrogates that cannot reach the UTF-8 ABI; the
+                # Python codec maps such codepoints to unk per-character
+                pass
         return self._encode_ids_py(text)
 
     def _encode_ids_py(self, text: str) -> List[int]:

@@ -70,6 +70,10 @@ def main(argv=None):
         batch[i, : len(w)] = w
 
     names = [v.strip() for v in args.variants.split(",") if v.strip()]
+    allowed = {"fp", "int8", "int8_fused", "int8_all"}
+    unknown = [n for n in names if n not in allowed]
+    if unknown:
+        sys.exit(f"unknown --variants {unknown}; allowed: {sorted(allowed)}")
     variants = {}
     for name in names:
         # "fp" = full precision; "int8"/"int8_fused" quantize the encoder;

@@ -31,6 +31,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
 import os
@@ -81,7 +82,9 @@ class BatchingEngine:
         self.stats = {
             "requests": 0, "errors": 0, "batches": 0,
             "audio_seconds": 0.0, "device_seconds": 0.0,
-            "batch_sizes": [], "latencies_ms": [],
+            "batch_size_sum": 0,
+            # bounded: percentiles over the most RECENT window only
+            "latencies_ms": collections.deque(maxlen=1000),
         }
         self._stop = threading.Event()
         self._rng_counter = 0
@@ -89,17 +92,33 @@ class BatchingEngine:
         self.thread.start()
 
     # ------------------------------------------------------------------ api
-    def submit(self, wave: np.ndarray, name: str) -> dict:
+    def submit(self, wave: np.ndarray, name: str,
+               timeout_s: float = 600.0) -> dict:
+        truncated = False
         if len(wave) > self.max_samples:
             wave = wave[: self.max_samples]
+            truncated = True
         req = _Request(np.asarray(wave, np.float32), name)
+        if self._stop.is_set():
+            return {"wav": name, "error": "server shutting down"}
         self.q.put(req)
-        req.done.wait()
+        if not req.done.wait(timeout=timeout_s):
+            return {"wav": name, "error": f"timed out after {timeout_s}s"}
+        if truncated and "error" not in req.result:
+            req.result["truncated_to_seconds"] = self.max_samples / 16000.0
         return req.result
 
     def shutdown(self):
         self._stop.set()
         self.thread.join(timeout=5)
+        # complete anything still queued so no HTTP thread hangs
+        while True:
+            try:
+                req = self.q.get_nowait()
+            except queue.Empty:
+                break
+            req.result = {"wav": req.name, "error": "server shutting down"}
+            req.done.set()
 
     # ------------------------------------------------------------ internals
     def _gather(self) -> List[_Request]:
@@ -159,10 +178,10 @@ class BatchingEngine:
                     self.stats["batches"] += 1
                     self.stats["audio_seconds"] += float(lengths.sum()) / 16000.0
                     self.stats["device_seconds"] += device_s
-                    self.stats["batch_sizes"].append(len(batch))
-                    self.stats["latencies_ms"] += [
+                    self.stats["batch_size_sum"] += len(batch)
+                    self.stats["latencies_ms"].extend(
                         (now - r.t_enqueue) * 1e3 for r in batch
-                    ]
+                    )
             except Exception as e:  # noqa: BLE001 - per-batch fault isolation
                 for r in batch:
                     if not r.done.is_set():
@@ -173,15 +192,15 @@ class BatchingEngine:
 
     def stats_snapshot(self) -> dict:
         with self.stats_lock:
-            lat = sorted(self.stats["latencies_ms"])[-1000:]
+            lat = sorted(self.stats["latencies_ms"])  # recent window (<=1000)
             snap = {
                 "requests": self.stats["requests"],
                 "errors": self.stats["errors"],
                 "batches": self.stats["batches"],
                 "audio_seconds": round(self.stats["audio_seconds"], 2),
                 "mean_batch_size": (
-                    round(float(np.mean(self.stats["batch_sizes"])), 2)
-                    if self.stats["batch_sizes"] else 0.0
+                    round(self.stats["batch_size_sum"] / self.stats["batches"], 2)
+                    if self.stats["batches"] else 0.0
                 ),
                 "rtfx": (
                     round(self.stats["audio_seconds"] / self.stats["device_seconds"], 1)
@@ -274,12 +293,14 @@ def build_server(args) -> ThreadingHTTPServer:
         "T_infer": args.T_infer or inf.get("T_infer", 20),
         "r": args.r or inf.get("r", 5),
         "greedy": True,
+        # passed through to the sampler AND echoed in results — must agree
+        "posterior_mode": inf.get("posterior_mode", "average"),
     }
     seq_len = args.seq_len or cfg.data.get("max_len", 64)
     engine = BatchingEngine(
         pipeline, sampling, seq_len,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        bucket_seconds=args.bucket_seconds,
+        bucket_seconds=args.bucket_seconds, max_seconds=args.max_seconds,
     )
     echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
             "max_batch": args.max_batch}
@@ -299,6 +320,10 @@ def parse_args(argv=None):
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
     ap.add_argument("--bucket-seconds", type=float, default=1.0)
+    ap.add_argument("--max-seconds", type=float, default=30.0,
+                    help="audio longer than this is truncated (the result "
+                         "carries truncated_to_seconds); use --chunk mode "
+                         "of inference.py for long-form audio")
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)

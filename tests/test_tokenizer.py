@@ -170,3 +170,18 @@ class TestNativeBpeParity:
         batched = enc.encode_batch(texts)
         singles = [enc.encode(t) for t in texts]
         assert batched == singles
+
+    def test_lone_surrogate_falls_back_to_python(self):
+        """Unpaired surrogates can't cross the UTF-8 ABI; encode() must fall
+        back to the Python codec instead of raising (review finding)."""
+        sp = SentencePieceProcessor()
+        model = train_bpe(CORPUS, vocab_size=96)
+        import tempfile, os as _os
+        with tempfile.TemporaryDirectory() as d:
+            path = _os.path.join(d, "t.model")
+            with open(path, "wb") as f:
+                f.write(mp.serialize_model(model))
+            sp.load(path)
+        bad = "我們" + "\ud800" + "交流"
+        ids = sp.encode(bad)            # must not raise
+        assert ids == sp._encode_ids_py(bad)
