@@ -94,19 +94,44 @@ class BatchingEngine:
     # ------------------------------------------------------------------ api
     def submit(self, wave: np.ndarray, name: str,
                timeout_s: float = 600.0) -> dict:
-        truncated = False
-        if len(wave) > self.max_samples:
-            wave = wave[: self.max_samples]
-            truncated = True
-        req = _Request(np.asarray(wave, np.float32), name)
+        """Transcribe one utterance.  Audio longer than max_seconds is
+        split into max_seconds windows submitted as SEPARATE engine
+        requests — they coalesce into the same device batches as everyone
+        else's traffic (long-form handling rides the dynamic batcher; cf.
+        inference.py --chunk-seconds for the offline equivalent)."""
         if self._stop.is_set():
             return {"wav": name, "error": "server shutting down"}
-        self.q.put(req)
-        if not req.done.wait(timeout=timeout_s):
-            return {"wav": name, "error": f"timed out after {timeout_s}s"}
-        if truncated and "error" not in req.result:
-            req.result["truncated_to_seconds"] = self.max_samples / 16000.0
-        return req.result
+        wave = np.asarray(wave, np.float32)
+        if len(wave) <= self.max_samples:
+            chunks = [wave]
+        else:
+            chunks = [wave[i: i + self.max_samples]
+                      for i in range(0, len(wave), self.max_samples)]
+        reqs = [
+            _Request(c, name if len(chunks) == 1 else f"{name}#chunk{i}")
+            for i, c in enumerate(chunks)
+        ]
+        for r in reqs:
+            self.q.put(r)
+        for r in reqs:
+            if not r.done.wait(timeout=timeout_s):
+                return {"wav": name, "error": f"timed out after {timeout_s}s"}
+        errs = [r.result for r in reqs if "error" in r.result]
+        if errs:
+            return {"wav": name, "error": errs[0]["error"]}
+        if len(reqs) == 1:
+            return reqs[0].result
+        first = reqs[0].result
+        return {
+            "wav": name,
+            "text": "".join(r.result["text"] for r in reqs),
+            "chunks": [r.result["text"] for r in reqs],
+            "ids": [r.result["ids"] for r in reqs],
+            "chunk_seconds": self.max_samples / 16000.0,
+            "T_infer": first["T_infer"], "r": first["r"],
+            "greedy": first["greedy"],
+            "posterior_mode": first["posterior_mode"],
+        }
 
     def shutdown(self):
         self._stop.set()
@@ -321,9 +346,9 @@ def parse_args(argv=None):
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
     ap.add_argument("--bucket-seconds", type=float, default=1.0)
     ap.add_argument("--max-seconds", type=float, default=30.0,
-                    help="audio longer than this is truncated (the result "
-                         "carries truncated_to_seconds); use --chunk mode "
-                         "of inference.py for long-form audio")
+                    help="chunk window for long-form audio: longer uploads "
+                         "are split into windows of this size, batched "
+                         "alongside regular traffic, and the texts joined")
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)

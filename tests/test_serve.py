@@ -117,3 +117,21 @@ def test_bad_request(server):
     base, _, _ = server
     code, obj = _post(base + "/v1/transcribe", b"not a wav", "audio/wav")
     assert code == 400 and "error" in obj
+
+
+def test_long_audio_chunks_and_joins(server):
+    """Uploads longer than --max-seconds split into windows that ride the
+    batcher; the response joins the chunk texts (reference-style long-form)."""
+    base, out, srv = server
+    # shrink the engine's window below the 0.5 s test clip so it chunks
+    srv.engine.max_samples = int(0.4 * 16000)
+    try:
+        src = f"{out}/data/processed/clips/test_000.wav"
+        body = open(src, "rb").read()  # 0.5 s > 0.4 s window -> 2 chunks
+        code, obj = _post(base + "/v1/transcribe", body, "audio/wav")
+        assert code == 200, obj
+        assert "chunks" in obj and len(obj["chunks"]) == 2
+        assert obj["text"] == "".join(obj["chunks"])
+        assert obj["chunk_seconds"] == 0.4
+    finally:
+        srv.engine.max_samples = int(30.0 * 16000)
