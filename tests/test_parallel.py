@@ -110,3 +110,41 @@ def test_dryrun_multichip_4():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(4)
+
+
+def test_sharded_int8_inference_matches_single_device():
+    """int8 quantization composes with dp+tp sharding: the per-channel
+    weight scales on din-sharded kernels (e.g. ff_3) need a cross-shard
+    max, which GSPMD must insert — outputs must be token-exact vs one
+    device with the SAME quantization."""
+    from fddm_asr_tpu.config import Config
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = Config({
+        "seed": 0,
+        "data": {"vocab_size": 96, "tokenizer_path": None},
+        "model": {"d_model": 32, "nhead": 4, "num_layers": 2, "dim_ff": 64,
+                  "quant_dense": "int8",
+                  "encoder": {"wavlm_name": "tiny",
+                              "wavlm_config": {"quant_dense": "int8"}}},
+        "diffusion": {"T": 20, "beta_max": 0.2},
+    })
+
+    class _Tok:
+        def decode(self, ids):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+    wave = np.random.default_rng(1).standard_normal((4, 3200)).astype(np.float32)
+
+    def run(mesh_spec):
+        pipe = FDDMPipeline.from_config(cfg, tokenizer=_Tok())
+        if mesh_spec is not None:
+            pipe.apply_mesh(make_mesh(mesh_spec))
+        c, c_mask = pipe.encode_waveform(wave)
+        ids, _ = pipe.sample(jax.random.key(0), c, seq_len=8, c_mask=c_mask,
+                             T_infer=4, r=2, greedy=True)
+        return np.asarray(ids)
+
+    base = run(None)
+    sharded = run(MeshSpec(data=4, model=2))
+    np.testing.assert_array_equal(sharded, base)
