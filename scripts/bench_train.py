@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--lfd", action="store_true", help="include the L_fd step variant")
     ap.add_argument("--quant", default="none",
                     help="encoder quant_dense for the frozen forward: none|int8|int8_fused")
+    ap.add_argument("--model", default="base", choices=["base", "paper"],
+                    help="decoder geometry: base=d768x6, paper=d1024x12 (253M, scanned)")
     args = ap.parse_args(argv)
 
     from fddm_asr_tpu.runtime import enable_compile_cache
@@ -42,12 +44,17 @@ def main(argv=None):
     from fddm_asr_tpu.pipeline import FDDMPipeline
     from fddm_asr_tpu.train_lib import TrainState, make_optimizer, make_train_step
 
-    K, d_model, d_proj = 8000, 768, 256
+    K, d_proj = 8000, 256
+    if args.model == "paper":
+        d_model, nhead, n_layers, dim_ff, scan_blocks = 1024, 16, 12, 4096, True
+    else:
+        d_model, nhead, n_layers, dim_ff, scan_blocks = 768, 12, 6, 2048, False
     cfg = Config({
         "seed": 0,
         "data": {"vocab_size": K, "pad_id": 3, "max_len": args.max_len},
         "model": {
-            "d_model": d_model, "nhead": 12, "num_layers": 6, "dim_ff": 2048,
+            "d_model": d_model, "nhead": nhead, "num_layers": n_layers,
+            "dim_ff": dim_ff, "scan_blocks": scan_blocks,
             "dropout": 0.1,
             "encoder": {"wavlm_name": "microsoft/wavlm-large", "freeze": True,
                         "proj": "linear", "pooling": "none",
@@ -115,7 +122,8 @@ def main(argv=None):
         "compile_seconds": round(compile_s, 1),
         "lfd": args.lfd,
         "platform": jax.devices()[0].platform,
-        "config": "frozen wavlm-large + d768x6 decoder, KL, AdamW, bf16",
+        "config": f"frozen wavlm-large + d{d_model}x{n_layers} decoder, KL, AdamW, bf16"
+                  + (f" enc-quant-{args.quant}" if args.quant != "none" else ""),
     }))
 
 
