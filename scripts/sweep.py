@@ -100,6 +100,8 @@ def main(argv=None):
     ap.add_argument("--max-steps-per-epoch", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None, help="override num_epochs")
     ap.add_argument("--device", type=str, default=None)
+    ap.add_argument("--mesh", type=str, default="",
+                    help="mesh spec for each trial, e.g. data=8 or data=4,model=2")
     ap.add_argument("--dry-run", action="store_true",
                     help="print sampled configs without training")
     args = ap.parse_args(argv)
@@ -155,8 +157,11 @@ def main(argv=None):
 
         setup_logging(os.path.join(trial_dir, "logs"))
         try:
+            from train import parse_mesh
+
             summary = run_training(
                 cfg, raw_cfg=cfg.to_dict(),
+                mesh_spec=parse_mesh(args.mesh),
                 max_steps_per_epoch=args.max_steps_per_epoch,
                 export_pt=False,
             )

@@ -174,3 +174,32 @@ def test_sanity_forward_script_tiny():
     )
     assert "Sanity check passed." in result.stdout, result.stderr
     assert "logits: (2, 64, 4000)" in result.stdout
+
+
+def test_sweep_real_run(tmp_path, capsys):
+    """A real (non-dry) sweep executes training per trial and ranks results
+    by best val CER into summary.json."""
+    import json
+
+    from scripts.make_synth_data import main as make
+
+    out = str(tmp_path / "synth")
+    make(["--out", out, "--n", "4", "--seconds", "0.5"])
+    spec = tmp_path / "sweep.yaml"
+    spec.write_text(
+        f"base_config: {out}/config.yaml\n"
+        "optim:\n"
+        "  lr:\n"
+        "    distribution: categorical\n"
+        "    values: [1.0e-3]\n"
+    )
+    import sweep
+
+    sweep.main([
+        "--sweep", str(spec), "--trials", "1", "--epochs", "1",
+        "--max-steps-per-epoch", "2", "--device", "cpu",
+        "--mesh", "data=4,model=2", "--out", str(tmp_path / "sw"),
+    ])
+    summary = json.load(open(tmp_path / "sw/summary.json"))
+    assert len(summary) == 1
+    assert "val_cer" in summary[0] and summary[0]["trial"] == 0
