@@ -304,7 +304,9 @@ def kl_term(
     into O(B*L) plus one gather of the model probability at x0 and xt.
     We keep the dense formulation here for exact reference parity (it is the
     version parity-tested against torch), and expose the O(B*L) fast path as
-    `kl_term_sparse` below; both agree to float32 tolerance in tests.
+    `kl_term_sparse` below; both agree to float32 tolerance in tests for
+    well-conditioned inputs (see kl_term_sparse's docstring for the
+    underflow regime where they intentionally differ).
 
     Args:
       xt, x0:    [B, L] int token ids.
@@ -387,9 +389,18 @@ class DiscreteDiffusionScheduler:
         )
 
     def q_posterior_multi_step(self, xt_prob, x0hat_prob, t, delta, ref_compat=True):
+        # Reference entry behavior (diffusion_scheduler.py:106-143): the jump
+        # is clamped GLOBALLY to the smallest t in the batch, and a
+        # non-positive jump returns xt_prob unchanged.  The pure function
+        # below assumes per-element-valid (t, delta) — the sampler guarantees
+        # that — so the reference semantics live here in the drop-in facade.
+        t = jnp.asarray(t)
+        delta = int(min(int(delta), int(jnp.min(t))))
+        if delta <= 0:
+            return jnp.asarray(xt_prob)
         return q_posterior_multi_step(
             self.sched, jnp.asarray(xt_prob), jnp.asarray(x0hat_prob),
-            jnp.asarray(t), delta, ref_compat,
+            t, delta, ref_compat,
         )
 
 
@@ -401,7 +412,18 @@ def kl_term_sparse(
     t: jnp.ndarray,
     x_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """O(B*L)-memory-traffic equivalent of `kl_term` (same value to f32 tol).
+    """O(B*L)-memory-traffic variant of `kl_term`.
+
+    Agrees with the dense form to f32 tolerance for well-conditioned
+    posteriors, but is NOT bit-equivalent in the underflow regime: the dense
+    path computes log(p + 1e-8), saturating at -18.4 when the model posterior
+    underflows the eps (confidently-wrong x0hat at small b_t, e.g.
+    p ~ b_t * x0hat[x0] / x0hat[xt] < 1e-8 at K=8000, T=200), while this
+    decomposition evaluates the true log via per-factor logs — more negative
+    KL terms and NON-vanishing gradients exactly where the dense form's
+    gradients die.  Keep the default dense form for reference parity;
+    `optim.kl_impl: sparse` is a deliberate choice of the better-conditioned
+    loss surface.
 
     Derivation: with e_i = one-hot rows, all K classes fall into at most three
     distinct (q_k, p_k) value groups: k == x0, k == xt and "other" (when

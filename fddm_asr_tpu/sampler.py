@@ -145,7 +145,7 @@ def make_sample_fn(
         step_rngs = jax.random.split(rng, len(ts_np))
 
         def body(carry, xs):
-            x_t = carry
+            x_t, _ = carry
             t, delta, ab_target, step_rng = xs
             t_b = jnp.full((B,), t, jnp.int32)
             logits = decoder_apply(params, x_t, t_b, cond_c, c_mask)
@@ -160,10 +160,15 @@ def make_sample_fn(
                 p_next = ab_target * p_x0 + (1.0 - ab_target) / cfg.K
 
             x_next = to_indices(step_rng, p_next).astype(jnp.int32)
-            return x_next, p_x0
+            # p_x0 rides in the CARRY: stacking it as a scan output would
+            # allocate [n_steps, B, L, K] (~131 MB per step at B=32, L=128,
+            # K=8000) when only the last step's value is consumed
+            return (x_next, p_x0), None
 
-        _, p_x0_all = jax.lax.scan(body, x_t, (ts, deltas, ab_targets, step_rngs))
-        p_x0_last = p_x0_all[-1]
+        p0 = jnp.zeros((B, seq_len, cfg.K), jnp.float32)
+        (_, p_x0_last), _ = jax.lax.scan(
+            body, (x_t, p0), (ts, deltas, ab_targets, step_rngs)
+        )
         x0_idx = jnp.argmax(p_x0_last, axis=-1)
         return x0_idx, p_x0_last
 
@@ -228,6 +233,7 @@ class DiffusionJumpySampler:
         )
         self.sched = sched
         self.decoder_params = decoder_params
+        self._rng = jax.random.key(0)
         if decoder_params is None:
             # decoder_apply(xt, t, cond, c_mask) without a params arg
             decoder_apply = _wrap_paramless(decoder_apply)
@@ -245,7 +251,11 @@ class DiffusionJumpySampler:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         del init
         if rng is None:
-            rng = jax.random.key(0)
+            # advance an internal key per call — the reference's torch global
+            # RNG advances between calls, so repeated stochastic sample()
+            # calls must yield DISTINCT trajectories (multi-sample voting
+            # degenerates to one sample otherwise)
+            self._rng, rng = jax.random.split(self._rng)
         return self._fn(self.decoder_params, rng, cond_c, seq_len=seq_len, c_mask=c_mask)
 
     def get_sampling_info(self) -> dict:

@@ -12,7 +12,9 @@ are all preserved.
 TPU-first redesign:
   * Everything from timestep sampling to the optimizer update is ONE jitted
     `train_step` with donated state; the frozen encoder runs inside the same
-    jit (its params are closed-over constants, grads stopped).
+    jit (its params are threaded through as ARGUMENTS — closing them over
+    would bake them into the program as constants, which the remote XLA
+    compile service rejects; grads stopped).
   * Data parallelism by sharding: params replicated, batch sharded on the
     "data" mesh axis; XLA inserts the gradient all-reduce (no pmap, no
     hand-psum).  Tensor-parallel decoder sharding rules apply when the mesh
@@ -100,7 +102,8 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     # the KL so the model learns sequence length end-to-end.
     mask_pad_loss = bool(cfg.optim.get("mask_pad_loss", True))
     # "dense" = reference-parity KL; "sparse" = O(B*L) low-HBM equivalent
-    # (see diffusion.kl_term_sparse; both agree to f32 tolerance)
+    # (see diffusion.kl_term_sparse — agrees to f32 tolerance except in the
+    # log-underflow regime, where sparse is the better-conditioned loss)
     kl_fn = D.kl_term_sparse if cfg.optim.get("kl_impl") == "sparse" else D.kl_term
     encoder = pipeline.encoder
     decoder = pipeline.decoder
@@ -185,7 +188,38 @@ def run_training(
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
 ) -> Dict[str, Any]:
-    """Full training run; returns summary metrics.  CLI wrapper: train.py."""
+    """Full training run; returns summary metrics.  CLI wrapper: train.py.
+
+    The profiler trace and NaN-guard wrap the whole run in try/finally so a
+    mid-training exception still dumps the trace and restores the global
+    jax_debug_nans config.
+    """
+    from fddm_asr_tpu.profiling import nan_guard, trace
+
+    profiler_ctx = trace(profile_dir)
+    guard_ctx = nan_guard(debug_nans)
+    profiler_ctx.__enter__()
+    guard_ctx.__enter__()
+    try:
+        return _run_training_impl(
+            cfg, raw_cfg=raw_cfg, resume=resume, mesh_spec=mesh_spec,
+            wavlm_params=wavlm_params, max_steps_per_epoch=max_steps_per_epoch,
+            export_pt=export_pt,
+        )
+    finally:
+        guard_ctx.__exit__(None, None, None)
+        profiler_ctx.__exit__(None, None, None)
+
+
+def _run_training_impl(
+    cfg: Config,
+    raw_cfg: Optional[dict] = None,
+    resume: Optional[str] = None,
+    mesh_spec: MeshSpec = MeshSpec(),
+    wavlm_params: Optional[Dict] = None,
+    max_steps_per_epoch: Optional[int] = None,
+    export_pt: bool = True,
+) -> Dict[str, Any]:
     from fddm_asr_tpu.data.dataset import ManifestDataset, make_batches
     from fddm_asr_tpu.pipeline import FDDMPipeline
     from fddm_asr_tpu.profiling import StepTimer, annotate, nan_guard, trace
@@ -226,18 +260,26 @@ def run_training(
     ckpt_dir = os.path.abspath(cfg.log.get("ckpt_dir", "ckpts/run"))
     os.makedirs(ckpt_dir, exist_ok=True)
     start_epoch = 1
+    resumed_best_cer = float("inf")
     if resume:
-        restored = C.load_orbax(resume, target={"state": state, "epoch": 0})
+        try:
+            restored = C.load_orbax(
+                resume, target={"state": state, "epoch": 0, "best_val_cer": 0.0}
+            )
+            resumed_best_cer = float(restored["best_val_cer"])
+        except Exception:  # older checkpoints lack the best-CER field
+            restored = C.load_orbax(resume, target={"state": state, "epoch": 0})
         state = restored["state"]
         start_epoch = int(restored["epoch"]) + 1
-        logging.info(f"Resumed from {resume} at epoch {start_epoch}")
+        logging.info(
+            f"Resumed from {resume} at epoch {start_epoch}"
+            + (f" (best_val_cer so far {resumed_best_cer:.4f})"
+               if resumed_best_cer != float("inf") else "")
+        )
 
     # ---- sharding: replicate params, shard batch on "data" ----------------
     mesh = make_mesh(mesh_spec)
     with mesh:
-        state = jax.tree.map(
-            lambda x: x, state
-        )
         state = shard_pytree(state, mesh, decoder_param_spec)
         train_step = make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg)
 
@@ -278,20 +320,17 @@ def run_training(
         batch_shard = batch_sharding(mesh)
         host_rng = np.random.default_rng(seed)
 
-        best_val_cer, best_epoch = float("inf"), 0
+        # survives --resume: without this the first post-resume epoch would
+        # overwrite best_model.* even when worse than the pre-resume best
+        best_val_cer, best_epoch = resumed_best_cer, 0
         global_step = int(state.step) + 1
         summary: Dict[str, Any] = {}
         timer = StepTimer(skip=2)
 
-        profiler_ctx = trace(profile_dir)
-        guard_ctx = nan_guard(debug_nans)
-        profiler_ctx.__enter__()
-        guard_ctx.__enter__()
-
         for epoch in range(start_epoch, num_epochs + 1):
             logging.info(f"Epoch {epoch}")
             t0 = time.time()
-            loss_sum, step_cnt = 0.0, 0
+            loss_sum, step_cnt = None, 0
             for bi, batch in enumerate(
                 make_batches(train_ds, batch_size, shuffle=True, seed=seed, epoch=epoch)
             ):
@@ -305,11 +344,15 @@ def run_training(
                 state, metrics = train_step(
                     state, pipeline.encoder_params, wave, x0, step_rng, apply_lfd
                 )
-                total = float(metrics["total_loss"])
+                # accumulate on-device: float() here would block the host on
+                # every step, serializing dispatch behind the ~31 ms relay
+                # overhead (CLAUDE.md) — sync only on log steps + epoch end
                 timer.tick()
-                loss_sum += total
+                loss_sum = (metrics["total_loss"] if loss_sum is None
+                            else loss_sum + metrics["total_loss"])
                 step_cnt += 1
                 if global_step % log_every == 0:
+                    total = float(metrics["total_loss"])
                     parts = [f"step={global_step}", f"loss_diff={float(metrics['loss_diff']):.4f}"]
                     if "loss_fd" in metrics:
                         parts += [
@@ -321,7 +364,7 @@ def run_training(
                         parts.append(f"examples_per_s={timer.throughput(batch_size):.1f}")
                     logging.info(" ".join(parts))
                 global_step += 1
-            train_loss = loss_sum / max(1, step_cnt)
+            train_loss = (float(loss_sum) / step_cnt) if step_cnt else 0.0
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
 
             # sync trained params into the pipeline for eval/sampling
@@ -362,7 +405,8 @@ def run_training(
             logging.info(msg)
 
             _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state, epoch, raw_cfg,
-                       None, export_pt)
+                       best_val_cer if best_val_cer != float("inf") else None,
+                       export_pt)
             summary = {
                 "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
                 "val_cer": val_cer, "test_cer": test_cer,
@@ -370,8 +414,6 @@ def run_training(
                 "epoch_seconds": time.time() - t0,
             }
 
-    guard_ctx.__exit__(None, None, None)
-    profiler_ctx.__exit__(None, None, None)
     logging.info("=" * 50)
     logging.info("TRAINING COMPLETED!")
     logging.info(f"Best validation CER: {best_val_cer:.4f} (Epoch {best_epoch})")
@@ -387,7 +429,12 @@ def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer
     from fddm_asr_tpu import checkpoint as C
 
     host_state = jax.tree.map(lambda x: np.asarray(x), state)
-    C.save_orbax(prefix + ".orbax", {"state": host_state, "epoch": epoch})
+    # best_val_cer rides along so --resume restores the best-checkpoint bar
+    # (inf when no best exists yet)
+    C.save_orbax(prefix + ".orbax", {
+        "state": host_state, "epoch": epoch,
+        "best_val_cer": float("inf") if best_val_cer is None else float(best_val_cer),
+    })
     if export_pt:
         meta = dict(epoch=epoch, step=int(host_state.step), config=raw_cfg)
         if best_val_cer is not None:
