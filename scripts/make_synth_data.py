@@ -134,7 +134,43 @@ log:
 """
     with open(os.path.join(out, "config.yaml"), "w") as f:
         f.write(config)
+
+    # convergence recipe --------------------------------------------------
+    # The smoke config above runs 1 epoch; this variant is the measured
+    # recipe that actually LEARNS the toy corpus end to end (val CER ~0.03
+    # by epoch ~250 on one v5e chip; see README).  The deltas matter:
+    #   * eos_id set -> fixed-seq_len decoding terminates (without eos the
+    #     decode never stops and CER floors on trailing insertions);
+    #   * a strong schedule (T=20, beta_max=0.6) -> enough corrupted
+    #     positions per step for the posterior-KL to carry signal at toy
+    #     scale (the KL is x0hat-insensitive where x_t == x0);
+    #   * T_infer == T_train -> exact-mode sampling (which walks the
+    #     TRAINING beta table with inference-axis t, reference quirk #4)
+    #     stays calibrated.
+    convergence = f"""base_config: {out}/config.yaml
+data:
+  eos_id: 2
+diffusion:
+  T: 20
+  beta_max: 0.6
+inference:
+  T_infer: 20
+  r: 5
+  greedy: true
+  sampling_mode: exact
+optim:
+  lr: 1.0e-3
+  num_epochs: 300
+  mask_pad_loss: true
+log:
+  log_every: 20
+"""
+    with open(os.path.join(out, "config_convergence.yaml"), "w") as f:
+        f.write(convergence)
     print(f"synthetic dataset ready under {out}")
+    print(f"  smoke config:       {out}/config.yaml  (1 epoch)")
+    print(f"  convergence recipe: {out}/config_convergence.yaml  "
+          "(300 epochs; reaches val CER ~0.03 on the toy corpus)")
 
 
 if __name__ == "__main__":

@@ -176,6 +176,27 @@ def test_sanity_forward_script_tiny():
     assert "logits: (2, 64, 4000)" in result.stdout
 
 
+def test_make_synth_convergence_config(tmp_path):
+    """make_synth_data also emits the measured convergence recipe as a
+    base_config overlay; loading it deep-merges onto the smoke config."""
+    from fddm_asr_tpu.config import load_config
+    from scripts.make_synth_data import main as make
+
+    out = str(tmp_path / "synth")
+    make(["--out", out, "--n", "2", "--seconds", "0.5"])
+    cfg = load_config(os.path.join(out, "config_convergence.yaml"))
+    # recipe deltas (CLAUDE.md learning-dynamics findings)
+    assert cfg.data.eos_id == 2
+    assert cfg.diffusion.T == 20 and cfg.diffusion.beta_max == 0.6
+    assert cfg.inference.T_infer == 20 and cfg.inference.r == 5
+    assert cfg.inference.greedy is True
+    assert cfg.optim.num_epochs == 300 and cfg.optim.mask_pad_loss is True
+    # inherited from the smoke base via deep merge
+    assert cfg.optim.batch_size == 4
+    assert cfg.model.d_model == 32
+    assert cfg.data.vocab_size == 96
+
+
 def test_sweep_real_run(tmp_path, capsys):
     """A real (non-dry) sweep executes training per trial and ranks results
     by best val CER into summary.json."""
