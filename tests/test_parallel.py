@@ -1,6 +1,8 @@
 # -*- coding: utf-8 -*-
 """Mesh/sharding tests on the 8-device virtual CPU platform + the driver's
 multichip dry run."""
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -110,6 +112,34 @@ def test_dryrun_multichip_4():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_self_bootstraps():
+    """The driver invokes dryrun_multichip from a process that sees only one
+    device; the entry must re-exec itself onto a virtual CPU platform.  Pin
+    the bootstrap by running it from a 1-device CPU parent (never touching
+    the TPU) and asserting the child's OK line surfaces."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env.pop("FDDM_DRYRUN_INNER", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import __graft_entry__ as g;"
+         "assert len(jax.devices()) < 4;"
+         "g.dryrun_multichip(4)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
 
 
 def test_sharded_int8_inference_matches_single_device():
