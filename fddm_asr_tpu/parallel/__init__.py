@@ -6,6 +6,16 @@ from fddm_asr_tpu.parallel.mesh import (
     batch_sharding,
     replicate,
 )
+from fddm_asr_tpu.parallel.distributed import (
+    DistributedConfig,
+    initialize,
+    process_group,
+    is_primary,
+    host_shard,
+    make_global_mesh,
+    put_global_batch,
+    all_hosts_mean,
+)
 
 __all__ = [
     "MeshSpec",
@@ -14,4 +24,12 @@ __all__ = [
     "shard_pytree",
     "batch_sharding",
     "replicate",
+    "DistributedConfig",
+    "initialize",
+    "process_group",
+    "is_primary",
+    "host_shard",
+    "make_global_mesh",
+    "put_global_batch",
+    "all_hosts_mean",
 ]

@@ -50,7 +50,11 @@ from fddm_asr_tpu import eval as E
 from fddm_asr_tpu.config import Config, resolve_special_ids
 from fddm_asr_tpu.losses import align_speech_to_text, lfd_loss
 from fddm_asr_tpu.models.projection import SpeechProjector, TextEmbedding, TextProjector
-from fddm_asr_tpu.parallel import batch_sharding, decoder_param_spec, make_mesh, MeshSpec, replicate, shard_pytree
+from fddm_asr_tpu.parallel import (
+    batch_sharding, decoder_param_spec, make_mesh, MeshSpec, replicate,
+    shard_pytree,
+)
+from fddm_asr_tpu.parallel import distributed as dist
 
 __all__ = ["TrainState", "make_train_step", "run_training", "setup_logging"]
 
@@ -278,7 +282,9 @@ def _run_training_impl(
         )
 
     # ---- sharding: replicate params, shard batch on "data" ----------------
-    mesh = make_mesh(mesh_spec)
+    # spans all hosts when jax.distributed is initialized (a strict no-op
+    # single-process: make_global_mesh delegates to make_mesh)
+    mesh = dist.make_global_mesh(mesh_spec)
     with mesh:
         state = shard_pytree(state, mesh, decoder_param_spec)
         train_step = make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg)
@@ -313,6 +319,15 @@ def _run_training_impl(
                 f"data-parallel mesh size {data_ways} (use --mesh data=N or "
                 f"raise optim.batch_size)"
             )
+        # multi-host: each process loads only its slice of the global batch
+        # (same per-(seed, epoch) shuffle on every host, then strided rows)
+        shard = dist.host_shard()
+        local_bs = batch_size // (shard[1] if shard else 1)
+        if shard and batch_size % shard[1] != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by the "
+                f"process count {shard[1]}"
+            )
         n_step_fd = cfg.lfd.get("n_step_fd", 4)
         log_every = cfg.log.get("log_every", 50)
         num_epochs = cfg.optim.get("num_epochs", 10)
@@ -332,14 +347,16 @@ def _run_training_impl(
             t0 = time.time()
             loss_sum, step_cnt = None, 0
             for bi, batch in enumerate(
-                make_batches(train_ds, batch_size, shuffle=True, seed=seed, epoch=epoch)
+                make_batches(train_ds, local_bs, shuffle=True, seed=seed,
+                             epoch=epoch, shard=shard)
             ):
                 if max_steps_per_epoch and bi >= max_steps_per_epoch:
                     break
                 apply_lfd = (global_step % n_step_fd) == 0
                 with annotate("host_to_device"):
-                    wave = jax.device_put(batch.wave, batch_shard)
-                    x0 = jax.device_put(batch.tokens.astype(np.int32), batch_shard)
+                    wave = dist.put_global_batch(batch.wave, batch_shard)
+                    x0 = dist.put_global_batch(
+                        batch.tokens.astype(np.int32), batch_shard)
                 step_rng = jax.random.key(host_rng.integers(2**63))
                 state, metrics = train_step(
                     state, pipeline.encoder_params, wave, x0, step_rng, apply_lfd
@@ -428,6 +445,10 @@ def _run_training_impl(
 def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer, export_pt: bool):
     from fddm_asr_tpu import checkpoint as C
 
+    if not dist.is_primary():
+        # multi-host: non-primary processes skip host-side artifact writes
+        # (every host holds identical metrics; the files would collide)
+        return
     host_state = jax.tree.map(lambda x: np.asarray(x), state)
     # best_val_cer rides along so --resume restores the best-checkpoint bar
     # (inf when no best exists yet)

@@ -1,0 +1,127 @@
+# -*- coding: utf-8 -*-
+"""Worker for the REAL multi-process (DCN-analogue) train-step test.
+
+Run standalone, NOT under pytest:
+
+    python tests/mp_worker.py solo             # 8-device single process
+    python tests/mp_worker.py <pid> <nproc> <port>   # one cluster member
+
+Both modes execute the SAME two sharded train steps (tiny decoder + tiny
+WavLM, dp=4 x tp=2 mesh, deterministic batch) and print one JSON line with
+the final loss; the test asserts the cluster reproduces the solo loss.
+The multi-process cluster is 2 hosts x 4 virtual CPU devices, with the
+gradient all-reduce crossing the process boundary over Gloo — the CPU
+stand-in for DCN (SURVEY §2.2).
+"""
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_and_step(mesh):
+    from fddm_asr_tpu.config import Config
+    from fddm_asr_tpu.models.projection import (
+        SpeechProjector, TextEmbedding, TextProjector,
+    )
+    from fddm_asr_tpu.parallel import (
+        batch_sharding, decoder_param_spec, put_global_batch, shard_pytree,
+    )
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+    from fddm_asr_tpu.train_lib import TrainState, make_optimizer, make_train_step
+
+    vocab, d_model, d_proj = 96, 32, 16
+    cfg = Config({
+        "seed": 0,
+        "data": {"vocab_size": vocab, "pad_id": 0, "max_len": 16},
+        "model": {
+            "d_model": d_model, "nhead": 4, "num_layers": 2, "dim_ff": 64,
+            "dropout": 0.0,
+            "encoder": {"wavlm_name": "tiny", "freeze": True, "proj": "linear",
+                        "pooling": "none"},
+            "projector": {"d_proj": d_proj},
+        },
+        "diffusion": {"T": 20, "beta_max": 0.2},
+        "optim": {"batch_size": 8, "lr": 1e-3, "weight_decay": 0.01,
+                  "dtype": "float32"},
+        "lfd": {"lambda_offdiag": 5e-3, "n_step_fd": 1, "tau": 1.0},
+        "log": {"log_every": 1, "ckpt_dir": "/tmp/mp_worker_ckpt"},
+    })
+
+    class _Tok:
+        def encode(self, text):
+            return [5, 6, 7]
+
+    pipeline = FDDMPipeline.from_config(cfg, tokenizer=_Tok(), seed=0)
+    s_proj = SpeechProjector(d_proj=d_proj)
+    t_embed = TextEmbedding(d_out=d_proj, mode="logits")
+    t_proj = TextProjector(d_proj=d_proj)
+    rng = jax.random.key(0)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    sp = s_proj.init(r1, jnp.zeros((1, 4, d_model)))
+    te = t_embed.init(r2, jnp.zeros((1, 4, vocab)))
+    tp = t_proj.init(r3, jnp.zeros((1, 4, d_proj)))
+
+    tx = make_optimizer(cfg)
+    params0 = (pipeline.decoder_params, sp, te, tp)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        decoder=params0[0], s_proj=params0[1], t_embed=params0[2],
+        t_proj=params0[3], opt_state=tx.init(params0),
+    )
+
+    B, T_wav, L = 8, 3200, 16
+    # deterministic GLOBAL batch; each process places only the rows it owns
+    # (mesh data axis is host-major, so process p owns contiguous rows)
+    wave_g = np.random.default_rng(0).standard_normal((B, T_wav)).astype(np.float32)
+    x0_g = np.random.default_rng(1).integers(1, vocab, (B, L), dtype=np.int32)
+    pcount, pid = jax.process_count(), jax.process_index()
+    rows = slice(pid * B // pcount, (pid + 1) * B // pcount)
+
+    with mesh:
+        state = shard_pytree(state, mesh, decoder_param_spec)
+        pipeline.encoder_params = shard_pytree(
+            pipeline.encoder_params, mesh, decoder_param_spec
+        )
+        train_step = make_train_step(pipeline, s_proj, t_embed, t_proj, tx, cfg)
+        bshard = batch_sharding(mesh)
+        wave = put_global_batch(wave_g[rows], bshard)
+        x0 = put_global_batch(x0_g[rows], bshard)
+        for i in range(2):
+            state, metrics = train_step(
+                state, pipeline.encoder_params, wave, x0, jax.random.key(7 + i),
+                True,
+            )
+        return float(metrics["total_loss"]), float(metrics["loss_diff"])
+
+
+def main():
+    from fddm_asr_tpu.parallel import (
+        DistributedConfig, MeshSpec, initialize, make_global_mesh,
+    )
+
+    if sys.argv[1] == "solo":
+        assert jax.device_count() == 8, "run with xla_force_host_platform_device_count=8"
+        mesh = make_global_mesh(MeshSpec(data=4, model=2))
+    else:
+        pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+        initialize(DistributedConfig(f"localhost:{port}", nproc, pid))
+        assert jax.process_count() == nproc
+        assert jax.device_count() == 8, "run with xla_force_host_platform_device_count=4"
+        mesh = make_global_mesh(MeshSpec(data=4, model=2))
+    total, diff = build_and_step(mesh)
+    print(json.dumps({
+        "process": jax.process_index(), "process_count": jax.process_count(),
+        "mesh": dict(mesh.shape), "total_loss": total, "loss_diff": diff,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

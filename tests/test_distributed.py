@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""Multi-host (DCN) layer tests.
+
+Two tiers:
+  * single-process no-op pins — every current path must be untouched when
+    process_count == 1 (the VERDICT/SURVEY contract for this layer);
+  * a REAL 2-process cluster (jax.distributed over localhost, 2 hosts x 4
+    virtual CPU devices, Gloo collectives standing in for DCN) running the
+    full sharded train step and reproducing the single-process loss.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from fddm_asr_tpu.parallel import (
+    DistributedConfig, MeshSpec, all_hosts_mean, batch_sharding, host_shard,
+    initialize, is_primary, make_global_mesh, make_mesh, process_group,
+    put_global_batch,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_initialize_single_process_is_noop():
+    # default env: no coordinator configured -> no cluster, no side effects
+    assert initialize() == (0, 1)
+    assert process_group() == (0, 1)
+    assert is_primary()
+    assert host_shard() is None
+
+
+def test_config_from_env():
+    cfg = DistributedConfig.from_env({})
+    assert not cfg.is_multiprocess
+    cfg = DistributedConfig.from_env({
+        "FDDM_COORDINATOR": "h0:1234", "FDDM_NUM_PROCESSES": "4",
+        "FDDM_PROCESS_ID": "2",
+    })
+    assert cfg.is_multiprocess
+    assert (cfg.coordinator_address, cfg.num_processes, cfg.process_id) == (
+        "h0:1234", 4, 2)
+    # jax-native names as fallback
+    cfg = DistributedConfig.from_env({"JAX_COORDINATOR_ADDRESS": "h1:1"})
+    assert cfg.coordinator_address == "h1:1" and cfg.is_multiprocess
+
+
+def test_global_mesh_single_process_matches_make_mesh():
+    spec = MeshSpec(data=4, model=2)
+    a, b = make_global_mesh(spec), make_mesh(spec)
+    assert a.shape == b.shape and a.axis_names == b.axis_names
+    assert [d.id for d in a.devices.flat] == [d.id for d in b.devices.flat]
+
+
+def test_put_global_batch_single_process_is_device_put():
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    arr = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    sharding = batch_sharding(mesh)
+    a = put_global_batch(arr, sharding)
+    b = jax.device_put(arr, sharding)
+    assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_all_hosts_mean_identity():
+    assert all_hosts_mean(0.25) == 0.25
+
+
+def test_real_two_process_cluster_matches_solo():
+    """2 hosts x 4 devices, dp=4 x tp=2, gradient all-reduce crossing the
+    process boundary: the full train step must reproduce the single-process
+    8-device loss (same global batch, same seeds)."""
+    import tests.mp_worker as W
+
+    solo_total, solo_diff = W.build_and_step(
+        make_global_mesh(MeshSpec(data=4, model=2)))
+
+    env = {k: v for k, v in os.environ.items() if k != "FDDM_DRYRUN_INNER"}
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    port = "9929"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+             str(pid), "2", port],
+            env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+    results = [json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+               for out, _ in outs]
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["mesh"] == {"data": 4, "model": 2}
+        np.testing.assert_allclose(r["total_loss"], solo_total, rtol=1e-5)
+        np.testing.assert_allclose(r["loss_diff"], solo_diff, rtol=1e-5)

@@ -48,6 +48,15 @@ def main(argv=None):
                         help="write a jax.profiler trace here (TensorBoard)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="raise at the op producing any NaN")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: coordinator address host:port "
+                             "(or env FDDM_COORDINATOR)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="multi-host: total process count "
+                             "(or env FDDM_NUM_PROCESSES)")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="multi-host: this process's id "
+                             "(or env FDDM_PROCESS_ID)")
     args = parser.parse_args(argv)
 
     if args.device and args.device.startswith("cpu"):
@@ -60,7 +69,19 @@ def main(argv=None):
 
     enable_compile_cache()
     from fddm_asr_tpu.config import load_config, load_yaml
+    from fddm_asr_tpu.parallel import DistributedConfig, initialize
     from fddm_asr_tpu.train_lib import run_training, setup_logging
+
+    # multi-host bootstrap: flags override env; single process is a no-op
+    dist_cfg = DistributedConfig.from_env()
+    if args.coordinator or args.num_processes or args.process_id is not None:
+        dist_cfg = DistributedConfig(
+            coordinator_address=args.coordinator or dist_cfg.coordinator_address,
+            num_processes=args.num_processes or dist_cfg.num_processes,
+            process_id=(args.process_id if args.process_id is not None
+                        else dist_cfg.process_id),
+        )
+    initialize(dist_cfg)
 
     setup_logging()
     raw = load_yaml(args.config)
