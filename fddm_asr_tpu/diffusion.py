@@ -389,6 +389,14 @@ class DiscreteDiffusionScheduler:
         )
 
     def q_posterior_multi_step(self, xt_prob, x0hat_prob, t, delta, ref_compat=True):
+        """EAGER-ONLY facade: do not jit/vmap through this method.
+
+        The global clamp below materialises ``min(t)`` on the host
+        (``int(jnp.min(t))``) to reproduce the reference's data-dependent
+        entry behavior — under tracing that raises TracerConversionError by
+        design.  Jitted code (the sampler) uses the pure
+        ``q_posterior_multi_step`` function, which is trace-safe.
+        """
         # Reference entry behavior (diffusion_scheduler.py:106-143): the jump
         # is clamped GLOBALLY to the smallest t in the batch, and a
         # non-positive jump returns xt_prob unchanged.  The pure function

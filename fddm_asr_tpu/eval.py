@@ -173,12 +173,15 @@ def evaluate_cer_with_multi_sample(
     """
     # the reference's multi-sample evaluator uses DIFFERENT fallback defaults
     # than the other eval fns when cfg.inference omits keys: r=2 and
-    # posterior_mode='average' (evaluate.py:379-385) vs r=5/'map' elsewhere
-    inf = cfg.get("inference", {}) if cfg is not None else {}
-    ref_defaults = {"r": inf.get("r", 2),
-                    "posterior_mode": inf.get("posterior_mode", "average")}
-    ref_defaults.update(sampling_config or {})
-    sc = _sampling_config_from_cfg(cfg, ref_defaults)
+    # posterior_mode='average' (evaluate.py:379-385) vs r=5/'map' elsewhere.
+    # Those defaults apply ONLY when sampling_config is None — a partial
+    # sampling_config falls through to the generic sampler defaults there,
+    # so mirror that all-or-nothing behavior exactly.
+    if sampling_config is None:
+        inf = cfg.get("inference", {}) if cfg is not None else {}
+        sampling_config = {"r": inf.get("r", 2),
+                           "posterior_mode": inf.get("posterior_mode", "average")}
+    sc = _sampling_config_from_cfg(cfg, sampling_config)
     sc["greedy"] = False
     rng = rng if rng is not None else jax.random.key(0)
     total, count = 0.0, 0

@@ -30,21 +30,24 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        try:
-            # no-op when the .so is newer than the source; rebuilds stale
-            # ones.  flock serialises concurrent processes (sweep workers,
-            # train + serve) so none dlopens a half-relinked .so.
-            import fcntl
+        if _so_is_stale():
+            try:
+                # flock serialises concurrent processes (sweep workers,
+                # train + serve) so none dlopens a half-relinked .so.  The
+                # mtime gate above keeps the common fresh-.so case free of
+                # a per-process `make` exec (1-core container, many short
+                # test subprocesses).
+                import fcntl
 
-            with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
-                fcntl.flock(lock, fcntl.LOCK_EX)
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "-s"],
-                    check=True, capture_output=True, timeout=120,
-                )
-        except (OSError, subprocess.SubprocessError):
-            if not os.path.exists(_SO_PATH):
-                return None
+                with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
+                    fcntl.flock(lock, fcntl.LOCK_EX)
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR, "-s"],
+                        check=True, capture_output=True, timeout=120,
+                    )
+            except (OSError, subprocess.SubprocessError):
+                if not os.path.exists(_SO_PATH):
+                    return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -79,6 +82,22 @@ def _load() -> Optional[ctypes.CDLL]:
             pass
         _lib = lib
         return _lib
+
+
+def _so_is_stale() -> bool:
+    """True when the .so is missing or older than any source/Makefile."""
+    try:
+        so_mtime = os.path.getmtime(_SO_PATH)
+    except OSError:
+        return True
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cc", ".h")) or name == "Makefile":
+            try:
+                if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > so_mtime:
+                    return True
+            except OSError:
+                return True
+    return False
 
 
 def available() -> bool:

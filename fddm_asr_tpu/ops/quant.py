@@ -137,7 +137,7 @@ def int8_matmul_fused(
     that the activation quantization never round-trips HBM: XLA materializes
     ``xq`` (an extra read+write of the activations plus a separate abs-max
     reduction pass, measured at ~245 Teff/s vs the 379 TOPS pure-int8-matmul
-    rate on v5e — scripts/probe_int8_pure.py), while here the row-block is
+    rate on v5e — scripts/probe_int8.py --mode pure), while here the row-block is
     quantized once in VMEM and consumed in place by the MXU.
 
     Weight quantization stays outside the kernel: it is loop-invariant under
@@ -173,7 +173,7 @@ def int8_matmul_fused(
                 + 2 * bm * bn * 2                       # out (x2)
                 + bm * bn * 8)                          # acc int32 + y f32
 
-    vmem_budget = 13 * 2**20  # measured sweet spot (probe_int8_fused)
+    vmem_budget = 13 * 2**20  # measured sweet spot (probe_int8.py --mode fused)
     # shrink while PRESERVING tile alignment (sublane x8 / lane x128)
     while block_m > 64 and _vmem_bytes(block_m, block_n) > vmem_budget:
         block_m = max(64, (block_m // 2 // 8) * 8)

@@ -113,6 +113,13 @@ class BatchingEngine:
         ]
         for r in reqs:
             self.q.put(r)
+        if self._stop.is_set():
+            # raced with shutdown(): its one-shot drain may already have
+            # passed — fail these requests here instead of blocking below
+            for r in reqs:
+                if not r.done.is_set():
+                    r.result = {"wav": r.name, "error": "server shutting down"}
+                    r.done.set()
         for r in reqs:
             if not r.done.wait(timeout=timeout_s):
                 return {"wav": name, "error": f"timed out after {timeout_s}s"}
@@ -252,7 +259,15 @@ def _decode_wav_bytes(body: bytes, target_sr: int = 16000) -> np.ndarray:
     return np.asarray(data, np.float32)
 
 
-def make_handler(engine: BatchingEngine, config_echo: dict):
+def make_handler(engine: BatchingEngine, config_echo: dict,
+                 audio_root: Optional[str] = None,
+                 loopback_only_paths: bool = False):
+    """audio_root: allowlisted directory for JSON {"path": ...} requests.
+    When None and the server is bound beyond loopback, path mode is
+    disabled entirely (any HTTP client could otherwise read and probe
+    arbitrary server-side files)."""
+    root = os.path.realpath(audio_root) if audio_root else None
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -285,10 +300,25 @@ def make_handler(engine: BatchingEngine, config_echo: dict):
                 ctype = (self.headers.get("Content-Type") or "").lower()
                 if ctype.startswith("application/json"):
                     req = json.loads(body.decode("utf-8"))
-                    path = req["path"]
+                    path = os.path.realpath(str(req["path"]))
+                    if root is not None:
+                        if not (path == root or path.startswith(root + os.sep)):
+                            self._reply(403, {"error": "path outside --audio-root"})
+                            return
+                    elif loopback_only_paths:
+                        self._reply(403, {
+                            "error": "path mode disabled on non-loopback "
+                                     "bind; set --audio-root or upload WAV "
+                                     "bytes"})
+                        return
                     from fddm_asr_tpu.data.audio_io import load_audio
 
-                    wave, _ = load_audio(path, target_sr=16000, mono=True)
+                    try:
+                        wave, _ = load_audio(path, target_sr=16000, mono=True)
+                    except Exception:  # noqa: BLE001 — don't leak fs details
+                        self._reply(400, {"error": "could not read audio at "
+                                                   "requested path"})
+                        return
                     name = path
                 else:
                     wave = _decode_wav_bytes(body)
@@ -329,8 +359,11 @@ def build_server(args) -> ThreadingHTTPServer:
     )
     echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
             "max_batch": args.max_batch}
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(engine, echo))
+    loopback = args.host in ("127.0.0.1", "localhost", "::1", "")
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(engine, echo, audio_root=getattr(args, "audio_root", None),
+                     loopback_only_paths=not loopback))
     server.engine = engine  # for tests / shutdown
     return server
 
@@ -353,6 +386,10 @@ def parse_args(argv=None):
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)
     ap.add_argument("--device", default=None, help="cpu forces the CPU backend")
+    ap.add_argument("--audio-root", default=None,
+                    help="allowlisted directory for JSON {'path': ...} "
+                         "requests; without it path mode only works on a "
+                         "loopback bind")
     return ap.parse_args(argv)
 
 

@@ -119,6 +119,63 @@ def test_bad_request(server):
     assert code == 400 and "error" in obj
 
 
+def test_path_mode_restrictions(server):
+    """JSON path mode: --audio-root allowlisting and the non-loopback
+    lockout (any HTTP client could otherwise read server-side files)."""
+    import serve
+
+    base, out, srv = server
+    wav_path = f"{out}/data/processed/clips/test_000.wav"
+    engine = srv.engine
+    echo = {"model": "test"}
+
+    # non-loopback bind without --audio-root: path mode disabled
+    handler = serve.make_handler(engine, echo, audio_root=None,
+                                 loopback_only_paths=True)
+    import http.server
+    import threading as th
+
+    s2 = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    th.Thread(target=s2.serve_forever, daemon=True).start()
+    b2 = f"http://127.0.0.1:{s2.server_address[1]}"
+    try:
+        code, obj = _post(b2 + "/v1/transcribe",
+                          json.dumps({"path": wav_path}).encode(),
+                          "application/json")
+        assert code == 403 and "path mode disabled" in obj["error"]
+    finally:
+        s2.shutdown()
+
+    # audio_root allowlist: inside passes, traversal outside is rejected
+    # without leaking filesystem details
+    handler = serve.make_handler(engine, echo, audio_root=out)
+    s3 = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    th.Thread(target=s3.serve_forever, daemon=True).start()
+    b3 = f"http://127.0.0.1:{s3.server_address[1]}"
+    try:
+        code, obj = _post(b3 + "/v1/transcribe",
+                          json.dumps({"path": wav_path}).encode(),
+                          "application/json")
+        assert code == 200, obj
+        sneaky = f"{out}/data/../../../../../etc/passwd"
+        code, obj = _post(b3 + "/v1/transcribe",
+                          json.dumps({"path": "/etc/passwd"}).encode(),
+                          "application/json")
+        assert code == 403 and obj["error"] == "path outside --audio-root"
+        code, obj = _post(b3 + "/v1/transcribe",
+                          json.dumps({"path": sneaky}).encode(),
+                          "application/json")
+        assert code == 403
+        # unreadable path inside the root: generic error, no exception text
+        code, obj = _post(b3 + "/v1/transcribe",
+                          json.dumps({"path": f"{out}/nope.wav"}).encode(),
+                          "application/json")
+        assert code == 400 and "could not read audio" in obj["error"]
+        assert "nope.wav" not in obj["error"]
+    finally:
+        s3.shutdown()
+
+
 def test_long_audio_chunks_and_joins(server):
     """Uploads longer than --max-seconds split into windows that ride the
     batcher; the response joins the chunk texts (reference-style long-form)."""
