@@ -44,6 +44,7 @@ class Batch:
     wave_lengths: np.ndarray  # [B] int32 (valid samples before padding)
     tokens: np.ndarray      # [B, L] int32 (x0, padded with pad_id)
     token_lengths: np.ndarray  # [B] int32
+    indices: Optional[np.ndarray] = None  # [B] dataset indices (feature cache)
 
 
 class ManifestDataset:
@@ -153,6 +154,7 @@ def make_batches(
             wave_lengths=np.stack([it["wave_length"] for it in items]),
             tokens=np.stack([it["tokens"] for it in items]),
             token_lengths=np.stack([it["token_length"] for it in items]),
+            indices=np.asarray(idxs, np.int64),
         )
 
     def producer():

@@ -86,13 +86,21 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Config):
+def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Config,
+                    cached_features: bool = False):
     """Returns train_step(state, encoder_params, wave, x0, rng,
     apply_lfd[static]) -> (state, metrics).
 
     `encoder_params` (frozen WavLM) is threaded as a jit ARGUMENT — closing
     it over would embed ~1.2 GB of weights as HLO constants, which the TPU
     remote-compile service rejects (HTTP 413) and which defeats donation.
+
+    cached_features=True returns the FEATURE-CACHE variant instead:
+    train_step(state, c, x0, rng, apply_lfd) — `c` is the precomputed
+    frozen-encoder output (data/feature_cache.py) and the WavLM forward is
+    skipped entirely.  Numerically identical to the wave path on the same
+    `c` (the encoder is frozen + stop_gradient'd, so caching changes
+    nothing the optimizer sees).
     """
     sched = pipeline.sched
     pad_id = pipeline.pad_id
@@ -112,14 +120,9 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     encoder = pipeline.encoder
     decoder = pipeline.decoder
 
-    @functools.partial(jax.jit, static_argnames=("apply_lfd",), donate_argnames=("state",))
-    def train_step(state: TrainState, encoder_params, wave, x0, rng, apply_lfd: bool):
+    def _step_core(state: TrainState, c, c_mask, x0, rng, apply_lfd: bool):
         rng_t, rng_q, rng_drop = jax.random.split(rng, 3)
         B, L = x0.shape
-
-        # frozen condition extraction (stop_gradient inside AcousticEncoder)
-        c, c_mask, _ = encoder.apply(encoder_params, wave, None, deterministic=True)
-
         t = jax.random.randint(rng_t, (B,), 1, T_total + 1)
         xt = D.sample_xt_tokens(sched, rng_q, x0, t)
         x_mask = x0 != pad_id
@@ -157,6 +160,21 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
         )
         return new_state, metrics
 
+    if cached_features:
+        @functools.partial(jax.jit, static_argnames=("apply_lfd",),
+                           donate_argnames=("state",))
+        def cached_step(state: TrainState, c, x0, rng, apply_lfd: bool):
+            return _step_core(state, c, None, x0, rng, apply_lfd)
+
+        return cached_step
+
+    @functools.partial(jax.jit, static_argnames=("apply_lfd",),
+                       donate_argnames=("state",))
+    def train_step(state: TrainState, encoder_params, wave, x0, rng, apply_lfd: bool):
+        # frozen condition extraction (stop_gradient inside AcousticEncoder)
+        c, c_mask, _ = encoder.apply(encoder_params, wave, None, deterministic=True)
+        return _step_core(state, c, c_mask, x0, rng, apply_lfd)
+
     return train_step
 
 
@@ -191,8 +209,13 @@ def run_training(
     export_pt: bool = True,
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
+    eval_every: int = 1,
 ) -> Dict[str, Any]:
     """Full training run; returns summary metrics.  CLI wrapper: train.py.
+
+    eval_every=k evaluates val/test CER every k-th epoch (and always on the
+    final epoch); 1 = the reference's per-epoch cadence
+    (/root/reference/train.py:618-650).
 
     The profiler trace and NaN-guard wrap the whole run in try/finally so a
     mid-training exception still dumps the trace and restores the global
@@ -208,7 +231,7 @@ def run_training(
         return _run_training_impl(
             cfg, raw_cfg=raw_cfg, resume=resume, mesh_spec=mesh_spec,
             wavlm_params=wavlm_params, max_steps_per_epoch=max_steps_per_epoch,
-            export_pt=export_pt,
+            export_pt=export_pt, eval_every=eval_every,
         )
     finally:
         guard_ctx.__exit__(None, None, None)
@@ -223,6 +246,7 @@ def _run_training_impl(
     wavlm_params: Optional[Dict] = None,
     max_steps_per_epoch: Optional[int] = None,
     export_pt: bool = True,
+    eval_every: int = 1,
 ) -> Dict[str, Any]:
     from fddm_asr_tpu.data.dataset import ManifestDataset, make_batches
     from fddm_asr_tpu.pipeline import FDDMPipeline
@@ -305,7 +329,9 @@ def _run_training_impl(
                 sample_rate=data_cfg.get("sample_rate", 16000),
             )
 
-        train_ds = make_ds(data_cfg.get("train_json", data_cfg.get("manifest_train", "data/processed/train.json")))
+        train_manifest = data_cfg.get(
+            "train_json", data_cfg.get("manifest_train", "data/processed/train.json"))
+        train_ds = make_ds(train_manifest)
         val_ds = make_ds(data_cfg.get("val_json", data_cfg.get("manifest_dev", "data/processed/validation.json")))
         test_ds = make_ds(data_cfg.get("test_json", data_cfg.get("manifest_test", "data/processed/test.json")))
         if train_ds is None or len(train_ds) == 0:
@@ -335,6 +361,18 @@ def _run_training_impl(
         batch_shard = batch_sharding(mesh)
         host_rng = np.random.default_rng(seed)
 
+        # frozen-encoder feature cache: precompute c once, skip the WavLM
+        # forward in every later step (identical numerics — encoder frozen)
+        feat_cache = cached_step = None
+        cache_dir = data_cfg.get("cache_features")
+        if cache_dir:
+            feat_cache = _ensure_feature_cache(
+                pipeline, train_ds, cache_dir, "train", batch_size,
+                train_manifest)
+            cached_step = make_train_step(
+                pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg,
+                cached_features=True)
+
         # survives --resume: without this the first post-resume epoch would
         # overwrite best_model.* even when worse than the pre-resume best
         best_val_cer, best_epoch = resumed_best_cer, 0
@@ -353,14 +391,23 @@ def _run_training_impl(
                 if max_steps_per_epoch and bi >= max_steps_per_epoch:
                     break
                 apply_lfd = (global_step % n_step_fd) == 0
-                with annotate("host_to_device"):
-                    wave = dist.put_global_batch(batch.wave, batch_shard)
-                    x0 = dist.put_global_batch(
-                        batch.tokens.astype(np.int32), batch_shard)
                 step_rng = jax.random.key(host_rng.integers(2**63))
-                state, metrics = train_step(
-                    state, pipeline.encoder_params, wave, x0, step_rng, apply_lfd
-                )
+                if feat_cache is not None:
+                    with annotate("host_to_device"):
+                        c = dist.put_global_batch(
+                            feat_cache.rows(batch.indices), batch_shard)
+                        x0 = dist.put_global_batch(
+                            batch.tokens.astype(np.int32), batch_shard)
+                    state, metrics = cached_step(state, c, x0, step_rng, apply_lfd)
+                else:
+                    with annotate("host_to_device"):
+                        wave = dist.put_global_batch(batch.wave, batch_shard)
+                        x0 = dist.put_global_batch(
+                            batch.tokens.astype(np.int32), batch_shard)
+                    state, metrics = train_step(
+                        state, pipeline.encoder_params, wave, x0, step_rng,
+                        apply_lfd
+                    )
                 # accumulate on-device: float() here would block the host on
                 # every step, serializing dispatch behind the ~31 ms relay
                 # overhead (CLAUDE.md) — sync only on log steps + epoch end
@@ -388,8 +435,9 @@ def _run_training_impl(
             # (samplers take params as call arguments — no cache invalidation)
             pipeline.decoder_params = state.decoder
 
+            do_eval = (epoch % max(1, eval_every) == 0) or epoch == num_epochs
             val_loss = val_cer = test_cer = None
-            if val_ds is not None and len(val_ds) > 0:
+            if do_eval and val_ds is not None and len(val_ds) > 0:
                 val_cer = E.evaluate_cer_with_jumpy_sampling(
                     pipeline, make_batches(val_ds, batch_size, drop_last=False), cfg
                 )
@@ -407,7 +455,7 @@ def _run_training_impl(
                         f"Saved BEST model (epoch {best_epoch}, val_cer {best_val_cer:.4f}) "
                         f"→ {os.path.join(ckpt_dir, best_art)}"
                     )
-            if test_ds is not None and len(test_ds) > 0:
+            if do_eval and test_ds is not None and len(test_ds) > 0:
                 test_cer = E.evaluate_cer_with_jumpy_sampling(
                     pipeline, make_batches(test_ds, batch_size, drop_last=False), cfg
                 )
@@ -440,6 +488,34 @@ def _run_training_impl(
     )
     logging.info("=" * 50)
     return summary
+
+
+def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
+                          manifest_path):
+    """Open the feature cache, building it first if absent (one jitted
+    encoder sweep over the manifest in order)."""
+    from fddm_asr_tpu.data import feature_cache as FC
+
+    checksum = FC.param_checksum(pipeline.encoder_params)
+    fp = FC.fingerprint(manifest_path, len(train_ds), checksum)
+    if not FC.cache_exists(cache_dir, split):
+        if jax.process_count() > 1 and not dist.is_primary():
+            raise RuntimeError(
+                "feature cache missing in a multi-host run: precompute it "
+                "once with scripts/precompute_features.py before launching"
+            )
+        logging.info(f"building feature cache under {cache_dir}/{split} …")
+        enc_apply = jax.jit(functools.partial(
+            pipeline.encoder.apply, deterministic=True))
+
+        def encode(waves):
+            c, _, _ = enc_apply(pipeline.encoder_params, waves, None)
+            return c
+
+        FC.build_cache(cache_dir, split, train_ds, encode,
+                       batch_size=batch_size, manifest_path=manifest_path,
+                       checksum=checksum, log_every=10)
+    return FC.FeatureCache(cache_dir, split, expect_fingerprint=fp)
 
 
 def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer, export_pt: bool):

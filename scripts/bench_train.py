@@ -30,6 +30,10 @@ def main(argv=None):
                     help="encoder quant_dense for the frozen forward: none|int8|int8_fused")
     ap.add_argument("--model", default="base", choices=["base", "paper"],
                     help="decoder geometry: base=d768x6, paper=d1024x12 (253M, scanned)")
+    ap.add_argument("--cached", action="store_true",
+                    help="feature-cache step: precomputed encoder output c "
+                         "fed straight to the decoder step (skips the WavLM "
+                         "forward — the frozen-encoder training fast path)")
     args = ap.parse_args(argv)
 
     from fddm_asr_tpu.runtime import enable_compile_cache
@@ -91,23 +95,35 @@ def main(argv=None):
         decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
         opt_state=tx.init(params0),
     )
-    train_step = make_train_step(pipeline, s_proj, t_embed, t_proj, tx, cfg)
+    train_step = make_train_step(pipeline, s_proj, t_embed, t_proj, tx, cfg,
+                                 cached_features=args.cached)
 
     B, T_wav = args.batch, int(args.seconds * 16000)
     wave = jnp.asarray(np.random.default_rng(0).standard_normal((B, T_wav)), jnp.float32)
     x0 = jnp.asarray(np.random.default_rng(1).integers(4, K, (B, args.max_len)), jnp.int32)
 
+    if args.cached:
+        enc = jax.jit(lambda p, w: pipeline.encoder.apply(
+            p, w, None, deterministic=True)[0])
+        c = enc(pipeline.encoder_params, wave)
+        jax.block_until_ready(c)
+
+        def step(state, key):
+            return train_step(state, c, x0, key, args.lfd)
+    else:
+        def step(state, key):
+            return train_step(state, pipeline.encoder_params, wave, x0, key,
+                              args.lfd)
+
     t0 = time.perf_counter()
-    state, metrics = train_step(state, pipeline.encoder_params, wave, x0,
-                                jax.random.key(1), args.lfd)
+    state, metrics = step(state, jax.random.key(1))
     jax.block_until_ready(metrics["total_loss"])
     compile_s = time.perf_counter() - t0
 
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        state, metrics = train_step(state, pipeline.encoder_params, wave, x0,
-                                    jax.random.key(2 + i), args.lfd)
+        state, metrics = step(state, jax.random.key(2 + i))
         jax.block_until_ready(metrics["total_loss"])
         times.append(time.perf_counter() - t0)
     step_s = min(times)
@@ -121,9 +137,11 @@ def main(argv=None):
         "step_seconds": round(step_s, 4),
         "compile_seconds": round(compile_s, 1),
         "lfd": args.lfd,
+        "cached_features": args.cached,
         "platform": jax.devices()[0].platform,
         "config": f"frozen wavlm-large + d{d_model}x{n_layers} decoder, KL, AdamW, bf16"
-                  + (f" enc-quant-{args.quant}" if args.quant != "none" else ""),
+                  + (f" enc-quant-{args.quant}" if args.quant != "none" else "")
+                  + (" feature-cache" if args.cached else ""),
     }))
 
 
