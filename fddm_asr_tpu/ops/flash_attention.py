@@ -14,16 +14,31 @@ VMEM — the dominant HBM-bandwidth saving of the encoder stack.  The shared
 `pos_bias` [H, L, L] stays in HBM and each program DMAs only its
 [q_block, Lk] slice.
 
-Design point: at FDDM audio lengths (20 s -> 999 frames, padded to 1024
-lanes) a full key row [Lk, dh] plus a [bq, Lk] score tile fit comfortably in
-VMEM (~1 MB at bf16), so the kernel holds K/V per program instead of a
-blockwise running-softmax; tested up to Lk = 4096.  Longer contexts would
-extend the same kernel with a k-block loop and running max/sum accumulators
-(classic flash attention) — not needed at FDDM scale (SURVEY §2.2 defers
-sequence parallelism).
+Two VMEM regimes:
+
+  * **Resident-K kernel** (`wavlm_gated_attention_packed`): at FDDM audio
+    lengths (20 s -> 999 frames, padded to 1024 lanes) a full key row
+    [Lk, dh] plus a [bq, Lk] score tile fit comfortably in VMEM (~1 MB at
+    bf16), so each program holds K/V whole.  Fastest at flagship shapes;
+    VMEM-bounded at Lk ≈ 4096.
+  * **Flash kernel** (`wavlm_gated_attention_packed_flash`): classic
+    blockwise running-softmax — a k-block grid axis (innermost) with
+    per-row max/sum/accumulator scratch carried across k-steps, so Lk is
+    UNBOUNDED (tested to 8192; the long-context story SURVEY §5 assigns
+    here).  The dispatcher flips to it automatically past the resident-K
+    VMEM cliff.
+
+Remaining long-context ceiling: the model's position bias is materialised
+as [H, L, L] in HBM (O(L²)) by the caller.  It is a Toeplitz-of-buckets
+matrix (depends only on i-j), so the next step — if ever needed past
+L~16k — is passing the [H, 2L-1] diagonal form and reconstructing each
+[bq, bk] block in-kernel (log2(bq) barrel-shift rolls); documented, not
+built: at FDDM scale the bias DMA is already amortised across the batch by
+grid ordering.
 
 All kernels have a pure-XLA reference fallback used on CPU and in tests; the
-pallas path activates only on TPU backends.
+pallas path activates only on TPU backends (tests drive the flash kernel in
+interpret mode on CPU; scripts/validate_pallas_tpu.py re-validates on TPU).
 """
 from __future__ import annotations
 
@@ -236,6 +251,138 @@ def wavlm_gated_attention_packed(
     return out[:, :L]
 
 
+def _kernel_packed_flash(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
+                         out_ref, m_ref, l_ref, acc_ref, *, scale, dh, nk):
+    """Blockwise running-softmax body; grid (head-pair, q-block, batch,
+    k-block) with the k axis INNERMOST so the scratch accumulators carry
+    across k-steps of one (h, i, b) program family.
+
+    blocks: q [1, bq, 2dh], k/v [1, bk, 2dh], bias [1, 2, bq, bk],
+    gate [1, 1, bq, 2], mask [1, 1, bk] (int8), out [1, bq, 2dh];
+    scratch (f32): m/l [2, bq, 1], acc [2, bq, dh].
+    """
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        # finite "neg-inf": -inf would produce exp(-inf - -inf) = nan on
+        # the first not-yet-seen row; with the finite min float the
+        # correction underflows to exactly 0 instead
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    mask = mask_ref[0] != 0  # [1, bk]
+    for h in range(2):
+        q = q_ref[0, :, h * dh:(h + 1) * dh] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, :, h * dh:(h + 1) * dh]
+        v = v_ref[0, :, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        gate = gate_ref[0, 0, :, h:h + 1].astype(jnp.float32)  # [bq, 1]
+        s = s + gate * bias_ref[0, h].astype(jnp.float32)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_ref[h]                             # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)                # [bq, 1]
+        p = jnp.exp(s - m_new)                        # [bq, bk] f32
+        l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[h] = acc_ref[h] * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[h] = m_new
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        outs = []
+        for h in range(2):
+            # fully-masked rows (pad queries, sliced off by the wrapper)
+            # have l == 0; clamp to avoid 0/0
+            l = jnp.maximum(l_ref[h], jnp.asarray(1e-30, jnp.float32))
+            outs.append((acc_ref[h] * (1.0 / l)).astype(out_ref.dtype))
+        out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k",
+                                             "interpret"))
+def wavlm_gated_attention_packed_flash(
+    q: jnp.ndarray,        # [B, L, H*dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos_bias: jnp.ndarray,  # [H, L, L] (f32)
+    gate: jnp.ndarray,      # [B, H, L]
+    key_mask: Optional[jnp.ndarray] = None,  # [B, L] True=keep
+    num_heads: int = 16,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash (k-block running-softmax) variant of the packed kernel.
+
+    Unbounded Lk: VMEM holds only [bq, bk] tiles + [bq, dh] accumulators.
+    Same operand layouts and numerics target as
+    `wavlm_gated_attention_packed`; preferred automatically past the
+    resident-K VMEM cliff (see `wavlm_gated_attention_heads_packed`).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, HD = q.shape
+    H = num_heads
+    dh = HD // H
+    assert H % 2 == 0 and dh * H == HD
+    block_q = min(block_q, _round_up(L, 128))
+    block_k = min(block_k, _round_up(L, 128))
+    Lq = _round_up(L, block_q)
+    Lk = _round_up(L, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, Lq - L), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    bias_p = jnp.pad(pos_bias, ((0, 0), (0, Lq - L), (0, Lk - L)))
+    bias_p = bias_p.reshape(H // 2, 2, Lq, Lk)
+    gate_p = jnp.pad(gate, ((0, 0), (0, 0), (0, Lq - L)))
+    gate_p = jnp.transpose(gate_p.reshape(B, H // 2, 2, Lq), (0, 1, 3, 2))
+    if key_mask is None:
+        key_mask = jnp.ones((B, L), bool)
+    mask_p = jnp.pad(key_mask.astype(jnp.int8), ((0, 0), (0, Lk - L)))[:, None, :]
+
+    scale = 1.0 / float(np.sqrt(dh))
+    nk = Lk // block_k
+    grid = (H // 2, Lq // block_q, B, nk)
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed_flash, scale=scale, dh=dh, nk=nk),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b, j: (b, i, h)),
+            pl.BlockSpec((1, block_k, 2 * dh), lambda h, i, b, j: (b, j, h)),
+            pl.BlockSpec((1, block_k, 2 * dh), lambda h, i, b, j: (b, j, h)),
+            pl.BlockSpec((1, 2, block_q, block_k), lambda h, i, b, j: (h, 0, i, j)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda h, i, b, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b, j: (b, i, h)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((2, block_q, 1), jnp.float32),   # running sum
+            pltpu.VMEM((2, block_q, dh), jnp.float32),  # output accumulator
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, gate_p, mask_p)
+    return out[:, :L]
+
+
+# resident-K kernel holds [Lk, 2dh] K/V + [bq, Lk] scores per program;
+# past this Lk the VMEM working set outgrows ~16 MB and the flash kernel
+# takes over in the dispatcher
+_RESIDENT_K_MAX = 4096
+
+
 def wavlm_gated_attention(
     q, k, v, pos_bias, gate, key_mask=None, force_xla: bool = False
 ) -> jnp.ndarray:
@@ -252,11 +399,19 @@ def wavlm_gated_attention_heads_packed(
     q, k, v, pos_bias, gate, key_mask=None, num_heads: int = 16,
     force_xla: bool = False,
 ) -> jnp.ndarray:
-    """Dispatch for head-packed [B, L, H*dh] operands (v2 kernel on TPU)."""
+    """Dispatch for head-packed [B, L, H*dh] operands.
+
+    TPU: resident-K kernel at FDDM lengths, flash (k-block) kernel past the
+    VMEM cliff (L > 4096) — so long audio needs no --chunk-seconds crutch.
+    """
     B, L, HD = q.shape
     dh = HD // num_heads
     if not force_xla and jax.default_backend() not in ("cpu",) and dh == 64:
         try:
+            if L > _RESIDENT_K_MAX:
+                return wavlm_gated_attention_packed_flash(
+                    q, k, v, pos_bias, gate, key_mask, num_heads=num_heads
+                )
             return wavlm_gated_attention_packed(
                 q, k, v, pos_bias, gate, key_mask, num_heads=num_heads
             )

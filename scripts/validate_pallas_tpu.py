@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fddm_asr_tpu.ops.flash_attention import (
+    wavlm_gated_attention_packed,
+    wavlm_gated_attention_packed_flash,
     wavlm_gated_attention_pallas,
     wavlm_gated_attention_xla,
 )
@@ -34,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--dh", type=int, default=64)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--kernel", default="v1",
+                    choices=["v1", "packed", "flash"],
+                    help="v1=[B,H,L,dh] kernel, packed=head-packed "
+                         "resident-K, flash=k-block running softmax "
+                         "(unbounded Lk — use --frames 8192)")
+    ap.add_argument("--block-k", type=int, default=512)
     args = ap.parse_args(argv)
 
     if jax.default_backend() == "cpu":
@@ -50,7 +58,23 @@ def main(argv=None):
     mask = jnp.asarray(np.arange(L)[None, :] < (L - np.arange(B) * 7)[:, None])
 
     xla_fn = jax.jit(wavlm_gated_attention_xla)
-    pal_fn = jax.jit(wavlm_gated_attention_pallas)
+    if args.kernel == "v1":
+        pal_fn = jax.jit(wavlm_gated_attention_pallas)
+    else:
+        HD = H * dh
+
+        def packed(fn, **kw):
+            def run(q, k, v, bias, gate, mask):
+                out = fn(q.reshape(B, L, HD), k.reshape(B, L, HD),
+                         v.reshape(B, L, HD), bias, gate, mask,
+                         num_heads=H, **kw)
+                return out.reshape(B, L, H, dh)
+            return jax.jit(run)
+
+        pal_fn = (packed(wavlm_gated_attention_packed)
+                  if args.kernel == "packed"
+                  else packed(wavlm_gated_attention_packed_flash,
+                              block_k=args.block_k))
 
     ref = jax.block_until_ready(xla_fn(q, k, v, bias, gate, mask))
     out = jax.block_until_ready(pal_fn(q, k, v, bias, gate, mask))

@@ -62,6 +62,42 @@ def test_heads_packed_dispatch_matches_split(rng):
     np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("L,block_q,block_k,with_mask", [
+    (256, 128, 128, True),    # multi k-block, ragged mask
+    (256, 128, 128, False),
+    (200, 128, 128, True),    # L not a block multiple: padded keys masked
+    (384, 128, 256, True),    # Lk not a multiple of block_k
+])
+def test_flash_kernel_matches_xla(rng, L, block_q, block_k, with_mask):
+    """k-block running-softmax kernel (interpret mode on CPU) == XLA
+    reference, including padded/masked keys across block boundaries."""
+    from fddm_asr_tpu.ops.flash_attention import wavlm_gated_attention_packed_flash
+
+    Hh, dhh, Bb = 2, 64, 2  # dh=64 like WavLM; H even for head pairing
+    q = rng.standard_normal((Bb, L, Hh, dhh)).astype(np.float32)
+    k = rng.standard_normal((Bb, L, Hh, dhh)).astype(np.float32)
+    v = rng.standard_normal((Bb, L, Hh, dhh)).astype(np.float32)
+    bias = rng.standard_normal((Hh, L, L)).astype(np.float32)
+    gate = rng.uniform(1.0, 2.0, (Bb, Hh, L)).astype(np.float32)
+    mask = np.ones((Bb, L), bool)
+    if with_mask:
+        mask[1, L // 3:] = False  # masked span crosses k-block boundaries
+
+    ref = wavlm_gated_attention_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(bias), jnp.asarray(gate), jnp.asarray(mask),
+    ).reshape(Bb, L, Hh * dhh)
+    out = wavlm_gated_attention_packed_flash(
+        jnp.asarray(q.reshape(Bb, L, Hh * dhh)),
+        jnp.asarray(k.reshape(Bb, L, Hh * dhh)),
+        jnp.asarray(v.reshape(Bb, L, Hh * dhh)),
+        jnp.asarray(bias), jnp.asarray(gate), jnp.asarray(mask),
+        num_heads=Hh, block_q=block_q, block_k=block_k, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_fused_flag_preserves_wavlm_output(rng):
     """fused_attention=True on CPU dispatches to the XLA fallback and must
     reproduce the default path exactly."""
