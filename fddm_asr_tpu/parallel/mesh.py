@@ -41,7 +41,14 @@ class MeshSpec:
     def resolve(self, n_devices: int) -> Tuple[int, int]:
         model = max(1, self.model)
         data = self.data if self.data > 0 else n_devices // model
-        if data * model != n_devices:
+        if self.data > 0:
+            # fully-pinned spec: may use a SUBSET of the devices (e.g. a
+            # 1x1 mesh on a multi-device host for single-device runs)
+            if data * model > n_devices:
+                raise ValueError(
+                    f"mesh {data}x{model} needs more than {n_devices} devices"
+                )
+        elif data * model != n_devices:
             raise ValueError(
                 f"mesh {data}x{model} != {n_devices} devices; adjust MeshSpec"
             )
@@ -51,7 +58,7 @@ class MeshSpec:
 def make_mesh(spec: MeshSpec = MeshSpec(), devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     data, model = spec.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(data, model)
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
 

@@ -357,6 +357,8 @@ def _run_training_impl(
         n_step_fd = cfg.lfd.get("n_step_fd", 4)
         log_every = cfg.log.get("log_every", 50)
         num_epochs = cfg.optim.get("num_epochs", 10)
+        if eval_every == 1:  # param default defers to config
+            eval_every = int(cfg.log.get("eval_every", 1))
 
         batch_shard = batch_sharding(mesh)
         host_rng = np.random.default_rng(seed)

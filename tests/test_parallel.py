@@ -17,8 +17,16 @@ def test_mesh_construction():
     assert dict(mesh.shape) == {"data": 4, "model": 2}
     mesh = make_mesh(MeshSpec())  # all devices on data
     assert dict(mesh.shape) == {"data": 8, "model": 1}
+    # fully-pinned specs may take a device SUBSET (single-device runs on
+    # multi-device hosts); over-subscription still raises
+    mesh = make_mesh(MeshSpec(data=3, model=2))
+    assert dict(mesh.shape) == {"data": 3, "model": 2}
+    mesh = make_mesh(MeshSpec(data=1, model=1))
+    assert dict(mesh.shape) == {"data": 1, "model": 1}
     with pytest.raises(ValueError):
-        make_mesh(MeshSpec(data=3, model=2))
+        make_mesh(MeshSpec(data=5, model=2))
+    with pytest.raises(ValueError):
+        make_mesh(MeshSpec(data=-1, model=3))  # 8 not divisible
 
 
 def test_param_spec_rules():

@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--wavlm-ckpt", type=str, default=None,
                         help="local WavLM weights (HF dir or orbax)")
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
+    parser.add_argument("--eval-every", type=int, default=1,
+                        help="evaluate val/test CER every k-th epoch "
+                             "(final epoch always; cfg log.eval_every also "
+                             "works); 1 = reference per-epoch cadence")
     parser.add_argument("--no-pt-export", action="store_true",
                         help="skip reference-format .pt export per checkpoint")
     parser.add_argument("--profile-dir", type=str, default=None,
@@ -101,6 +105,7 @@ def main(argv=None):
         export_pt=not args.no_pt_export,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
+        eval_every=args.eval_every,
     )
 
 
