@@ -113,10 +113,14 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     # fixed seq_len decoding).  mask_pad_loss=false includes pad positions in
     # the KL so the model learns sequence length end-to-end.
     mask_pad_loss = bool(cfg.optim.get("mask_pad_loss", True))
-    # "dense" = reference-parity KL; "sparse" = O(B*L) low-HBM equivalent
-    # (see diffusion.kl_term_sparse — agrees to f32 tolerance except in the
-    # log-underflow regime, where sparse is the better-conditioned loss)
-    kl_fn = D.kl_term_sparse if cfg.optim.get("kl_impl") == "sparse" else D.kl_term
+    # "sparse" (DEFAULT since round 2) = O(B*L) low-HBM KL equivalent to the
+    # reference's dense form to f32 tolerance, better-conditioned in the
+    # log-underflow regime (diffusion.kl_term_sparse).  A/B on the synthetic
+    # convergence recipe: identical trajectory quality (both reach val CER
+    # 0.0 at epoch 560; docs/cer_parity_r02.json for the dense artifact).
+    # "dense" = reference-parity KL, kept for parity comparisons
+    # (optim.kl_impl: dense).
+    kl_fn = D.kl_term if cfg.optim.get("kl_impl") == "dense" else D.kl_term_sparse
     encoder = pipeline.encoder
     decoder = pipeline.decoder
 
