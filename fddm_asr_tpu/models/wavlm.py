@@ -82,6 +82,15 @@ class WavLMConfig:
     # identical (parity-tested); param tree gains a stacked "layers_scan"
     # entry (the converter stacks accordingly).
     scan_layers: bool = False
+    # Rematerialize (jax.checkpoint) each transformer layer's activations in
+    # the backward pass.  Only relevant when the encoder is TRAINED
+    # (model.encoder.freeze: false): fine-tuning wavlm-large at B=16 x 20 s
+    # stores ~24 layers x O(B*S*H) activation tensors without it; with it,
+    # layer activations are recomputed from the layer input during backprop
+    # (O(1) layers live at once) at ~1/3 extra FLOPs — the standard
+    # memory/compute trade on TPU.  No effect on forward numerics; no effect
+    # at all under stop_gradient (frozen encoder).
+    remat_layers: bool = False
     # Fuse gate*pos_bias + attention into one Pallas kernel on TPU (falls
     # back to XLA elsewhere): avoids materialising two [B, H, L, L] HBM
     # tensors per layer.  See fddm_asr_tpu.ops.flash_attention.
@@ -528,8 +537,14 @@ class Encoder(nn.Module):
 
         n_rest = cfg.num_hidden_layers - 1
         if n_rest > 0 and cfg.scan_layers:
+            # remat_layers: checkpoint each scanned layer so fine-tuning
+            # (freeze=false) keeps O(1) layer activations live instead of
+            # O(num_layers).  prevent_cse=False is the recommended setting
+            # under scan (the scan boundary already prevents the unsafe CSE).
+            body = (nn.remat(_ScanLayerBody, prevent_cse=False)
+                    if cfg.remat_layers else _ScanLayerBody)
             scanned = nn.scan(
-                _ScanLayerBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),
@@ -537,6 +552,11 @@ class Encoder(nn.Module):
             )(cfg, deterministic, self.dtype, self.attention_fn, name="layers_scan")
             x, _ = scanned(x, key_mask, position_bias)
         else:
+            if cfg.remat_layers and n_rest > 0:
+                raise ValueError(
+                    "remat_layers requires scan_layers=True (the unrolled "
+                    "path is only used for parity tests, which never remat)"
+                )
             for i in range(1, cfg.num_hidden_layers):
                 x, position_bias = layer_cls(
                     cfg, has_relative_position_bias=False, dtype=self.dtype,

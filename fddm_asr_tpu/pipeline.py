@@ -67,6 +67,13 @@ def build_wavlm_config(encoder_cfg: Config) -> WavLMConfig:
         cfg = dataclasses.replace(cfg, **dict(overrides))
     if "scan_layers" in encoder_cfg:
         cfg = dataclasses.replace(cfg, scan_layers=bool(encoder_cfg["scan_layers"]))
+    if "remat_layers" in encoder_cfg:
+        cfg = dataclasses.replace(cfg, remat_layers=bool(encoder_cfg["remat_layers"]))
+    elif not (overrides and "remat_layers" in overrides):
+        # fine-tuning default: when the encoder is trained, remat the scanned
+        # layers so activation memory stays O(1) in depth (see WavLMConfig)
+        if not encoder_cfg.get("freeze", True) and cfg.scan_layers:
+            cfg = dataclasses.replace(cfg, remat_layers=True)
     return cfg
 
 

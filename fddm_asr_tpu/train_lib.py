@@ -66,19 +66,46 @@ class TrainState(struct.PyTreeNode):
     t_embed: Any
     t_proj: Any
     opt_state: Any
+    # Populated only when the encoder is fine-tuned (model.encoder.freeze:
+    # false); None (an empty pytree — absent from checkpoints) when frozen,
+    # so frozen-path checkpoints are unchanged.
+    encoder: Any = None
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+def _lr_schedule(lr: float, warmup: int):
+    return optax.linear_schedule(0.0, lr, warmup) if warmup else lr
+
+
+def make_optimizer(cfg: Config,
+                   train_encoder: bool = False) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping at 5.0 (reference train.py:411).
+
+    train_encoder=True optimizes a 5-tuple (decoder, s_proj, t_embed,
+    t_proj, encoder) instead of the reference's 4 (its AdamW excludes the
+    encoder, train.py:542-544).  `optim.encoder_lr` (default: `optim.lr`)
+    gives the pretrained backbone its own learning rate — the usual
+    fine-tuning recipe — via optax.multi_transform; clipping stays GLOBAL
+    across both groups, matching the reference's clip semantics.
+    """
     optim = cfg.optim
     lr = optim.get("lr", 2e-4)
     warmup = optim.get("warmup_steps", 0) or 0
-    if warmup:
-        schedule = optax.linear_schedule(0.0, lr, warmup)
+    wd = optim.get("weight_decay", 0.01)
+    main_tx = optax.adamw(_lr_schedule(lr, warmup), weight_decay=wd)
+    if train_encoder:
+        enc_lr = optim.get("encoder_lr", lr)
+        enc_tx = optax.adamw(_lr_schedule(enc_lr, warmup), weight_decay=wd)
+
+        def label_fn(params):
+            main = tuple(jax.tree.map(lambda _: "main", p) for p in params[:4])
+            return main + (jax.tree.map(lambda _: "enc", params[4]),)
+
+        inner = optax.multi_transform({"main": main_tx, "enc": enc_tx}, label_fn)
     else:
-        schedule = lr
+        inner = main_tx
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),  # reference max_norm=5.0
-        optax.adamw(schedule, weight_decay=optim.get("weight_decay", 0.01)),
+        inner,
     )
     accum = optim.get("grad_accum_steps", 1) or 1
     if accum > 1:
@@ -87,7 +114,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Config,
-                    cached_features: bool = False):
+                    cached_features: bool = False, train_encoder: bool = False):
     """Returns train_step(state, encoder_params, wave, x0, rng,
     apply_lfd[static]) -> (state, metrics).
 
@@ -101,7 +128,25 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     skipped entirely.  Numerically identical to the wave path on the same
     `c` (the encoder is frozen + stop_gradient'd, so caching changes
     nothing the optimizer sees).
+
+    train_encoder=True (model.encoder.freeze: false — a capability the
+    reference's frozen-by-paper recipe leaves on the table even though its
+    AcousticEncoder has the flag, acoustic_encoder.py:38) returns the
+    FINE-TUNE variant: train_step(state, wave, x0, rng, apply_lfd) with the
+    encoder params inside the donated state and differentiated through —
+    the encoder runs with dropout active inside the same jitted+remat'd
+    graph.  Requires a pipeline built with freeze=false (else stop_gradient
+    would silently zero the encoder grads — asserted here), and excludes
+    cached_features (the cache bakes in fixed encoder outputs).
     """
+    if train_encoder and cached_features:
+        raise ValueError("cached_features is incompatible with train_encoder "
+                         "(fine-tuning changes the features every step)")
+    if train_encoder and pipeline.encoder.freeze:
+        raise ValueError(
+            "train_encoder=True but the pipeline encoder was built with "
+            "freeze=True — set model.encoder.freeze: false so stop_gradient "
+            "is removed from the encoder output")
     sched = pipeline.sched
     pad_id = pipeline.pad_id
     T_total = cfg.diffusion["T"]
@@ -124,36 +169,38 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     encoder = pipeline.encoder
     decoder = pipeline.decoder
 
-    def _step_core(state: TrainState, c, c_mask, x0, rng, apply_lfd: bool):
+    def _losses(dec_p, sp_p, te_p, tp_p, c, c_mask, xt, x0, t,
+                x_mask, loss_mask, rng_drop, apply_lfd: bool):
+        L = x0.shape[1]
+        logits = decoder.apply(
+            dec_p, xt, t, c, x_mask, c_mask,
+            deterministic=False, rngs={"dropout": rng_drop},
+        )
+        loss_diff = kl_fn(sched, xt, x0, logits, t, loss_mask)
+        metrics = {"loss_diff": loss_diff}
+        loss = loss_diff
+        if apply_lfd:
+            z_text = t_proj_mod.apply(tp_p, t_embed_mod.apply(te_p, logits))
+            z_speech = s_proj_mod.apply(sp_p, c)
+            z_speech = align_speech_to_text(z_speech, L)
+            w_t = jnp.mean(sched.w_t(t))
+            loss_fd = lfd_loss(z_speech, z_text, lambda_offdiag=lambda_off)
+            loss = loss + tau * w_t * loss_fd
+            metrics.update({"loss_fd": loss_fd, "w_t": w_t})
+        metrics["total_loss"] = loss
+        return loss, metrics
+
+    def _corrupt(x0, rng):
         rng_t, rng_q, rng_drop = jax.random.split(rng, 3)
-        B, L = x0.shape
+        B, _ = x0.shape
         t = jax.random.randint(rng_t, (B,), 1, T_total + 1)
         xt = D.sample_xt_tokens(sched, rng_q, x0, t)
         x_mask = x0 != pad_id
         loss_mask = x_mask if mask_pad_loss else jnp.ones_like(x_mask)
+        return t, xt, x_mask, loss_mask, rng_drop
 
-        def loss_fn(params):
-            dec_p, sp_p, te_p, tp_p = params
-            logits = decoder.apply(
-                dec_p, xt, t, c, x_mask, c_mask,
-                deterministic=False, rngs={"dropout": rng_drop},
-            )
-            loss_diff = kl_fn(sched, xt, x0, logits, t, loss_mask)
-            metrics = {"loss_diff": loss_diff}
-            loss = loss_diff
-            if apply_lfd:
-                z_text = t_proj_mod.apply(tp_p, t_embed_mod.apply(te_p, logits))
-                z_speech = s_proj_mod.apply(sp_p, c)
-                z_speech = align_speech_to_text(z_speech, L)
-                w_t = jnp.mean(sched.w_t(t))
-                loss_fd = lfd_loss(z_speech, z_text, lambda_offdiag=lambda_off)
-                loss = loss + tau * w_t * loss_fd
-                metrics.update({"loss_fd": loss_fd, "w_t": w_t})
-            metrics["total_loss"] = loss
-            return loss, metrics
-
-        params = (state.decoder, state.s_proj, state.t_embed, state.t_proj)
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    def _apply_updates(state: TrainState, params, value_and_grads):
+        (_, metrics), grads = value_and_grads
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_state = state.replace(
@@ -161,8 +208,46 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
             decoder=new_params[0], s_proj=new_params[1],
             t_embed=new_params[2], t_proj=new_params[3],
             opt_state=opt_state,
+            **({"encoder": new_params[4]} if len(new_params) > 4 else {}),
         )
         return new_state, metrics
+
+    def _step_core(state: TrainState, c, c_mask, x0, rng, apply_lfd: bool):
+        t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng)
+
+        def loss_fn(params):
+            dec_p, sp_p, te_p, tp_p = params
+            return _losses(dec_p, sp_p, te_p, tp_p, c, c_mask, xt, x0, t,
+                           x_mask, loss_mask, rng_drop, apply_lfd)
+
+        params = (state.decoder, state.s_proj, state.t_embed, state.t_proj)
+        grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return _apply_updates(state, params, grads)
+
+    if train_encoder:
+        @functools.partial(jax.jit, static_argnames=("apply_lfd",),
+                           donate_argnames=("state",))
+        def finetune_step(state: TrainState, wave, x0, rng, apply_lfd: bool):
+            rng_core, rng_enc = jax.random.split(rng)
+            t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
+
+            def loss_fn(params):
+                dec_p, sp_p, te_p, tp_p, enc_p = params
+                # encoder INSIDE the differentiated fn: grads flow into the
+                # backbone; dropout active (the frozen path runs eval-mode)
+                c, c_mask, _ = encoder.apply(
+                    enc_p, wave, None, deterministic=False,
+                    rngs={"dropout": rng_enc},
+                )
+                return _losses(dec_p, sp_p, te_p, tp_p, c, c_mask, xt, x0, t,
+                               x_mask, loss_mask, rng_drop, apply_lfd)
+
+            params = (state.decoder, state.s_proj, state.t_embed,
+                      state.t_proj, state.encoder)
+            grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return _apply_updates(state, params, grads)
+
+        return finetune_step
 
     if cached_features:
         @functools.partial(jax.jit, static_argnames=("apply_lfd",),
@@ -281,12 +366,18 @@ def _run_training_impl(
     t_embed_p = t_embed_mod.init(r2, jnp.zeros((1, 4, vocab)))
     t_proj_p = t_proj_mod.init(r3, jnp.zeros((1, 4, d_proj)))
 
-    tx = make_optimizer(cfg)
+    # fine-tuning: model.encoder.freeze: false puts the encoder params in
+    # the train state / optimizer (5th param group, optim.encoder_lr)
+    train_encoder = not cfg.model.get("encoder", Config()).get("freeze", True)
+    tx = make_optimizer(cfg, train_encoder=train_encoder)
     params0 = (pipeline.decoder_params, s_proj_p, t_embed_p, t_proj_p)
+    if train_encoder:
+        params0 = params0 + (pipeline.encoder_params,)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
         opt_state=tx.init(params0),
+        encoder=pipeline.encoder_params if train_encoder else None,
     )
 
     ckpt_dir = os.path.abspath(cfg.log.get("ckpt_dir", "ckpts/run"))
@@ -315,7 +406,8 @@ def _run_training_impl(
     mesh = dist.make_global_mesh(mesh_spec)
     with mesh:
         state = shard_pytree(state, mesh, decoder_param_spec)
-        train_step = make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg)
+        train_step = make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod,
+                                     tx, cfg, train_encoder=train_encoder)
 
         # datasets ----------------------------------------------------------
         data_cfg = cfg.data
@@ -371,6 +463,12 @@ def _run_training_impl(
         # forward in every later step (identical numerics — encoder frozen)
         feat_cache = cached_step = None
         cache_dir = data_cfg.get("cache_features")
+        if cache_dir and train_encoder:
+            raise ValueError(
+                "data.cache_features requires a frozen encoder "
+                "(model.encoder.freeze: true) — a fine-tuned encoder "
+                "changes its features every step"
+            )
         if cache_dir:
             feat_cache = _ensure_feature_cache(
                 pipeline, train_ds, cache_dir, "train", batch_size,
@@ -410,10 +508,14 @@ def _run_training_impl(
                         wave = dist.put_global_batch(batch.wave, batch_shard)
                         x0 = dist.put_global_batch(
                             batch.tokens.astype(np.int32), batch_shard)
-                    state, metrics = train_step(
-                        state, pipeline.encoder_params, wave, x0, step_rng,
-                        apply_lfd
-                    )
+                    if train_encoder:
+                        state, metrics = train_step(
+                            state, wave, x0, step_rng, apply_lfd)
+                    else:
+                        state, metrics = train_step(
+                            state, pipeline.encoder_params, wave, x0, step_rng,
+                            apply_lfd
+                        )
                 # accumulate on-device: float() here would block the host on
                 # every step, serializing dispatch behind the ~31 ms relay
                 # overhead (CLAUDE.md) — sync only on log steps + epoch end
@@ -440,6 +542,8 @@ def _run_training_impl(
             # sync trained params into the pipeline for eval/sampling
             # (samplers take params as call arguments — no cache invalidation)
             pipeline.decoder_params = state.decoder
+            if train_encoder:
+                pipeline.encoder_params = state.encoder
 
             do_eval = (epoch % max(1, eval_every) == 0) or epoch == num_epochs
             val_loss = val_cer = test_cer = None

@@ -34,7 +34,14 @@ def main(argv=None):
                     help="feature-cache step: precomputed encoder output c "
                          "fed straight to the decoder step (skips the WavLM "
                          "forward — the frozen-encoder training fast path)")
+    ap.add_argument("--finetune", action="store_true",
+                    help="fine-tune the encoder: freeze=false, WavLM fwd+bwd "
+                         "inside the step, remat'd scanned layers, encoder "
+                         "params in the optimizer (5th group)")
     args = ap.parse_args(argv)
+    if args.finetune and (args.cached or args.quant != "none"):
+        ap.error("--finetune excludes --cached and --quant (grads flow "
+                 "through the encoder)")
 
     from fddm_asr_tpu.runtime import enable_compile_cache
 
@@ -60,7 +67,8 @@ def main(argv=None):
             "d_model": d_model, "nhead": nhead, "num_layers": n_layers,
             "dim_ff": dim_ff, "scan_blocks": scan_blocks,
             "dropout": 0.1,
-            "encoder": {"wavlm_name": "microsoft/wavlm-large", "freeze": True,
+            "encoder": {"wavlm_name": "microsoft/wavlm-large",
+                        "freeze": not args.finetune,
                         "proj": "linear", "pooling": "none",
                         # int8 on the frozen encoder is training-valid: no
                         # grads flow through it (tests/test_quant.py)
@@ -88,15 +96,19 @@ def main(argv=None):
     te = t_embed.init(r2, jnp.zeros((1, 4, K)))
     tp = t_proj.init(r3, jnp.zeros((1, 4, d_proj)))
 
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg, train_encoder=args.finetune)
     params0 = (pipeline.decoder_params, sp, te, tp)
+    if args.finetune:
+        params0 = params0 + (pipeline.encoder_params,)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
         opt_state=tx.init(params0),
+        encoder=pipeline.encoder_params if args.finetune else None,
     )
     train_step = make_train_step(pipeline, s_proj, t_embed, t_proj, tx, cfg,
-                                 cached_features=args.cached)
+                                 cached_features=args.cached,
+                                 train_encoder=args.finetune)
 
     B, T_wav = args.batch, int(args.seconds * 16000)
     wave = jnp.asarray(np.random.default_rng(0).standard_normal((B, T_wav)), jnp.float32)
@@ -110,6 +122,9 @@ def main(argv=None):
 
         def step(state, key):
             return train_step(state, c, x0, key, args.lfd)
+    elif args.finetune:
+        def step(state, key):
+            return train_step(state, wave, x0, key, args.lfd)
     else:
         def step(state, key):
             return train_step(state, pipeline.encoder_params, wave, x0, key,
@@ -139,9 +154,12 @@ def main(argv=None):
         "lfd": args.lfd,
         "cached_features": args.cached,
         "platform": jax.devices()[0].platform,
-        "config": f"frozen wavlm-large + d{d_model}x{n_layers} decoder, KL, AdamW, bf16"
+        "finetune": args.finetune,
+        "config": (("FINE-TUNED" if args.finetune else "frozen")
+                   + f" wavlm-large + d{d_model}x{n_layers} decoder, KL, AdamW, bf16")
                   + (f" enc-quant-{args.quant}" if args.quant != "none" else "")
-                  + (" feature-cache" if args.cached else ""),
+                  + (" feature-cache" if args.cached else "")
+                  + (" remat" if args.finetune else ""),
     }))
 
 
