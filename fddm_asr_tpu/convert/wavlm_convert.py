@@ -135,6 +135,12 @@ def wavlm_params_from_state_dict(sd: Mapping[str, Any], config) -> Dict[str, Any
     }
     if "masked_spec_embed" in sd:
         params["masked_spec_embed"] = _np(sd["masked_spec_embed"])
+    else:
+        # HF only creates masked_spec_embed when mask_time_prob > 0; our
+        # module creates it unconditionally (so trees stay mask-capable).
+        # Zeros is inert: the param is read only under SpecAugment masks.
+        hidden = params["feature_projection"]["projection"]["kernel"].shape[1]
+        params["masked_spec_embed"] = np.zeros((hidden,), np.float32)
     return params
 
 

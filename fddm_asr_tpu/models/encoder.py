@@ -56,6 +56,7 @@ class AcousticEncoder(nn.Module):
         waveforms: jnp.ndarray,                    # [B, T] 16 kHz
         lengths: Optional[jnp.ndarray] = None,     # [B] valid sample counts
         deterministic: bool = True,
+        mask_time_indices: Optional[jnp.ndarray] = None,  # [B, S] SpecAugment
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         B, T = waveforms.shape
         attention_mask = None
@@ -64,7 +65,8 @@ class AcousticEncoder(nn.Module):
 
         feats = WavLMModel(
             self.config, self.dtype, attention_fn=self.attention_fn, name="backbone"
-        )(waveforms, attention_mask=attention_mask, deterministic=deterministic)
+        )(waveforms, attention_mask=attention_mask,
+          mask_time_indices=mask_time_indices, deterministic=deterministic)
         if self.freeze:
             feats = jax.lax.stop_gradient(feats)
 

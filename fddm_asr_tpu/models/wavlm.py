@@ -91,6 +91,10 @@ class WavLMConfig:
     # memory/compute trade on TPU.  No effect on forward numerics; no effect
     # at all under stop_gradient (frozen encoder).
     remat_layers: bool = False
+    # Fine-tuning: keep the conv feature extractor frozen (stop_gradient on
+    # its output) — HF's freeze_feature_encoder(), the standard WavLM
+    # fine-tune recipe.  No effect when the whole encoder is frozen.
+    freeze_feature_extractor: bool = False
     # Fuse gate*pos_bias + attention into one Pallas kernel on TPU (falls
     # back to XLA elsewhere): avoids materialising two [B, H, L, L] HBM
     # tensors per layer.  See fddm_asr_tpu.ops.flash_attention.
@@ -567,6 +571,26 @@ class Encoder(nn.Module):
         return x[:, :S0] if pad else x
 
 
+def sample_time_mask(rng, batch: int, seq_len: int,
+                     mask_prob: float, mask_length: int) -> jnp.ndarray:
+    """SpecAugment time masks [B, S] (True = masked), jit-friendly.
+
+    HF's _compute_mask_indices (numpy, host-side) samples a per-row number
+    of spans then scatters; this is the static-shape XLA equivalent: a fixed
+    span count round(mask_prob * S / mask_length) per row with uniform span
+    starts (spans may overlap, exactly as in HF's overlapping scatter).
+    Masked frames are replaced by the learned masked_spec_embed — the
+    standard WavLM fine-tuning regularizer (cheap [B, S] masks, unlike
+    attention dropout's [B, H, S, S] tensors).
+    """
+    n_spans = max(1, round(mask_prob * seq_len / mask_length))
+    starts = jax.random.randint(
+        rng, (batch, n_spans), 0, max(1, seq_len - mask_length + 1))
+    idx = starts[..., None] + jnp.arange(mask_length)           # [B, n, L]
+    mask = jnp.zeros((batch, seq_len), bool)
+    return mask.at[jnp.arange(batch)[:, None, None], idx].set(True)
+
+
 class WavLMModel(nn.Module):
     """Waveform [B, T] (+ optional sample-level attention mask) -> [B, S, H].
 
@@ -589,6 +613,13 @@ class WavLMModel(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.config
         feats = FeatureEncoder(cfg, self.dtype, name="feature_extractor")(input_values)
+        if cfg.freeze_feature_extractor:
+            # HF freeze_feature_encoder() analogue: the conv front-end stays
+            # frozen during fine-tuning (the standard wav2vec2/WavLM recipe —
+            # it also removes the conv backward pass, which profiles at
+            # several hundred ms/step at B=16x20s).  feature_projection and
+            # the transformer still train.
+            feats = jax.lax.stop_gradient(feats)
         S = feats.shape[1]
 
         feat_mask = None
@@ -598,13 +629,16 @@ class WavLMModel(nn.Module):
             feat_mask = jnp.arange(S)[None, :] < out_lengths[:, None]
 
         x = FeatureProjection(cfg, self.dtype, name="feature_projection")(feats, deterministic)
+        # created unconditionally (HF WavLM does too at its default
+        # mask_time_prob=0.05) so randomly-initialized trees can later be
+        # applied WITH SpecAugment masks without a param-tree mismatch
+        masked_embed = self.param(
+            "masked_spec_embed",
+            nn.initializers.uniform(scale=1.0),
+            (cfg.hidden_size,),
+            jnp.float32,
+        )
         if mask_time_indices is not None:
-            masked_embed = self.param(
-                "masked_spec_embed",
-                nn.initializers.uniform(scale=1.0),
-                (cfg.hidden_size,),
-                jnp.float32,
-            )
             x = jnp.where(mask_time_indices[..., None], masked_embed.astype(x.dtype), x)
         x = Encoder(cfg, self.dtype, attention_fn=self.attention_fn, name="encoder")(
             x, feat_mask, deterministic

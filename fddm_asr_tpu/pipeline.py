@@ -74,6 +74,16 @@ def build_wavlm_config(encoder_cfg: Config) -> WavLMConfig:
         # layers so activation memory stays O(1) in depth (see WavLMConfig)
         if not encoder_cfg.get("freeze", True) and cfg.scan_layers:
             cfg = dataclasses.replace(cfg, remat_layers=True)
+    if "freeze_feature_extractor" in encoder_cfg:
+        cfg = dataclasses.replace(
+            cfg,
+            freeze_feature_extractor=bool(encoder_cfg["freeze_feature_extractor"]))
+    elif not (overrides and "freeze_feature_extractor" in overrides):
+        # fine-tuning default: conv front-end stays frozen (the standard
+        # wav2vec2/WavLM recipe, HF freeze_feature_encoder()); set
+        # encoder.freeze_feature_extractor: false to train it too
+        if not encoder_cfg.get("freeze", True):
+            cfg = dataclasses.replace(cfg, freeze_feature_extractor=True)
     return cfg
 
 

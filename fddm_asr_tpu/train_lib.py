@@ -225,11 +225,24 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
         return _apply_updates(state, params, grads)
 
     if train_encoder:
+        enc_cfg = cfg.model.get("encoder", Config())
+        mask_time_prob = float(enc_cfg.get("mask_time_prob", 0.0))
+        mask_time_length = int(enc_cfg.get("mask_time_length", 10))
+
         @functools.partial(jax.jit, static_argnames=("apply_lfd",),
                            donate_argnames=("state",))
         def finetune_step(state: TrainState, wave, x0, rng, apply_lfd: bool):
-            rng_core, rng_enc = jax.random.split(rng)
+            rng_core, rng_enc, rng_mask = jax.random.split(rng, 3)
             t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
+            time_mask = None
+            if mask_time_prob > 0.0:
+                # SpecAugment: the standard WavLM fine-tuning regularizer
+                # (learned masked_spec_embed over [B, S] spans)
+                from fddm_asr_tpu.models.wavlm import sample_time_mask
+                S = encoder.config.feat_extract_output_length(wave.shape[1])
+                time_mask = sample_time_mask(
+                    rng_mask, wave.shape[0], int(S),
+                    mask_time_prob, mask_time_length)
 
             def loss_fn(params):
                 dec_p, sp_p, te_p, tp_p, enc_p = params
@@ -237,6 +250,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                 # backbone; dropout active (the frozen path runs eval-mode)
                 c, c_mask, _ = encoder.apply(
                     enc_p, wave, None, deterministic=False,
+                    mask_time_indices=time_mask,
                     rngs={"dropout": rng_enc},
                 )
                 return _losses(dec_p, sp_p, te_p, tp_p, c, c_mask, xt, x0, t,

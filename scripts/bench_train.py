@@ -38,6 +38,14 @@ def main(argv=None):
                     help="fine-tune the encoder: freeze=false, WavLM fwd+bwd "
                          "inside the step, remat'd scanned layers, encoder "
                          "params in the optimizer (5th group)")
+    ap.add_argument("--no-dropout", action="store_true",
+                    help="zero all encoder dropouts (profiling showed the "
+                         "[B,H,S,S] attention-dropout masks cost ~50%% of the "
+                         "fine-tune step; SpecAugment is the cheap WavLM "
+                         "regularizer)")
+    ap.add_argument("--specaugment", type=float, default=0.0, metavar="PROB",
+                    help="SpecAugment mask_time_prob for --finetune "
+                         "(e.g. 0.065; spans of 10 frames)")
     args = ap.parse_args(argv)
     if args.finetune and (args.cached or args.quant != "none"):
         ap.error("--finetune excludes --cached and --quant (grads flow "
@@ -70,9 +78,16 @@ def main(argv=None):
             "encoder": {"wavlm_name": "microsoft/wavlm-large",
                         "freeze": not args.finetune,
                         "proj": "linear", "pooling": "none",
+                        "mask_time_prob": args.specaugment,
                         # int8 on the frozen encoder is training-valid: no
                         # grads flow through it (tests/test_quant.py)
-                        "wavlm_config": {"quant_dense": args.quant}},
+                        "wavlm_config": dict(
+                            {"quant_dense": args.quant},
+                            **({"hidden_dropout": 0.0,
+                                "attention_dropout": 0.0,
+                                "activation_dropout": 0.0,
+                                "feat_proj_dropout": 0.0}
+                               if args.no_dropout else {}))},
             "projector": {"d_proj": d_proj},
         },
         "diffusion": {"T": 200, "beta_max": 0.2},
@@ -159,7 +174,9 @@ def main(argv=None):
                    + f" wavlm-large + d{d_model}x{n_layers} decoder, KL, AdamW, bf16")
                   + (f" enc-quant-{args.quant}" if args.quant != "none" else "")
                   + (" feature-cache" if args.cached else "")
-                  + (" remat" if args.finetune else ""),
+                  + (" remat" if args.finetune else "")
+                  + (" no-dropout" if args.no_dropout else "")
+                  + (f" specaug={args.specaugment}" if args.specaugment else ""),
     }))
 
 

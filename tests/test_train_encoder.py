@@ -190,6 +190,82 @@ def test_guards(tmp_path):
                         train_encoder=True, cached_features=True)
 
 
+def test_freeze_feature_extractor_zeroes_conv_grads():
+    """freeze_feature_extractor: conv front-end grads exactly zero while the
+    transformer / feature-projection grads flow (HF freeze_feature_encoder
+    semantics)."""
+    import dataclasses
+    from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    cfg = dataclasses.replace(WavLMConfig.tiny_for_tests(),
+                              freeze_feature_extractor=True)
+    model = WavLMModel(cfg)
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3200)), jnp.float32)
+    params = model.init(jax.random.key(0), wave)
+
+    def loss(p):
+        out = model.apply(p, wave, deterministic=True)
+        return jnp.sum(out * out)
+
+    g = jax.grad(loss)(params)["params"]
+    conv_norm = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(g["feature_extractor"]))
+    rest_norm = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(g["encoder"]))
+    assert conv_norm == 0.0
+    assert rest_norm > 0.0
+
+
+def test_sample_time_mask_properties():
+    from fddm_asr_tpu.models.wavlm import sample_time_mask
+
+    mask = sample_time_mask(jax.random.key(0), 8, 200, 0.1, 10)
+    assert mask.shape == (8, 200) and mask.dtype == jnp.bool_
+    frac = np.asarray(jnp.mean(mask.astype(jnp.float32), axis=1))
+    # 2 spans x 10 frames / 200 = 10% nominal; overlap only lowers it
+    assert (frac > 0).all() and (frac <= 0.101).all()
+    # mask_prob=0 path is never constructed (train_lib gates on > 0)
+
+
+def test_specaugment_masked_positions_use_learned_embed():
+    from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    cfg = WavLMConfig.tiny_for_tests()
+    model = WavLMModel(cfg)
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3200)), jnp.float32)
+    params = model.init(jax.random.key(0), wave)
+    assert "masked_spec_embed" in params["params"]
+    S = cfg.feat_extract_output_length(3200)
+    mask = jnp.zeros((2, S), bool).at[:, :3].set(True)
+    out_m = model.apply(params, wave, mask_time_indices=mask,
+                        deterministic=True)
+    out_u = model.apply(params, wave, deterministic=True)
+    assert not np.allclose(np.asarray(out_m), np.asarray(out_u))
+    # and the learned embed receives gradient through masked positions
+    def loss(p):
+        out = model.apply(p, wave, mask_time_indices=mask, deterministic=True)
+        return jnp.sum(out * out)
+    g = jax.grad(loss)(params)["params"]["masked_spec_embed"]
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+def test_finetune_step_with_specaugment(tmp_path):
+    cfg = _cfg(tmp_path, freeze=False,
+               encoder_extra={"mask_time_prob": 0.1, "mask_time_length": 4})
+    pipeline, state, step = _setup(cfg, train_encoder=True)
+    wave, x0 = _batch()
+    state, metrics = step(state, wave, x0, jax.random.key(42), False)
+    assert np.isfinite(float(metrics["total_loss"]))
+    # the learned mask embed is trained
+    emb = state.encoder["params"]["backbone"]["masked_spec_embed"]
+    emb0 = pipeline.encoder_params["params"]["backbone"]["masked_spec_embed"]
+    assert not np.allclose(np.asarray(emb), np.asarray(emb0))
+
+
 def test_run_training_finetune_e2e_with_resume(tmp_path):
     """Full run_training with freeze:false — fine-tunes under the 8-device
     dp mesh, checkpoints the encoder in the orbax state, and resumes."""
