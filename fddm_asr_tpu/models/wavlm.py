@@ -91,6 +91,24 @@ class WavLMConfig:
     # memory/compute trade on TPU.  No effect on forward numerics; no effect
     # at all under stop_gradient (frozen encoder).
     remat_layers: bool = False
+    # What the remat checkpoint SAVES across the forward scan:
+    #   "full" — save nothing, recompute the whole layer in backprop (max
+    #            memory savings, the jax.checkpoint default);
+    #   "dots" — save plain-matmul outputs (qkv/out/FFN projections) and
+    #            recompute only the batched attention tensors + elementwise
+    #            ops (jax.checkpoint_policies.dots_with_no_batch_dims_
+    #            saveable).  ~288 MB/layer extra HBM at B=16 x 20 s but the
+    #            backward scan skips the projection recompute.
+    # Measured (v5e, wavlm-large fine-tune, no-dropout + SpecAugment):
+    # B=8 dots 16.54 ex/s vs full 16.0 (+3.4%); B=16 dots OOMs (by ~1 GB)
+    # while full reaches 17.16 ex/s — so "full" at the largest batch that
+    # fits remains the best recipe; "dots" helps only when the batch is
+    # bounded by something else.  The backward scan is dominated by the
+    # batched-attention recompute either way (scripts/profile_finetune.py).
+    # No-remat is NOT offered for wavlm-large fine-tuning: the saved
+    # per-layer gate tensors alone ([B, H, S, S] f32 x 23 layers ~ 24 GB at
+    # B=16) exceed v5e HBM.
+    remat_policy: str = "full"
     # Fine-tuning: keep the conv feature extractor frozen (stop_gradient on
     # its output) — HF's freeze_feature_encoder(), the standard WavLM
     # fine-tune recipe.  No effect when the whole encoder is frozen.
@@ -545,8 +563,18 @@ class Encoder(nn.Module):
             # (freeze=false) keeps O(1) layer activations live instead of
             # O(num_layers).  prevent_cse=False is the recommended setting
             # under scan (the scan boundary already prevents the unsafe CSE).
-            body = (nn.remat(_ScanLayerBody, prevent_cse=False)
-                    if cfg.remat_layers else _ScanLayerBody)
+            if cfg.remat_layers:
+                if cfg.remat_policy == "dots":
+                    policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                elif cfg.remat_policy == "full":
+                    policy = None
+                else:
+                    raise ValueError(
+                        f"remat_policy must be 'full' or 'dots', got "
+                        f"{cfg.remat_policy!r}")
+                body = nn.remat(_ScanLayerBody, prevent_cse=False, policy=policy)
+            else:
+                body = _ScanLayerBody
             scanned = nn.scan(
                 body,
                 variable_axes={"params": 0},

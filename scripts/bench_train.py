@@ -46,6 +46,11 @@ def main(argv=None):
     ap.add_argument("--specaugment", type=float, default=0.0, metavar="PROB",
                     help="SpecAugment mask_time_prob for --finetune "
                          "(e.g. 0.065; spans of 10 frames)")
+    ap.add_argument("--remat-policy", default="full", choices=["full", "dots"],
+                    help="--finetune remat: full=save nothing (default), "
+                         "dots=save projection/FFN matmul outputs and "
+                         "recompute only attention+elementwise in backprop "
+                         "(more HBM, faster backward scan)")
     args = ap.parse_args(argv)
     if args.finetune and (args.cached or args.quant != "none"):
         ap.error("--finetune excludes --cached and --quant (grads flow "
@@ -82,7 +87,8 @@ def main(argv=None):
                         # int8 on the frozen encoder is training-valid: no
                         # grads flow through it (tests/test_quant.py)
                         "wavlm_config": dict(
-                            {"quant_dense": args.quant},
+                            {"quant_dense": args.quant,
+                             "remat_policy": args.remat_policy},
                             **({"hidden_dropout": 0.0,
                                 "attention_dropout": 0.0,
                                 "activation_dropout": 0.0,
@@ -176,7 +182,9 @@ def main(argv=None):
                   + (" feature-cache" if args.cached else "")
                   + (" remat" if args.finetune else "")
                   + (" no-dropout" if args.no_dropout else "")
-                  + (f" specaug={args.specaugment}" if args.specaugment else ""),
+                  + (f" specaug={args.specaugment}" if args.specaugment else "")
+                  + (f" remat={args.remat_policy}"
+                     if args.remat_policy != "full" else ""),
     }))
 
 

@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--out", default="/tmp/jaxtrace_ft")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default="full", choices=["full", "dots"])
     ap.add_argument("--no-dropout", action="store_true")
     args = ap.parse_args()
 
@@ -49,6 +50,8 @@ def main():
     wavlm_over = {}
     if args.no_remat:
         wavlm_over["remat_layers"] = False
+    if args.remat_policy != "full":
+        wavlm_over["remat_policy"] = args.remat_policy
     if args.no_dropout:
         wavlm_over.update(hidden_dropout=0.0, attention_dropout=0.0,
                           activation_dropout=0.0, feat_proj_dropout=0.0)

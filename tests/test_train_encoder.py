@@ -162,6 +162,52 @@ def test_remat_layers_identical_numerics():
                                    rtol=1e-4, atol=1e-6 * scale)
 
 
+def test_remat_policy_dots_identical_numerics():
+    """remat_policy='dots' (save projection/FFN matmul outputs, recompute
+    attention + elementwise) matches full remat exactly on loss and grads —
+    the policy changes what is cached, never the math."""
+    import dataclasses
+    from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    base = dataclasses.replace(
+        WavLMConfig.tiny_for_tests(), scan_layers=True, remat_layers=True,
+        hidden_dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, feat_proj_dropout=0.0,
+    )
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3200)), jnp.float32)
+    model_full = WavLMModel(base)
+    model_dots = WavLMModel(dataclasses.replace(base, remat_policy="dots"))
+    params = model_full.init(jax.random.key(0), wave)
+
+    def make_loss(model):
+        def loss(p):
+            out = model.apply(p, wave, deterministic=True)
+            return jnp.sum(out * out)
+        return loss
+
+    lf, gf = jax.jit(jax.value_and_grad(make_loss(model_full)))(params)
+    ld, gd = jax.jit(jax.value_and_grad(make_loss(model_dots)))(params)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6)
+    scale = max(
+        float(jnp.max(jnp.abs(x))) for x in jax.tree_util.tree_leaves(gf))
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6 * scale)
+
+
+def test_remat_policy_validated():
+    import dataclasses
+    from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    cfg = dataclasses.replace(WavLMConfig.tiny_for_tests(),
+                              scan_layers=True, remat_layers=True,
+                              remat_policy="everything")
+    with pytest.raises(ValueError, match="remat_policy"):
+        WavLMModel(cfg).init(jax.random.key(0), jnp.zeros((1, 1600)))
+
+
 def test_remat_requires_scan_layers(tmp_path):
     from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
     import dataclasses
