@@ -427,6 +427,20 @@ class GatedRelPosAttention(nn.Module):
             out = wavlm_gated_attention_heads_packed(
                 q, k, v, position_bias, gate_out, key_mask, num_heads=H
             )
+        elif cfg.fused_attention and cfg.attention_dropout == 0.0:
+            # TRAINING-mode fused attention (custom VJP): forward + backward
+            # both stream [bq, Lk] tiles through VMEM instead of the XLA
+            # path's [B, H, L, L] HBM tensors — the dominant HBM traffic of
+            # the fine-tune step.  Exact-softmax gradients only, hence the
+            # attention_dropout == 0 gate (the recommended fine-tune recipe
+            # regularizes with SpecAugment instead; see sample_time_mask).
+            from fddm_asr_tpu.ops.flash_attention import (
+                wavlm_gated_attention_heads_packed_trainable,
+            )
+
+            out = wavlm_gated_attention_heads_packed_trainable(
+                q, k, v, position_bias, gate_out, key_mask, num_heads=H
+            )
         else:
             q = q.reshape(B, L, H, dh)
             k = k.reshape(B, L, H, dh)

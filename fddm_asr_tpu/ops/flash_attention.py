@@ -377,6 +377,353 @@ def wavlm_gated_attention_packed_flash(
     return out[:, :L]
 
 
+# ---------------------------------------------------------------------------
+# Trainable fused attention: forward-with-logsumexp + flash-style backward.
+#
+# Training mode (deterministic=False) previously fell back to the XLA path,
+# which materialises the gated bias AND the attention probabilities as
+# [B, H, L, L] HBM tensors in BOTH directions — at B=16 x 20 s (L=999,
+# wavlm-large) that is ~0.5 GB per tensor per layer per pass, the dominant
+# HBM traffic of the fine-tune step (scripts/profile_finetune.py).  The
+# kernels below keep every [bq, Lk] tile in VMEM:
+#
+#   forward:  out = softmax(scale*q k^T + gate*bias + mask) v, plus the
+#             row logsumexp (LSE) needed to reconstruct P in the backward.
+#   backward: with P = exp(S - LSE) recomputed blockwise,
+#             dV     = P^T dO
+#             dP     = dO V^T
+#             dS     = P * (dP - delta),  delta = rowsum(dO * O)
+#             dQ     = scale * dS K           (kernel A, with dgate)
+#             dK     = scale * dS^T Q         (kernel B)
+#             dgate  = rowsum(dS * bias)      (kernel A)
+#             dbias  = sum_b dS * gate        (kernel B, accumulated across
+#                                              the batch grid axis)
+#
+# Gradients are exact for the masked softmax: masked keys have S = -inf in
+# both passes, so P and dS vanish there; padded query rows receive zero
+# cotangents (dO is zero-padded), so dP = delta = 0 kills their dS.
+# Only the resident-K regime (L <= _RESIDENT_K_MAX) is fused — FDDM trains
+# at ~1k frames; longer audio falls back to XLA (chunked training is the
+# documented long-context path).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_packed_fwd_lse(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
+                           out_ref, lse_ref, *, scale, dh):
+    """`_kernel_packed` + row logsumexp output [*, bq, 2] (f32)."""
+    mask = mask_ref[0] != 0  # [1, Lk]
+    outs, lses = [], []
+    for j in range(2):
+        q = q_ref[0, :, j * dh:(j + 1) * dh] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, :, j * dh:(j + 1) * dh]
+        v = v_ref[0, :, j * dh:(j + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, Lk]
+        gate = gate_ref[0, 0, :, j:j + 1].astype(jnp.float32)  # [bq, 1]
+        scores = scores + gate * bias_ref[0, j].astype(jnp.float32)
+        scores = jnp.where(mask, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        l = jnp.maximum(l, jnp.asarray(1e-30, jnp.float32))
+        weights = (e * (1.0 / l)).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            weights, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype))
+        lses.append(m + jnp.log(l))
+    out_ref[0] = jnp.concatenate(outs, axis=-1)
+    lse_ref[0, 0] = jnp.concatenate(lses, axis=-1)
+
+
+def _kernel_packed_bwd_dq(q_ref, k_ref, v_ref, bias_ref, gate_ref, lse_ref,
+                          delta_ref, do_ref, mask_ref, dq_ref, dgate_ref,
+                          *, scale, dh):
+    """dQ + dgate for one (head-pair, q-block, batch) program."""
+    mask = mask_ref[0] != 0  # [1, Lk]
+    dqs, dgs = [], []
+    for h in range(2):
+        q = q_ref[0, :, h * dh:(h + 1) * dh]
+        k = k_ref[0, :, h * dh:(h + 1) * dh]
+        v = v_ref[0, :, h * dh:(h + 1) * dh]
+        do = do_ref[0, :, h * dh:(h + 1) * dh]
+        gate = gate_ref[0, 0, :, h:h + 1].astype(jnp.float32)   # [bq, 1]
+        lse = lse_ref[0, 0, :, h:h + 1]                         # [bq, 1]
+        delta = delta_ref[0, 0, :, h:h + 1]                     # [bq, 1]
+        bias = bias_ref[0, h].astype(jnp.float32)               # [bq, Lk]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.asarray(scale, jnp.float32)
+        s = s + gate * bias
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse)                                    # [bq, Lk] f32
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                       # [bq, Lk]
+        ds = p * (dp - delta)
+        dq = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * jnp.asarray(scale, jnp.float32)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dgs.append(jnp.sum(ds * bias, axis=-1, keepdims=True))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+    dgate_ref[0, 0] = jnp.concatenate(dgs, axis=-1)
+
+
+def _kernel_packed_bwd_dkv(q_ref, k_ref, v_ref, bias_ref, gate_ref, lse_ref,
+                           delta_ref, do_ref, mask_ref,
+                           dk_ref, dv_ref, dbias_ref, *, scale, dh):
+    """dK + dV + dbias for one (head-pair, k-block, batch) program.
+
+    The batch grid axis is INNERMOST and the dbias output block's index map
+    ignores it, so the block stays resident in VMEM across all B programs
+    and accumulates sum_b dS*gate (same revisiting trick the forward uses
+    for the bias INPUT)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(2)
+    mask = mask_ref[0] != 0  # [1, bk]
+    dks, dvs, dbs = [], [], []
+    for h in range(2):
+        q = q_ref[0, :, h * dh:(h + 1) * dh]                    # [Lq, dh]
+        k = k_ref[0, :, h * dh:(h + 1) * dh]                    # [bk, dh]
+        v = v_ref[0, :, h * dh:(h + 1) * dh]
+        do = do_ref[0, :, h * dh:(h + 1) * dh]                  # [Lq, dh]
+        gate = gate_ref[0, 0, :, h:h + 1].astype(jnp.float32)   # [Lq, 1]
+        lse = lse_ref[0, 0, :, h:h + 1]
+        delta = delta_ref[0, 0, :, h:h + 1]
+        bias = bias_ref[0, h].astype(jnp.float32)               # [Lq, bk]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.asarray(scale, jnp.float32)
+        s = s + gate * bias
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse)                                    # [Lq, bk]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                       # [Lq, bk]
+        ds = p * (dp - delta)
+        dk = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * jnp.asarray(scale, jnp.float32)                     # [bk, dh]
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [bk, dh]
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+        dbs.append(ds * gate)                                   # [Lq, bk]
+    dk_ref[0] = jnp.concatenate(dks, axis=-1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+    db = jnp.stack(dbs)  # [2, Lq, bk] f32
+
+    @pl.when(b == 0)
+    def _init():
+        dbias_ref[0] = db
+
+    @pl.when(b > 0)
+    def _acc():
+        dbias_ref[0] = dbias_ref[0] + db
+
+
+def _train_layout(q, k, v, pos_bias, gate, key_mask, num_heads, block_q):
+    """Pad/pack operands into the kernel layouts (shared fwd/bwd)."""
+    B, L, HD = q.shape
+    H = num_heads
+    dh = HD // H
+    Lq = _round_up(L, block_q)
+    Lk = _round_up(L, 128)
+    qp = jnp.pad(q, ((0, 0), (0, Lq - L), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    bias_p = jnp.pad(pos_bias, ((0, 0), (0, Lq - L), (0, Lk - L)))
+    bias_p = bias_p.reshape(H // 2, 2, Lq, Lk)
+    gate_p = jnp.pad(gate, ((0, 0), (0, 0), (0, Lq - L)))
+    gate_p = jnp.transpose(gate_p.reshape(B, H // 2, 2, Lq), (0, 1, 3, 2))
+    if key_mask is None:
+        key_mask = jnp.ones((B, L), bool)
+    mask_p = jnp.pad(key_mask.astype(jnp.int8), ((0, 0), (0, Lk - L)))[:, None, :]
+    return qp, kp, vp, bias_p, gate_p, mask_p, (B, L, HD, H, dh, Lq, Lk)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "interpret"))
+def _train_forward(q, k, v, pos_bias, gate, key_mask, num_heads, block_q,
+                   interpret):
+    from jax.experimental import pallas as pl
+
+    qp, kp, vp, bias_p, gate_p, mask_p, dims = _train_layout(
+        q, k, v, pos_bias, gate, key_mask, num_heads, block_q)
+    B, L, HD, H, dh, Lq, Lk = dims
+    scale = 1.0 / float(np.sqrt(dh))
+    grid = (H // 2, Lq // block_q, B)
+    out, lse = pl.pallas_call(
+        functools.partial(_kernel_packed_fwd_lse, scale=scale, dh=dh),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, H // 2, Lq, 2), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b: (b, i, h)),
+            pl.BlockSpec((1, Lk, 2 * dh), lambda h, i, b: (b, 0, h)),
+            pl.BlockSpec((1, Lk, 2 * dh), lambda h, i, b: (b, 0, h)),
+            pl.BlockSpec((1, 2, block_q, Lk), lambda h, i, b: (h, 0, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Lk), lambda h, i, b: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b: (b, i, h)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b: (b, h, i, 0)),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, gate_p, mask_p)
+    return out[:, :L], out, lse
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_q", "block_k",
+                                    "interpret"))
+def _train_backward(q, k, v, pos_bias, gate, key_mask, out_p, lse, dout,
+                    num_heads, block_q, block_k, interpret):
+    from jax.experimental import pallas as pl
+
+    qp, kp, vp, bias_p, gate_p, mask_p, dims = _train_layout(
+        q, k, v, pos_bias, gate, key_mask, num_heads, block_q)
+    B, L, HD, H, dh, Lq, Lk = dims
+    scale = 1.0 / float(np.sqrt(dh))
+    dop = jnp.pad(dout, ((0, 0), (0, Lq - L), (0, 0)))
+    # delta = per-head rowsum(dO * O), packed like gate/lse: [B, H/2, Lq, 2]
+    prod = (dop.astype(jnp.float32) * out_p.astype(jnp.float32))
+    delta = prod.reshape(B, Lq, H // 2, 2, dh).sum(-1)
+    delta = jnp.transpose(delta, (0, 2, 1, 3))
+
+    grid_q = (H // 2, Lq // block_q, B)
+    dq, dgate_p = pl.pallas_call(
+        functools.partial(_kernel_packed_bwd_dq, scale=scale, dh=dh),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Lq, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, H // 2, Lq, 2), jnp.float32),
+        ),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b: (b, i, h)),
+            pl.BlockSpec((1, Lk, 2 * dh), lambda h, i, b: (b, 0, h)),
+            pl.BlockSpec((1, Lk, 2 * dh), lambda h, i, b: (b, 0, h)),
+            pl.BlockSpec((1, 2, block_q, Lk), lambda h, i, b: (h, 0, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b: (b, i, h)),
+            pl.BlockSpec((1, 1, Lk), lambda h, i, b: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, 2 * dh), lambda h, i, b: (b, i, h)),
+            pl.BlockSpec((1, 1, block_q, 2), lambda h, i, b: (b, h, i, 0)),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, gate_p, lse, delta, dop, mask_p)
+
+    block_k = min(block_k, Lk)
+    grid_k = (H // 2, Lk // block_k, B)
+    dk, dv, dbias_p = pl.pallas_call(
+        functools.partial(_kernel_packed_bwd_dkv, scale=scale, dh=dh),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Lk, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, Lk, HD), v.dtype),
+            jax.ShapeDtypeStruct((H // 2, 2, Lq, Lk), jnp.float32),
+        ),
+        grid=grid_k,
+        in_specs=[
+            pl.BlockSpec((1, Lq, 2 * dh), lambda h, j, b: (b, 0, h)),
+            pl.BlockSpec((1, block_k, 2 * dh), lambda h, j, b: (b, j, h)),
+            pl.BlockSpec((1, block_k, 2 * dh), lambda h, j, b: (b, j, h)),
+            pl.BlockSpec((1, 2, Lq, block_k), lambda h, j, b: (h, 0, 0, j)),
+            pl.BlockSpec((1, 1, Lq, 2), lambda h, j, b: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lq, 2), lambda h, j, b: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lq, 2), lambda h, j, b: (b, h, 0, 0)),
+            pl.BlockSpec((1, Lq, 2 * dh), lambda h, j, b: (b, 0, h)),
+            pl.BlockSpec((1, 1, block_k), lambda h, j, b: (b, 0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, 2 * dh), lambda h, j, b: (b, j, h)),
+            pl.BlockSpec((1, block_k, 2 * dh), lambda h, j, b: (b, j, h)),
+            pl.BlockSpec((1, 2, Lq, block_k), lambda h, j, b: (h, 0, 0, j)),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, gate_p, lse, delta, dop, mask_p)
+
+    dq = dq[:, :L]
+    dk = dk[:, :L]
+    dv = dv[:, :L]
+    dbias = dbias_p.reshape(H, Lq, Lk)[:, :L, :L].astype(pos_bias.dtype)
+    dgate = jnp.transpose(dgate_p, (0, 1, 3, 2)).reshape(B, H, Lq)
+    dgate = dgate[:, :, :L].astype(gate.dtype)
+    return dq, dk, dv, dbias, dgate
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _gated_attention_train(q, k, v, pos_bias, gate, key_mask,
+                           num_heads, block_q, block_k, interpret):
+    out, _, _ = _train_forward(q, k, v, pos_bias, gate, key_mask,
+                               num_heads=num_heads, block_q=block_q,
+                               interpret=interpret)
+    return out
+
+
+def _gated_attention_train_fwd(q, k, v, pos_bias, gate, key_mask,
+                               num_heads, block_q, block_k, interpret):
+    out, out_p, lse = _train_forward(q, k, v, pos_bias, gate, key_mask,
+                                     num_heads=num_heads, block_q=block_q,
+                                     interpret=interpret)
+    return out, (q, k, v, pos_bias, gate, key_mask, out_p, lse)
+
+
+def _gated_attention_train_bwd(num_heads, block_q, block_k, interpret,
+                               res, dout):
+    q, k, v, pos_bias, gate, key_mask, out_p, lse = res
+    dq, dk, dv, dbias, dgate = _train_backward(
+        q, k, v, pos_bias, gate, key_mask, out_p, lse, dout,
+        num_heads=num_heads, block_q=block_q, block_k=block_k,
+        interpret=interpret)
+    return dq, dk, dv, dbias, dgate, None
+
+
+_gated_attention_train.defvjp(_gated_attention_train_fwd,
+                              _gated_attention_train_bwd)
+
+
+def wavlm_gated_attention_packed_trainable(
+    q: jnp.ndarray,        # [B, L, H*dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos_bias: jnp.ndarray,  # [H, L, L]
+    gate: jnp.ndarray,      # [B, H, L]
+    key_mask: Optional[jnp.ndarray] = None,  # [B, L] True=keep
+    num_heads: int = 16,
+    block_q: int = 512,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused gated attention (fwd + flash-style bwd kernels).
+
+    block_k bounds the dK/dV kernel's VMEM stack: its bias input block AND
+    dbias output block are both [2, Lq, block_k] f32, so at Lq=1024 a 512
+    block needs ~20 MB scoped VMEM (> the 16 MB limit); 256 fits.
+
+    Same operand layouts and forward numerics as
+    `wavlm_gated_attention_packed`; additionally registers a custom VJP so
+    the backward pass never materialises [B, H, L, L] tensors in HBM.
+    Gradients flow to q, k, v, pos_bias, and gate (None for key_mask).
+    """
+    B, L, HD = q.shape
+    block_q = min(block_q, _round_up(L, 128))
+    return _gated_attention_train(q, k, v, pos_bias, gate, key_mask,
+                                  num_heads, block_q, block_k, interpret)
+
+
 # resident-K kernel holds [Lk, 2dh] K/V + [bq, Lk] scores per program;
 # past this Lk the VMEM working set outgrows ~16 MB and the flash kernel
 # takes over in the dispatcher
@@ -417,6 +764,36 @@ def wavlm_gated_attention_heads_packed(
             )
         except Exception:  # pragma: no cover - conservative fallback
             pass
+    def split(x):
+        return x.reshape(B, L, num_heads, dh)
+    out = wavlm_gated_attention_xla(
+        split(q), split(k), split(v), pos_bias, gate, key_mask
+    )
+    return out.reshape(B, L, HD)
+
+
+def wavlm_gated_attention_heads_packed_trainable(
+    q, k, v, pos_bias, gate, key_mask=None, num_heads: int = 16,
+    force_xla: bool = False,
+) -> jnp.ndarray:
+    """Training-mode dispatch for head-packed [B, L, H*dh] operands.
+
+    TPU at resident-K lengths: the custom-VJP fused kernels (no [B, H, L, L]
+    HBM tensors in either pass).  CPU / long L / non-WavLM head geometry:
+    the XLA reference path, which JAX differentiates natively.  Do NOT route
+    through this when attention dropout is active — the fused kernels
+    compute exact-softmax gradients only."""
+    B, L, HD = q.shape
+    dh = HD // num_heads
+    if (not force_xla and jax.default_backend() not in ("cpu",)
+            and dh == 64 and num_heads % 2 == 0 and L <= _RESIDENT_K_MAX):
+        try:
+            return wavlm_gated_attention_packed_trainable(
+                q, k, v, pos_bias, gate, key_mask, num_heads=num_heads
+            )
+        except Exception:  # pragma: no cover - conservative fallback
+            pass
+
     def split(x):
         return x.reshape(B, L, num_heads, dh)
     out = wavlm_gated_attention_xla(
