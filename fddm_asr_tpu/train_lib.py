@@ -70,6 +70,12 @@ class TrainState(struct.PyTreeNode):
     # false); None (an empty pytree — absent from checkpoints) when frozen,
     # so frozen-path checkpoints are unchanged.
     encoder: Any = None
+    # Exponential moving average of the trained params (optim.ema_decay > 0):
+    # a tuple mirroring (decoder, s_proj, t_embed, t_proj[, encoder]).  The
+    # standard diffusion-training stabilizer the reference leaves on the
+    # table (its train.py:542-551 optimizes raw weights only); None when off
+    # so non-EMA checkpoints are unchanged.
+    ema: Any = None
 
 
 def _lr_schedule(lr: float, warmup: int):
@@ -166,6 +172,13 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     # "dense" = reference-parity KL, kept for parity comparisons
     # (optim.kl_impl: dense).
     kl_fn = D.kl_term if cfg.optim.get("kl_impl") == "dense" else D.kl_term_sparse
+    # EMA of the trained params (optim.ema_decay, e.g. 0.999).  Warmup via
+    # the standard min(decay, (1+step)/(10+step)) ramp so early steps track
+    # the raw weights instead of the random init.  Under grad accumulation
+    # (optax.MultiSteps) the EMA update runs every MICRO-step — between real
+    # updates params are unchanged, so this only compounds the decay toward
+    # a fixed point, a slightly stronger effective decay per optimizer step.
+    ema_decay = float(cfg.optim.get("ema_decay", 0.0) or 0.0)
     encoder = pipeline.encoder
     decoder = pipeline.decoder
 
@@ -210,6 +223,12 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
             opt_state=opt_state,
             **({"encoder": new_params[4]} if len(new_params) > 4 else {}),
         )
+        if ema_decay > 0.0:
+            decay = jnp.minimum(ema_decay,
+                                (1.0 + new_state.step) / (10.0 + new_state.step))
+            new_state = new_state.replace(ema=jax.tree.map(
+                lambda e, p: e + (1.0 - decay) * (p.astype(e.dtype) - e),
+                state.ema, new_params))
         return new_state, metrics
 
     def _step_core(state: TrainState, c, c_mask, x0, rng, apply_lfd: bool):
@@ -387,11 +406,17 @@ def _run_training_impl(
     params0 = (pipeline.decoder_params, s_proj_p, t_embed_p, t_proj_p)
     if train_encoder:
         params0 = params0 + (pipeline.encoder_params,)
+    ema_decay = float(cfg.optim.get("ema_decay", 0.0) or 0.0)
+    # ema_eval: evaluate/checkpoint-select with the EMA weights (the standard
+    # diffusion practice).  jnp.array COPIES — donated state must not alias
+    # the same buffer from two fields.
+    ema_eval = ema_decay > 0.0 and bool(cfg.optim.get("ema_eval", True))
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
         opt_state=tx.init(params0),
         encoder=pipeline.encoder_params if train_encoder else None,
+        ema=jax.tree.map(jnp.array, params0) if ema_decay > 0.0 else None,
     )
 
     ckpt_dir = os.path.abspath(cfg.log.get("ckpt_dir", "ckpts/run"))
@@ -399,13 +424,30 @@ def _run_training_impl(
     start_epoch = 1
     resumed_best_cer = float("inf")
     if resume:
+        def _restore(template):
+            try:
+                r = C.load_orbax(
+                    resume,
+                    target={"state": template, "epoch": 0, "best_val_cer": 0.0})
+                return r, float(r["best_val_cer"])
+            except Exception:  # older checkpoints lack the best-CER field
+                return (C.load_orbax(resume,
+                                     target={"state": template, "epoch": 0}),
+                        float("inf"))
+
         try:
-            restored = C.load_orbax(
-                resume, target={"state": state, "epoch": 0, "best_val_cer": 0.0}
-            )
-            resumed_best_cer = float(restored["best_val_cer"])
-        except Exception:  # older checkpoints lack the best-CER field
-            restored = C.load_orbax(resume, target={"state": state, "epoch": 0})
+            restored, resumed_best_cer = _restore(state)
+        except Exception:
+            if state.ema is None:
+                raise
+            # checkpoint predates EMA (or was trained without it): restore
+            # the rest and seed the EMA from the restored weights
+            restored, resumed_best_cer = _restore(state.replace(ema=None))
+            st = restored["state"]
+            ema0 = (st.decoder, st.s_proj, st.t_embed, st.t_proj)
+            if train_encoder:
+                ema0 = ema0 + (st.encoder,)
+            restored["state"] = st.replace(ema=jax.tree.map(jnp.array, ema0))
         state = restored["state"]
         start_epoch = int(restored["epoch"]) + 1
         logging.info(
@@ -554,10 +596,13 @@ def _run_training_impl(
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
 
             # sync trained params into the pipeline for eval/sampling
-            # (samplers take params as call arguments — no cache invalidation)
-            pipeline.decoder_params = state.decoder
+            # (samplers take params as call arguments — no cache invalidation);
+            # ema_eval evaluates the EMA weights — the checkpoints they gate
+            # export those same weights, keeping CER and artifact consistent
+            pipeline.decoder_params = state.ema[0] if ema_eval else state.decoder
             if train_encoder:
-                pipeline.encoder_params = state.encoder
+                pipeline.encoder_params = (
+                    state.ema[4] if ema_eval else state.encoder)
 
             do_eval = (epoch % max(1, eval_every) == 0) or epoch == num_epochs
             val_loss = val_cer = test_cer = None
@@ -572,7 +617,7 @@ def _run_training_impl(
                     best_val_cer, best_epoch = val_cer, epoch
                     _save_ckpt(
                         os.path.join(ckpt_dir, "best_model"), state, epoch, raw_cfg,
-                        best_val_cer, export_pt,
+                        best_val_cer, export_pt, ema_export=ema_eval,
                     )
                     best_art = "best_model.pt" if export_pt else "best_model.orbax"
                     logging.info(
@@ -595,7 +640,7 @@ def _run_training_impl(
 
             _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state, epoch, raw_cfg,
                        best_val_cer if best_val_cer != float("inf") else None,
-                       export_pt)
+                       export_pt, ema_export=ema_eval)
             summary = {
                 "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
                 "val_cer": val_cer, "test_cer": test_cer,
@@ -642,7 +687,8 @@ def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
     return FC.FeatureCache(cache_dir, split, expect_fingerprint=fp)
 
 
-def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer, export_pt: bool):
+def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer,
+               export_pt: bool, ema_export: bool = False):
     from fddm_asr_tpu import checkpoint as C
 
     if not dist.is_primary():
@@ -660,11 +706,16 @@ def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer
         meta = dict(epoch=epoch, step=int(host_state.step), config=raw_cfg)
         if best_val_cer is not None:
             meta["best_val_cer"] = float(best_val_cer)
+        # ema_export: the recorded CER was measured with the EMA weights, so
+        # the reference-format artifact carries those (the raw weights stay
+        # in the orbax state for exact resume)
+        if ema_export and host_state.ema is not None:
+            dec, sp, te, tp = host_state.ema[:4]
+        else:
+            dec, sp, te, tp = (host_state.decoder, host_state.s_proj,
+                               host_state.t_embed, host_state.t_proj)
         C.export_reference_ckpt(
             prefix + ".pt",
-            host_state.decoder["params"],
-            host_state.s_proj["params"],
-            host_state.t_embed["params"],
-            host_state.t_proj["params"],
+            dec["params"], sp["params"], te["params"], tp["params"],
             **meta,
         )
