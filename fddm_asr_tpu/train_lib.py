@@ -247,21 +247,58 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
         enc_cfg = cfg.model.get("encoder", Config())
         mask_time_prob = float(enc_cfg.get("mask_time_prob", 0.0))
         mask_time_length = int(enc_cfg.get("mask_time_length", 10))
+        lora_rank = int(enc_cfg.get("lora_rank", 0) or 0)
+
+        def _spec_augment(rng_mask, wave):
+            # SpecAugment: the standard WavLM fine-tuning regularizer
+            # (learned masked_spec_embed over [B, S] spans)
+            if mask_time_prob <= 0.0:
+                return None
+            from fddm_asr_tpu.models.wavlm import sample_time_mask
+            S = encoder.config.feat_extract_output_length(wave.shape[1])
+            return sample_time_mask(rng_mask, wave.shape[0], int(S),
+                                    mask_time_prob, mask_time_length)
+
+        if lora_rank > 0:
+            # LoRA variant: state.encoder holds only the rank-r adapters;
+            # the frozen base params are threaded as a non-differentiated
+            # argument (like the frozen path) and merged functionally —
+            # grads/optimizer/EMA are O(rank·d) instead of O(d²)
+            from fddm_asr_tpu.models.lora import merge_lora
+            lora_scale = float(enc_cfg.get("lora_alpha", lora_rank)) / lora_rank
+
+            @functools.partial(jax.jit, static_argnames=("apply_lfd",),
+                               donate_argnames=("state",))
+            def lora_step(state: TrainState, encoder_base, wave, x0, rng,
+                          apply_lfd: bool):
+                rng_core, rng_enc, rng_mask = jax.random.split(rng, 3)
+                t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
+                time_mask = _spec_augment(rng_mask, wave)
+
+                def loss_fn(params):
+                    dec_p, sp_p, te_p, tp_p, lora_p = params
+                    enc_p = merge_lora(encoder_base, lora_p, lora_scale)
+                    c, c_mask, _ = encoder.apply(
+                        enc_p, wave, None, deterministic=False,
+                        mask_time_indices=time_mask,
+                        rngs={"dropout": rng_enc},
+                    )
+                    return _losses(dec_p, sp_p, te_p, tp_p, c, c_mask, xt, x0,
+                                   t, x_mask, loss_mask, rng_drop, apply_lfd)
+
+                params = (state.decoder, state.s_proj, state.t_embed,
+                          state.t_proj, state.encoder)
+                grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                return _apply_updates(state, params, grads)
+
+            return lora_step
 
         @functools.partial(jax.jit, static_argnames=("apply_lfd",),
                            donate_argnames=("state",))
         def finetune_step(state: TrainState, wave, x0, rng, apply_lfd: bool):
             rng_core, rng_enc, rng_mask = jax.random.split(rng, 3)
             t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
-            time_mask = None
-            if mask_time_prob > 0.0:
-                # SpecAugment: the standard WavLM fine-tuning regularizer
-                # (learned masked_spec_embed over [B, S] spans)
-                from fddm_asr_tpu.models.wavlm import sample_time_mask
-                S = encoder.config.feat_extract_output_length(wave.shape[1])
-                time_mask = sample_time_mask(
-                    rng_mask, wave.shape[0], int(S),
-                    mask_time_prob, mask_time_length)
+            time_mask = _spec_augment(rng_mask, wave)
 
             def loss_fn(params):
                 dec_p, sp_p, te_p, tp_p, enc_p = params
@@ -377,6 +414,16 @@ def _run_training_impl(
     from fddm_asr_tpu import checkpoint as C
 
     seed = cfg.get("seed", 1337)
+    # config validation that needs no artifacts — fail before tokenizer /
+    # model construction
+    enc_cfg = cfg.model.get("encoder", Config())
+    train_encoder = not enc_cfg.get("freeze", True)
+    lora_rank = int(enc_cfg.get("lora_rank", 0) or 0)
+    if lora_rank > 0 and not train_encoder:
+        raise ValueError(
+            "encoder.lora_rank > 0 requires model.encoder.freeze: false "
+            "(LoRA is a fine-tuning mode; with freeze: true it would be a "
+            "silent no-op)")
     special = resolve_special_ids(cfg)
     pad_id = special["pad_id"]
 
@@ -401,11 +448,23 @@ def _run_training_impl(
 
     # fine-tuning: model.encoder.freeze: false puts the encoder params in
     # the train state / optimizer (5th param group, optim.encoder_lr)
-    train_encoder = not cfg.model.get("encoder", Config()).get("freeze", True)
+    lora_scale = (float(enc_cfg.get("lora_alpha", lora_rank)) / lora_rank
+                  if lora_rank > 0 else 0.0)
     tx = make_optimizer(cfg, train_encoder=train_encoder)
     params0 = (pipeline.decoder_params, s_proj_p, t_embed_p, t_proj_p)
     if train_encoder:
-        params0 = params0 + (pipeline.encoder_params,)
+        if lora_rank > 0:
+            from fddm_asr_tpu.models import lora as LO
+            enc_train_p = LO.init_lora(
+                jax.random.key(seed + 7), pipeline.encoder_params, lora_rank,
+                targets=enc_cfg.get("lora_targets", LO.DEFAULT_TARGETS))
+            logging.info(
+                f"LoRA fine-tuning: rank {lora_rank}, "
+                f"{LO.lora_param_count(enc_train_p):,} adapter params "
+                f"({len(enc_train_p)} kernels)")
+        else:
+            enc_train_p = pipeline.encoder_params
+        params0 = params0 + (enc_train_p,)
     ema_decay = float(cfg.optim.get("ema_decay", 0.0) or 0.0)
     # ema_eval: evaluate/checkpoint-select with the EMA weights (the standard
     # diffusion practice).  jnp.array COPIES — donated state must not alias
@@ -415,7 +474,7 @@ def _run_training_impl(
         step=jnp.zeros((), jnp.int32),
         decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
         opt_state=tx.init(params0),
-        encoder=pipeline.encoder_params if train_encoder else None,
+        encoder=params0[4] if train_encoder else None,
         ema=jax.tree.map(jnp.array, params0) if ema_decay > 0.0 else None,
     )
 
@@ -533,6 +592,11 @@ def _run_training_impl(
                 pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg,
                 cached_features=True)
 
+        # the step functions always take the ORIGINAL frozen/base encoder
+        # params — in LoRA mode eval overwrites pipeline.encoder_params with
+        # the merged weights, which must never feed back in as the base
+        encoder_base_params = pipeline.encoder_params
+
         # survives --resume: without this the first post-resume epoch would
         # overwrite best_model.* even when worse than the pre-resume best
         best_val_cer, best_epoch = resumed_best_cer, 0
@@ -564,12 +628,14 @@ def _run_training_impl(
                         wave = dist.put_global_batch(batch.wave, batch_shard)
                         x0 = dist.put_global_batch(
                             batch.tokens.astype(np.int32), batch_shard)
-                    if train_encoder:
+                    if train_encoder and lora_rank == 0:
                         state, metrics = train_step(
                             state, wave, x0, step_rng, apply_lfd)
                     else:
+                        # frozen AND LoRA paths thread the (frozen) base
+                        # encoder params as a non-differentiated argument
                         state, metrics = train_step(
-                            state, pipeline.encoder_params, wave, x0, step_rng,
+                            state, encoder_base_params, wave, x0, step_rng,
                             apply_lfd
                         )
                 # accumulate on-device: float() here would block the host on
@@ -601,8 +667,12 @@ def _run_training_impl(
             # export those same weights, keeping CER and artifact consistent
             pipeline.decoder_params = state.ema[0] if ema_eval else state.decoder
             if train_encoder:
-                pipeline.encoder_params = (
-                    state.ema[4] if ema_eval else state.encoder)
+                enc_trained = state.ema[4] if ema_eval else state.encoder
+                if lora_rank > 0:
+                    from fddm_asr_tpu.models.lora import merge_lora
+                    enc_trained = merge_lora(
+                        encoder_base_params, enc_trained, lora_scale)
+                pipeline.encoder_params = enc_trained
 
             do_eval = (epoch % max(1, eval_every) == 0) or epoch == num_epochs
             val_loss = val_cer = test_cer = None
