@@ -62,7 +62,16 @@ def load_checkpoint_any(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
     Orbax training checkpoints ({"state": TrainState-tree, "epoch": N}) are
     normalised to the same schema: each model entry is the bare param subtree
     (without the flax {"params": ...} wrapper), matching what
-    `torch_ckpt.load_reference_checkpoint` returns.
+    `torch_ckpt.load_reference_checkpoint` returns.  Two training-state
+    extras ride along when present:
+      * "encoder": the fine-tuned encoder entry (full flax vars when
+        model.encoder.freeze was false, or the LoRA adapter dict when
+        encoder.lora_rank was set) — the reference contract never
+        checkpoints the frozen encoder, so this key is None on frozen runs;
+      * EMA weights: when the state carries an EMA (optim.ema_decay) the
+        returned decoder/heads/encoder come from it — those are the weights
+        the training loop evaluated and best-model-selected with (the raw
+        weights stay available under "raw_decoder" for tooling).
     """
     if os.path.isdir(path):
         tree = load_orbax(path)
@@ -74,11 +83,26 @@ def load_checkpoint_any(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
                     return entry["params"]
                 return entry
 
+            def ema_part(i):
+                ema = state.get("ema")
+                if not ema:
+                    return None
+                # a tuple field restores as {"0": ..., "1": ...} without a
+                # target template
+                return ema.get(str(i), ema.get(i)) if isinstance(ema, dict) \
+                    else (ema[i] if i < len(ema) else None)
+
+            def pick(i, name):
+                e = ema_part(i)
+                return e if e is not None else state.get(name)
+
             return {
-                "decoder": unwrap(state.get("decoder")),
-                "s_proj": unwrap(state.get("s_proj")),
-                "t_embed": unwrap(state.get("t_embed")),
-                "t_proj": unwrap(state.get("t_proj")),
+                "decoder": unwrap(pick(0, "decoder")),
+                "s_proj": unwrap(pick(1, "s_proj")),
+                "t_embed": unwrap(pick(2, "t_embed")),
+                "t_proj": unwrap(pick(3, "t_proj")),
+                "encoder": pick(4, "encoder"),
+                "raw_decoder": unwrap(state.get("decoder")),
                 "epoch": tree.get("epoch"),
                 "step": state.get("step"),
                 "best_val_cer": None,

@@ -31,7 +31,8 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DEFAULT_TARGETS", "init_lora", "merge_lora", "lora_param_count"]
+__all__ = ["DEFAULT_TARGETS", "init_lora", "merge_lora", "lora_param_count",
+           "is_adapter_tree", "adapter_rank", "normalize_adapter_tree"]
 
 # attention projections + FFN of the transformer layers (the conv front-end
 # stays frozen — the standard wav2vec2/WavLM fine-tuning recipe)
@@ -100,3 +101,41 @@ def merge_lora(params: Any, adapters: Dict[str, Dict[str, jnp.ndarray]],
 
 def lora_param_count(adapters: Dict[str, Dict[str, jnp.ndarray]]) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(adapters))
+
+
+def is_adapter_tree(tree: Any) -> bool:
+    """True iff `tree` is a LoRA adapter dict ({"path": {"a", "b"}, ...}) —
+    used by checkpoint loaders to tell adapters from full encoder params."""
+    return (
+        isinstance(tree, dict) and len(tree) > 0
+        and all(isinstance(v, dict) and set(v) == {"a", "b"}
+                for v in tree.values())
+    )
+
+
+def adapter_rank(adapters: Dict[str, Dict[str, Any]]) -> int:
+    """The rank r encoded in the adapter shapes (A: [..., d_in, r])."""
+    first = next(iter(adapters.values()))
+    return int(first["a"].shape[-1])
+
+
+def normalize_adapter_tree(tree: Any) -> Any:
+    """Return the flat {"path": {"a", "b"}} adapter dict, or None if `tree`
+    isn't one.
+
+    Checkpoint loaders restored WITHOUT a target template may re-nest the
+    slash-joined adapter keys into a plain nested dict; this accepts either
+    form (every leaf path must terminate in "a" or "b", paired per kernel)."""
+    if not isinstance(tree, dict) or not tree:
+        return None
+    if is_adapter_tree(tree):
+        return tree
+    groups: Dict[str, Dict[str, Any]] = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        parts = [str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path]
+        if parts[-1] not in ("a", "b"):
+            return None
+        groups.setdefault("/".join(parts[:-1]), {})[parts[-1]] = leaf
+    if not all(set(v) == {"a", "b"} for v in groups.values()):
+        return None
+    return groups

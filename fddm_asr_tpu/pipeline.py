@@ -199,6 +199,7 @@ class FDDMPipeline:
             jnp.zeros((1, L0), jnp.int32), jnp.ones((1,), jnp.int32),
             jnp.zeros((1, S0, cfg.model.d_model)),
         )
+        loaded = None
         if ckpt_path:
             from fddm_asr_tpu.checkpoint import load_checkpoint_any
 
@@ -222,6 +223,25 @@ class FDDMPipeline:
         else:
             enc_vars = pipeline.encoder.init(rng_enc, jnp.zeros((1, 640), jnp.float32))
             pipeline.encoder_params = enc_vars
+
+        # fine-tuned encoder: orbax training checkpoints (freeze: false)
+        # carry either the full encoder vars or LoRA adapters — apply them
+        # so inference transcribes with the tuned encoder, not the base one
+        # (the reference contract never checkpoints its always-frozen
+        # encoder; .pt files have no encoder entry and skip this)
+        enc_loaded = loaded.get("encoder") if loaded else None
+        if enc_loaded is not None:
+            from fddm_asr_tpu.models import lora as LO
+
+            adapters = LO.normalize_adapter_tree(enc_loaded)
+            if adapters is not None:
+                rank = LO.adapter_rank(adapters)
+                enc_cfg = cfg.model.get("encoder", Config())
+                scale = float(enc_cfg.get("lora_alpha", rank)) / rank
+                pipeline.encoder_params = LO.merge_lora(
+                    pipeline.encoder_params, adapters, scale)
+            else:
+                pipeline.encoder_params = enc_loaded
         return pipeline
 
     # --------------------------------------------------------- multi-device

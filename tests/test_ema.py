@@ -161,6 +161,31 @@ def _flatten(tree, prefix=""):
     return out
 
 
+def test_orbax_inference_load_prefers_ema(tmp_path):
+    """load_checkpoint_any on an EMA orbax state returns the EMA decoder —
+    the weights the training loop evaluated with — not the raw one."""
+    from fddm_asr_tpu.checkpoint import load_checkpoint_any
+    from fddm_asr_tpu.train_lib import run_training
+    from fddm_asr_tpu import checkpoint as C
+
+    raw = _synth_cfg(tmp_path, ema_decay=0.5)
+    raw["log"]["ckpt_dir"] = str(tmp_path / "ck_inf")
+    run_training(Config(raw), raw_cfg=raw, export_pt=False)
+    ck = os.path.join(raw["log"]["ckpt_dir"], "ep001.orbax")
+    loaded = load_checkpoint_any(ck)
+    st = C.load_orbax(ck)["state"]
+    ema_dec = st["ema"]["0"] if "0" in st["ema"] else st["ema"][0]
+    got = _flatten(loaded["decoder"])
+    want = _flatten(ema_dec["params"])
+    raw_dec = _flatten(st["decoder"]["params"])
+    assert set(got) == set(want)
+    assert all(np.allclose(got[k], want[k]) for k in got)
+    assert not all(np.allclose(got[k], raw_dec[k]) for k in got)
+    # raw weights stay reachable for tooling
+    raw_got = _flatten(loaded["raw_decoder"])
+    assert all(np.allclose(raw_got[k], raw_dec[k]) for k in raw_got)
+
+
 def test_resume_pre_ema_checkpoint_with_ema_enabled(tmp_path):
     """Enable EMA on a checkpoint trained without it: the EMA seeds from the
     restored weights and training continues."""

@@ -187,6 +187,26 @@ def test_run_training_lora_e2e(tmp_path):
                       export_pt=False)
     assert s2["epoch"] == 2 and np.isfinite(s2["train_loss"])
 
+    # inference-side restore: from_config(ckpt_path=orbax) must transcribe
+    # with the TUNED encoder — base params merged with the stored adapters
+    adapters = LO.normalize_adapter_tree(enc_state)
+    assert adapters is not None, "orbax state.encoder no longer adapter-shaped"
+    base_pipe = FDDMPipeline.from_config(Config(json.loads(json.dumps(raw))))
+    expect = LO.merge_lora(base_pipe.encoder_params, adapters, scale=1.0)
+    tuned_pipe = FDDMPipeline.from_config(
+        Config(json.loads(json.dumps(raw))),
+        ckpt_path=str(tmp_path / "ck" / "ep001.orbax"))
+    for a, b in zip(jax.tree_util.tree_leaves(tuned_pipe.encoder_params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # and it differs from the base encoder (adapters actually trained)
+    diffs = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(
+                 jax.tree_util.tree_leaves(tuned_pipe.encoder_params),
+                 jax.tree_util.tree_leaves(base_pipe.encoder_params))]
+    assert any(diffs)
+
 
 def test_lora_requires_unfrozen_encoder(tmp_path):
     from fddm_asr_tpu.train_lib import run_training
