@@ -78,8 +78,33 @@ class TrainState(struct.PyTreeNode):
     ema: Any = None
 
 
-def _lr_schedule(lr: float, warmup: int):
-    return optax.linear_schedule(0.0, lr, warmup) if warmup else lr
+def _lr_schedule(optim, lr: float, warmup: int):
+    """Warmup + decay schedule from the optim config block.
+
+    optim.lr_schedule: "constant" (DEFAULT — the reference's AdamW runs a
+    constant LR, train.py:542-544), "cosine", or "linear".  The decaying
+    kinds need optim.decay_steps (TOTAL steps including warmup) and decay
+    to optim.end_lr (default 0).
+    """
+    kind = optim.get("lr_schedule", "constant")
+    if kind == "constant":
+        return optax.linear_schedule(0.0, lr, warmup) if warmup else lr
+    decay_steps = int(optim.get("decay_steps", 0) or 0)
+    if decay_steps <= warmup:
+        raise ValueError(
+            f"optim.lr_schedule={kind!r} needs optim.decay_steps > "
+            f"warmup_steps (got {decay_steps} vs {warmup})")
+    end = float(optim.get("end_lr", 0.0))
+    if kind == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, decay_steps, end_value=end)
+    if kind == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup),
+             optax.linear_schedule(lr, end, decay_steps - warmup)],
+            [warmup])
+    raise ValueError(f"unknown optim.lr_schedule {kind!r} "
+                     "(constant | cosine | linear)")
 
 
 def make_optimizer(cfg: Config,
@@ -97,10 +122,10 @@ def make_optimizer(cfg: Config,
     lr = optim.get("lr", 2e-4)
     warmup = optim.get("warmup_steps", 0) or 0
     wd = optim.get("weight_decay", 0.01)
-    main_tx = optax.adamw(_lr_schedule(lr, warmup), weight_decay=wd)
+    main_tx = optax.adamw(_lr_schedule(optim, lr, warmup), weight_decay=wd)
     if train_encoder:
         enc_lr = optim.get("encoder_lr", lr)
-        enc_tx = optax.adamw(_lr_schedule(enc_lr, warmup), weight_decay=wd)
+        enc_tx = optax.adamw(_lr_schedule(optim, enc_lr, warmup), weight_decay=wd)
 
         def label_fn(params):
             main = tuple(jax.tree.map(lambda _: "main", p) for p in params[:4])
