@@ -46,6 +46,13 @@ def main(argv=None):
     ap.add_argument("--specaugment", type=float, default=0.0, metavar="PROB",
                     help="SpecAugment mask_time_prob for --finetune "
                          "(e.g. 0.065; spans of 10 frames)")
+    ap.add_argument("--lora", type=int, default=0, metavar="RANK",
+                    help="with --finetune: LoRA adapters of this rank "
+                         "instead of full encoder fine-tuning (optimizer/"
+                         "EMA state O(rank*d); base stays frozen)")
+    ap.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                    help="EMA of the trained params inside the step "
+                         "(optim.ema_decay)")
     ap.add_argument("--remat-policy", default="full", choices=["full", "dots"],
                     help="--finetune remat: full=save nothing (default), "
                          "dots=save projection/FFN matmul outputs and "
@@ -55,6 +62,8 @@ def main(argv=None):
     if args.finetune and (args.cached or args.quant != "none"):
         ap.error("--finetune excludes --cached and --quant (grads flow "
                  "through the encoder)")
+    if args.lora and not args.finetune:
+        ap.error("--lora requires --finetune")
 
     from fddm_asr_tpu.runtime import enable_compile_cache
 
@@ -82,6 +91,7 @@ def main(argv=None):
             "dropout": 0.1,
             "encoder": {"wavlm_name": "microsoft/wavlm-large",
                         "freeze": not args.finetune,
+                        "lora_rank": args.lora,
                         "proj": "linear", "pooling": "none",
                         "mask_time_prob": args.specaugment,
                         # int8 on the frozen encoder is training-valid: no
@@ -98,7 +108,7 @@ def main(argv=None):
         },
         "diffusion": {"T": 200, "beta_max": 0.2},
         "optim": {"batch_size": args.batch, "lr": 2e-4, "weight_decay": 0.01,
-                  "dtype": "bfloat16"},
+                  "ema_decay": args.ema, "dtype": "bfloat16"},
         "lfd": {"lambda_offdiag": 5e-3, "n_step_fd": 4, "tau": 1.0},
         "log": {"log_every": 50, "ckpt_dir": "/tmp/bench_train"},
     })
@@ -120,12 +130,19 @@ def main(argv=None):
     tx = make_optimizer(cfg, train_encoder=args.finetune)
     params0 = (pipeline.decoder_params, sp, te, tp)
     if args.finetune:
-        params0 = params0 + (pipeline.encoder_params,)
+        if args.lora:
+            from fddm_asr_tpu.models.lora import init_lora
+            enc_train_p = init_lora(jax.random.key(7),
+                                    pipeline.encoder_params, args.lora)
+        else:
+            enc_train_p = pipeline.encoder_params
+        params0 = params0 + (enc_train_p,)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         decoder=params0[0], s_proj=params0[1], t_embed=params0[2], t_proj=params0[3],
         opt_state=tx.init(params0),
-        encoder=pipeline.encoder_params if args.finetune else None,
+        encoder=params0[4] if args.finetune else None,
+        ema=(jax.tree.map(jnp.array, params0) if args.ema > 0 else None),
     )
     train_step = make_train_step(pipeline, s_proj, t_embed, t_proj, tx, cfg,
                                  cached_features=args.cached,
@@ -143,6 +160,10 @@ def main(argv=None):
 
         def step(state, key):
             return train_step(state, c, x0, key, args.lfd)
+    elif args.finetune and args.lora:
+        def step(state, key):
+            return train_step(state, pipeline.encoder_params, wave, x0, key,
+                              args.lfd)
     elif args.finetune:
         def step(state, key):
             return train_step(state, wave, x0, key, args.lfd)
@@ -181,6 +202,8 @@ def main(argv=None):
                   + (f" enc-quant-{args.quant}" if args.quant != "none" else "")
                   + (" feature-cache" if args.cached else "")
                   + (" remat" if args.finetune else "")
+                  + (f" lora-r{args.lora}" if args.lora else "")
+                  + (f" ema={args.ema}" if args.ema else "")
                   + (" no-dropout" if args.no_dropout else "")
                   + (f" specaug={args.specaugment}" if args.specaugment else "")
                   + (f" remat={args.remat_policy}"
