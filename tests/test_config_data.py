@@ -201,3 +201,22 @@ class TestDataset:
             for b in make_batches(ds, 1, shuffle=False, drop_last=False, shard=(host, 2)):
                 got.append(tuple(b.tokens[0].tolist()))
         assert len(got) == 7 and len(set(got)) >= 6  # all examples covered once
+
+
+def test_shipped_finetune_config_resolves():
+    """configs/fddm_zhTW_finetune.yaml inherits the base config and wires
+    the full fine-tuning recipe (remat'd scan, SpecAugment-not-dropout,
+    frozen conv front-end, EMA, cosine schedule)."""
+    from fddm_asr_tpu.pipeline import build_wavlm_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "fddm_zhTW_finetune.yaml"))
+    enc = cfg.model.encoder
+    assert enc.freeze is False
+    assert enc.mask_time_prob > 0
+    assert cfg.optim.ema_decay > 0
+    assert cfg.optim.lr_schedule == "cosine"
+    assert cfg.model.d_model == 768 and cfg.data.vocab_size == 8000  # base
+    wc = build_wavlm_config(enc)
+    assert wc.scan_layers and wc.remat_layers and wc.freeze_feature_extractor
+    assert wc.attention_dropout == 0.0 and wc.fused_attention
