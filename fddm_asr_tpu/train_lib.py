@@ -138,6 +138,12 @@ def make_optimizer(cfg: Config,
         optax.clip_by_global_norm(5.0),  # reference max_norm=5.0
         inner,
     )
+    # production guard: drop updates whose grads contain inf/nan (bf16
+    # loss-spike protection) instead of poisoning the params — up to N
+    # consecutive bad steps, then error out (optax.apply_if_finite)
+    skip_nonfinite = int(optim.get("skip_nonfinite_updates", 0) or 0)
+    if skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     accum = optim.get("grad_accum_steps", 1) or 1
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
@@ -239,6 +245,9 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
 
     def _apply_updates(state: TrainState, params, value_and_grads):
         (_, metrics), grads = value_and_grads
+        # pre-clip global grad norm: the standard training-health signal
+        # (loss spikes show here first); computed on-device, logged lazily
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_state = state.replace(
@@ -679,6 +688,8 @@ def _run_training_impl(
                             f"w_t={float(metrics['w_t']):.4f}",
                         ]
                     parts.append(f"total_loss={total:.4f}")
+                    if "grad_norm" in metrics:
+                        parts.append(f"grad_norm={float(metrics['grad_norm']):.3f}")
                     if timer.seconds_per_step:
                         parts.append(f"examples_per_s={timer.throughput(batch_size):.1f}")
                     logging.info(" ".join(parts))
