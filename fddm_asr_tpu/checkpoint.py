@@ -26,7 +26,33 @@ __all__ = [
     "load_orbax",
     "load_checkpoint_any",
     "export_reference_ckpt",
+    "save_ckpt_meta",
+    "load_ckpt_meta",
 ]
+
+
+def save_ckpt_meta(orbax_path: str, meta: Dict[str, Any]) -> None:
+    """Write the JSON sidecar `<dir>.orbax.meta.json` next to an orbax dir.
+
+    The orbax tree itself cannot grow new top-level keys without breaking
+    every existing restore-with-template call, so run metadata the loader
+    needs (ema_eval, LoRA rank/alpha, …) rides in a sidecar instead."""
+    import json
+
+    with open(os.path.normpath(os.path.abspath(orbax_path)) + ".meta.json",
+              "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_ckpt_meta(orbax_path: str) -> Dict[str, Any]:
+    """The sidecar written by save_ckpt_meta, or {} (older checkpoints)."""
+    import json
+
+    p = os.path.normpath(os.path.abspath(orbax_path)) + ".meta.json"
+    if not os.path.exists(p):
+        return {}
+    with open(p, "r", encoding="utf-8") as f:
+        return json.load(f)
 
 
 def _checkpointer():
@@ -68,15 +94,20 @@ def load_checkpoint_any(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
         model.encoder.freeze was false, or the LoRA adapter dict when
         encoder.lora_rank was set) — the reference contract never
         checkpoints the frozen encoder, so this key is None on frozen runs;
-      * EMA weights: when the state carries an EMA (optim.ema_decay) the
-        returned decoder/heads/encoder come from it — those are the weights
-        the training loop evaluated and best-model-selected with (the raw
-        weights stay available under "raw_decoder" for tooling).
+      * EMA weights: when the state carries an EMA (optim.ema_decay) AND the
+        run evaluated with it (the sidecar's ema_eval, default true — see
+        save_ckpt_meta), the returned decoder/heads/encoder come from the
+        EMA — those are the weights the training loop evaluated and
+        best-model-selected with (the raw weights stay available under
+        "raw_decoder" for tooling).  The sidecar rides along under "meta"
+        (LoRA rank/alpha for scale-faithful re-merging, etc.).
     """
     if os.path.isdir(path):
         tree = load_orbax(path)
         if isinstance(tree, dict) and "state" in tree:
             state = tree["state"]
+            meta = load_ckpt_meta(path)
+            use_ema = bool(meta.get("ema_eval", True))
 
             def unwrap(entry):
                 if isinstance(entry, dict) and set(entry) == {"params"}:
@@ -85,7 +116,7 @@ def load_checkpoint_any(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
 
             def ema_part(i):
                 ema = state.get("ema")
-                if not ema:
+                if not ema or not use_ema:
                     return None
                 # a tuple field restores as {"0": ..., "1": ...} without a
                 # target template
@@ -96,6 +127,9 @@ def load_checkpoint_any(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
                 e = ema_part(i)
                 return e if e is not None else state.get(name)
 
+            best = tree.get("best_val_cer")
+            if best is not None and not np.isfinite(best):
+                best = None  # inf placeholder = "no best recorded yet"
             return {
                 "decoder": unwrap(pick(0, "decoder")),
                 "s_proj": unwrap(pick(1, "s_proj")),
@@ -105,8 +139,9 @@ def load_checkpoint_any(path: str, scan_blocks: bool = False) -> Dict[str, Any]:
                 "raw_decoder": unwrap(state.get("decoder")),
                 "epoch": tree.get("epoch"),
                 "step": state.get("step"),
-                "best_val_cer": None,
+                "best_val_cer": best,
                 "config": None,
+                "meta": meta,
             }
         return tree
     from fddm_asr_tpu.convert.torch_ckpt import load_reference_checkpoint

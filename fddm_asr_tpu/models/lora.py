@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["DEFAULT_TARGETS", "init_lora", "merge_lora", "lora_param_count",
-           "is_adapter_tree", "adapter_rank", "normalize_adapter_tree"]
+           "is_adapter_tree", "adapter_rank", "normalize_adapter_tree",
+           "resolve_scale"]
 
 # attention projections + FFN of the transformer layers (the conv front-end
 # stays frozen — the standard wav2vec2/WavLM fine-tuning recipe)
@@ -46,6 +47,16 @@ def _path_str(key_path) -> str:
     for k in key_path:
         parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
     return "/".join(parts)
+
+
+def resolve_scale(rank: int, alpha=None) -> float:
+    """LoRA merge scale alpha / rank (alpha defaults to rank -> 1.0).
+
+    The ONE place the scale formula lives — training (train_lib), inference
+    restore (pipeline), and benchmarks all call this so the train-time and
+    inference-time scales cannot drift.
+    """
+    return float(rank if alpha is None else alpha) / rank
 
 
 def init_lora(rng, params: Any, rank: int,
@@ -66,7 +77,10 @@ def init_lora(rng, params: Any, rank: int,
             continue
         *stack, d_in, d_out = leaf.shape
         rng, sub = jax.random.split(rng)
-        a = jax.random.normal(sub, (*stack, d_in, rank), jnp.float32) / rank
+        # A ~ N(0, 1/r) (std 1/sqrt(r), the LoRA-paper recipe); B = 0 so the
+        # merged model is exactly the base at step 0
+        a = (jax.random.normal(sub, (*stack, d_in, rank), jnp.float32)
+             / jnp.sqrt(rank))
         b = jnp.zeros((*stack, rank, d_out), jnp.float32)
         adapters[path] = {"a": a, "b": b}
     if not adapters:

@@ -236,10 +236,15 @@ class FDDMPipeline:
             adapters = LO.normalize_adapter_tree(enc_loaded)
             if adapters is not None:
                 rank = LO.adapter_rank(adapters)
+                # scale: the checkpoint's meta sidecar is authoritative (the
+                # TRAINING-time alpha); the inference config is only the
+                # fallback for sidecar-less checkpoints
+                meta = loaded.get("meta") or {}
                 enc_cfg = cfg.model.get("encoder", Config())
-                scale = float(enc_cfg.get("lora_alpha", rank)) / rank
+                alpha = meta.get("lora_alpha", enc_cfg.get("lora_alpha"))
                 pipeline.encoder_params = LO.merge_lora(
-                    pipeline.encoder_params, adapters, scale)
+                    pipeline.encoder_params, adapters,
+                    LO.resolve_scale(rank, alpha))
             else:
                 pipeline.encoder_params = enc_loaded
         return pipeline

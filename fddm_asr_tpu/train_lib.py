@@ -298,8 +298,8 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
             # the frozen base params are threaded as a non-differentiated
             # argument (like the frozen path) and merged functionally —
             # grads/optimizer/EMA are O(rank·d) instead of O(d²)
-            from fddm_asr_tpu.models.lora import merge_lora
-            lora_scale = float(enc_cfg.get("lora_alpha", lora_rank)) / lora_rank
+            from fddm_asr_tpu.models.lora import merge_lora, resolve_scale
+            lora_scale = resolve_scale(lora_rank, enc_cfg.get("lora_alpha"))
 
             @functools.partial(jax.jit, static_argnames=("apply_lfd",),
                                donate_argnames=("state",))
@@ -482,8 +482,12 @@ def _run_training_impl(
 
     # fine-tuning: model.encoder.freeze: false puts the encoder params in
     # the train state / optimizer (5th param group, optim.encoder_lr)
-    lora_scale = (float(enc_cfg.get("lora_alpha", lora_rank)) / lora_rank
+    from fddm_asr_tpu.models import lora as _lora_mod
+    lora_scale = (_lora_mod.resolve_scale(lora_rank, enc_cfg.get("lora_alpha"))
                   if lora_rank > 0 else 0.0)
+    ckpt_meta = ({"lora_rank": lora_rank,
+                  "lora_alpha": float(enc_cfg.get("lora_alpha", lora_rank))}
+                 if lora_rank > 0 else {})
     tx = make_optimizer(cfg, train_encoder=train_encoder)
     params0 = (pipeline.decoder_params, s_proj_p, t_embed_p, t_proj_p)
     if train_encoder:
@@ -523,24 +527,48 @@ def _run_training_impl(
                     resume,
                     target={"state": template, "epoch": 0, "best_val_cer": 0.0})
                 return r, float(r["best_val_cer"])
-            except Exception:  # older checkpoints lack the best-CER field
+            except Exception as e:  # older checkpoints lack the best-CER field
+                logging.info(
+                    f"restore with best_val_cer template failed "
+                    f"({type(e).__name__}); retrying without it")
                 return (C.load_orbax(resume,
                                      target={"state": template, "epoch": 0}),
                         float("inf"))
 
         try:
             restored, resumed_best_cer = _restore(state)
-        except Exception:
-            if state.ema is None:
-                raise
-            # checkpoint predates EMA (or was trained without it): restore
-            # the rest and seed the EMA from the restored weights
-            restored, resumed_best_cer = _restore(state.replace(ema=None))
-            st = restored["state"]
-            ema0 = (st.decoder, st.s_proj, st.t_embed, st.t_proj)
-            if train_encoder:
-                ema0 = ema0 + (st.encoder,)
-            restored["state"] = st.replace(ema=jax.tree.map(jnp.array, ema0))
+        except Exception as first_err:
+            # EMA on/off migration: the checkpoint's state.ema structure
+            # differs from the fresh template's.  Retry with the opposite
+            # template and reconcile; any other failure re-raises the
+            # ORIGINAL error (don't mask shape/config mismatches).
+            logging.info(
+                f"restore with fresh template failed "
+                f"({type(first_err).__name__}: {first_err}); attempting the "
+                "EMA on/off migration")
+            if state.ema is not None:
+                # checkpoint predates EMA (or ran without it): restore
+                # without it and seed the EMA from the restored weights
+                try:
+                    restored, resumed_best_cer = _restore(
+                        state.replace(ema=None))
+                except Exception:
+                    raise first_err
+                st = restored["state"]
+                ema0 = (st.decoder, st.s_proj, st.t_embed, st.t_proj)
+                if train_encoder:
+                    ema0 = ema0 + (st.encoder,)
+                restored["state"] = st.replace(
+                    ema=jax.tree.map(jnp.array, ema0))
+            else:
+                # checkpoint HAS an EMA, this run disables it: restore with
+                # an EMA-shaped template, then drop the EMA
+                try:
+                    restored, resumed_best_cer = _restore(
+                        state.replace(ema=jax.tree.map(jnp.array, params0)))
+                except Exception:
+                    raise first_err
+                restored["state"] = restored["state"].replace(ema=None)
         state = restored["state"]
         start_epoch = int(restored["epoch"]) + 1
         logging.info(
@@ -697,20 +725,24 @@ def _run_training_impl(
             train_loss = (float(loss_sum) / step_cnt) if step_cnt else 0.0
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
 
-            # sync trained params into the pipeline for eval/sampling
-            # (samplers take params as call arguments — no cache invalidation);
-            # ema_eval evaluates the EMA weights — the checkpoints they gate
-            # export those same weights, keeping CER and artifact consistent
-            pipeline.decoder_params = state.ema[0] if ema_eval else state.decoder
-            if train_encoder:
-                enc_trained = state.ema[4] if ema_eval else state.encoder
-                if lora_rank > 0:
-                    from fddm_asr_tpu.models.lora import merge_lora
-                    enc_trained = merge_lora(
-                        encoder_base_params, enc_trained, lora_scale)
-                pipeline.encoder_params = enc_trained
-
             do_eval = (epoch % max(1, eval_every) == 0) or epoch == num_epochs
+            if do_eval:
+                # sync trained params into the pipeline for eval/sampling
+                # (samplers take params as call arguments — no cache
+                # invalidation); only on eval epochs — the LoRA merge below
+                # materializes a full encoder copy, wasted on skipped evals.
+                # ema_eval evaluates the EMA weights — the checkpoints they
+                # gate export those same weights, keeping CER and artifact
+                # consistent
+                pipeline.decoder_params = (state.ema[0] if ema_eval
+                                           else state.decoder)
+                if train_encoder:
+                    enc_trained = state.ema[4] if ema_eval else state.encoder
+                    if lora_rank > 0:
+                        from fddm_asr_tpu.models.lora import merge_lora
+                        enc_trained = merge_lora(
+                            encoder_base_params, enc_trained, lora_scale)
+                    pipeline.encoder_params = enc_trained
             val_loss = val_cer = test_cer = None
             if do_eval and val_ds is not None and len(val_ds) > 0:
                 val_cer = E.evaluate_cer_with_jumpy_sampling(
@@ -724,11 +756,19 @@ def _run_training_impl(
                     _save_ckpt(
                         os.path.join(ckpt_dir, "best_model"), state, epoch, raw_cfg,
                         best_val_cer, export_pt, ema_export=ema_eval,
+                        extra_meta=ckpt_meta,
                     )
-                    best_art = "best_model.pt" if export_pt else "best_model.orbax"
+                    # fine-tuned runs: the .pt format (reference schema) has
+                    # no encoder slot — point users at the COMPLETE artifact
+                    best_art = ("best_model.pt"
+                                if export_pt and not train_encoder
+                                else "best_model.orbax")
+                    suffix = (" (.pt export lacks the fine-tuned encoder — "
+                              "use the orbax checkpoint for inference)"
+                              if export_pt and train_encoder else "")
                     logging.info(
                         f"Saved BEST model (epoch {best_epoch}, val_cer {best_val_cer:.4f}) "
-                        f"→ {os.path.join(ckpt_dir, best_art)}"
+                        f"→ {os.path.join(ckpt_dir, best_art)}{suffix}"
                     )
             if do_eval and test_ds is not None and len(test_ds) > 0:
                 test_cer = E.evaluate_cer_with_jumpy_sampling(
@@ -746,7 +786,7 @@ def _run_training_impl(
 
             _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state, epoch, raw_cfg,
                        best_val_cer if best_val_cer != float("inf") else None,
-                       export_pt, ema_export=ema_eval)
+                       export_pt, ema_export=ema_eval, extra_meta=ckpt_meta)
             summary = {
                 "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
                 "val_cer": val_cer, "test_cer": test_cer,
@@ -759,7 +799,9 @@ def _run_training_impl(
     logging.info(f"Best validation CER: {best_val_cer:.4f} (Epoch {best_epoch})")
     logging.info(
         "Best model saved at: "
-        + os.path.join(ckpt_dir, "best_model.pt" if export_pt else "best_model.orbax")
+        + os.path.join(ckpt_dir,
+                       "best_model.pt" if export_pt and not train_encoder
+                       else "best_model.orbax")
     )
     logging.info("=" * 50)
     return summary
@@ -794,7 +836,8 @@ def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
 
 
 def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer,
-               export_pt: bool, ema_export: bool = False):
+               export_pt: bool, ema_export: bool = False,
+               extra_meta: Optional[Dict[str, Any]] = None):
     from fddm_asr_tpu import checkpoint as C
 
     if not dist.is_primary():
@@ -808,6 +851,15 @@ def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer
         "state": host_state, "epoch": epoch,
         "best_val_cer": float("inf") if best_val_cer is None else float(best_val_cer),
     })
+    # sidecar: run metadata the LOADER needs but the orbax tree can't grow
+    # without breaking restore templates (checkpoint.save_ckpt_meta)
+    meta = {"epoch": epoch, "ema_eval": bool(ema_export),
+            "has_ema": state.ema is not None,
+            "train_encoder": state.encoder is not None}
+    if best_val_cer is not None:
+        meta["best_val_cer"] = float(best_val_cer)
+    meta.update(extra_meta or {})
+    C.save_ckpt_meta(prefix + ".orbax", meta)
     if export_pt:
         meta = dict(epoch=epoch, step=int(host_state.step), config=raw_cfg)
         if best_val_cer is not None:

@@ -186,6 +186,44 @@ def test_orbax_inference_load_prefers_ema(tmp_path):
     assert all(np.allclose(raw_got[k], raw_dec[k]) for k in raw_got)
 
 
+def test_orbax_load_respects_ema_eval_false(tmp_path):
+    """optim.ema_eval: false — eval/selection used RAW weights, so the
+    loader must return them (the meta sidecar records the choice)."""
+    from fddm_asr_tpu.checkpoint import load_checkpoint_any, load_ckpt_meta
+    from fddm_asr_tpu.train_lib import run_training
+    from fddm_asr_tpu import checkpoint as C
+
+    raw = _synth_cfg(tmp_path, ema_decay=0.5, ema_eval=False)
+    raw["log"]["ckpt_dir"] = str(tmp_path / "ck_raweval")
+    run_training(Config(raw), raw_cfg=raw, export_pt=False)
+    ck = os.path.join(raw["log"]["ckpt_dir"], "ep001.orbax")
+    assert load_ckpt_meta(ck)["ema_eval"] is False
+    loaded = load_checkpoint_any(ck)
+    st = C.load_orbax(ck)["state"]
+    got = _flatten(loaded["decoder"])
+    raw_dec = _flatten(st["decoder"]["params"])
+    assert all(np.allclose(got[k], raw_dec[k]) for k in got)
+
+
+def test_resume_ema_checkpoint_with_ema_disabled(tmp_path):
+    """The reverse migration: resume an EMA checkpoint with ema_decay: 0 —
+    the EMA is dropped and training continues on the raw weights."""
+    from fddm_asr_tpu.train_lib import run_training
+
+    raw = _synth_cfg(tmp_path, ema_decay=0.9)
+    raw["log"]["ckpt_dir"] = str(tmp_path / "ck_ema1")
+    run_training(Config(raw), raw_cfg=raw, export_pt=False)
+    ck = os.path.join(raw["log"]["ckpt_dir"], "ep001.orbax")
+
+    raw2 = json.loads(json.dumps(raw))
+    raw2["optim"]["ema_decay"] = 0.0
+    raw2["optim"]["num_epochs"] = 2
+    raw2["log"]["ckpt_dir"] = str(tmp_path / "ck_ema0")
+    summary = run_training(Config(raw2), raw_cfg=raw2, resume=ck)
+    assert summary["epoch"] == 2
+    assert np.isfinite(summary["train_loss"])
+
+
 def test_resume_pre_ema_checkpoint_with_ema_enabled(tmp_path):
     """Enable EMA on a checkpoint trained without it: the EMA seeds from the
     restored weights and training continues."""

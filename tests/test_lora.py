@@ -163,6 +163,7 @@ def test_run_training_lora_e2e(tmp_path):
     raw = load_yaml(os.path.join(out, "config.yaml"))
     raw["model"]["encoder"]["freeze"] = False
     raw["model"]["encoder"]["lora_rank"] = 2
+    raw["model"]["encoder"]["lora_alpha"] = 6  # train scale 3.0, not 1.0
     raw["optim"]["num_epochs"] = 1
     raw["optim"]["batch_size"] = 8
     raw["optim"]["encoder_lr"] = 1e-3
@@ -189,12 +190,16 @@ def test_run_training_lora_e2e(tmp_path):
 
     # inference-side restore: from_config(ckpt_path=orbax) must transcribe
     # with the TUNED encoder — base params merged with the stored adapters
+    # at the TRAINING scale (alpha/rank = 3.0 from the meta sidecar), even
+    # when the inference config never mentions lora_alpha
     adapters = LO.normalize_adapter_tree(enc_state)
     assert adapters is not None, "orbax state.encoder no longer adapter-shaped"
     base_pipe = FDDMPipeline.from_config(Config(json.loads(json.dumps(raw))))
-    expect = LO.merge_lora(base_pipe.encoder_params, adapters, scale=1.0)
+    expect = LO.merge_lora(base_pipe.encoder_params, adapters, scale=3.0)
+    inf_raw = json.loads(json.dumps(raw))
+    del inf_raw["model"]["encoder"]["lora_alpha"]  # sidecar must win
     tuned_pipe = FDDMPipeline.from_config(
-        Config(json.loads(json.dumps(raw))),
+        Config(inf_raw),
         ckpt_path=str(tmp_path / "ck" / "ep001.orbax"))
     for a, b in zip(jax.tree_util.tree_leaves(tuned_pipe.encoder_params),
                     jax.tree_util.tree_leaves(expect)):
