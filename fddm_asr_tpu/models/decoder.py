@@ -313,6 +313,11 @@ class DenoisingTransformerDecoder(nn.Module):
     # times flat.  Identical numerics (parity-tested); the torch-checkpoint
     # converter stacks/unstacks accordingly.
     scan_blocks: bool = False
+    # Rematerialize each scanned block in backprop (training-side memory
+    # lever for paper-scale decoders: O(1) live block activations in depth
+    # instead of O(num_layers), same trade the encoder's remat_layers
+    # makes).  Requires scan_blocks.  Identical numerics.
+    remat_blocks: bool = False
     # "int8": run the q/k/v/out projections, FFN, and vocab head on the
     # int8 MXU (dynamic quantization — see _qdense).  Inference-only.
     quant_dense: str = "none"
@@ -361,9 +366,15 @@ class DenoisingTransformerDecoder(nn.Module):
         # p(x0) into argmax-ties).  Treat such rows as fully visible instead.
         x_mask = jnp.where(jnp.any(x_mask, axis=-1, keepdims=True), x_mask, True)
 
+        if self.remat_blocks and not self.scan_blocks:
+            raise ValueError("remat_blocks requires scan_blocks")
         if self.scan_blocks and self.num_layers > 0:
+            # prevent_cse=False is the recommended setting under scan (the
+            # scan boundary already prevents the unsafe CSE)
+            body = (nn.remat(_ScanDecoderBlock, prevent_cse=False)
+                    if self.remat_blocks else _ScanDecoderBlock)
             scanned = nn.scan(
-                _ScanDecoderBlock,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast,) * 5,

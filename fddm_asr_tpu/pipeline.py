@@ -124,6 +124,7 @@ class FDDMPipeline:
             # of num_layers unrolled copies — same numerics, much smaller HLO
             # (matters for paper-scale 12+ layer decoders with remote compile).
             scan_blocks=model_cfg.get("scan_blocks", False),
+            remat_blocks=model_cfg.get("remat_blocks", False),
             # model.quant_dense: "int8" runs the decoder's projections/FFN/
             # head on the int8 MXU at inference (same checkpoints; decoder
             # rows of the validate_quant.py gate)

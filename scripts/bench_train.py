@@ -53,6 +53,10 @@ def main(argv=None):
     ap.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                     help="EMA of the trained params inside the step "
                          "(optim.ema_decay)")
+    ap.add_argument("--decoder-remat", action="store_true",
+                    help="rematerialize the scanned decoder blocks in "
+                         "backprop (paper-scale memory lever; requires "
+                         "--model paper or any scan_blocks geometry)")
     ap.add_argument("--remat-policy", default="full", choices=["full", "dots"],
                     help="--finetune remat: full=save nothing (default), "
                          "dots=save projection/FFN matmul outputs and "
@@ -87,7 +91,8 @@ def main(argv=None):
         "data": {"vocab_size": K, "pad_id": 3, "max_len": args.max_len},
         "model": {
             "d_model": d_model, "nhead": nhead, "num_layers": n_layers,
-            "dim_ff": dim_ff, "scan_blocks": scan_blocks,
+            "dim_ff": dim_ff, "scan_blocks": scan_blocks or args.decoder_remat,
+            "remat_blocks": args.decoder_remat,
             "dropout": 0.1,
             "encoder": {"wavlm_name": "microsoft/wavlm-large",
                         "freeze": not args.finetune,
@@ -203,6 +208,7 @@ def main(argv=None):
                   + (" feature-cache" if args.cached else "")
                   + (" remat" if args.finetune else "")
                   + (f" lora-r{args.lora}" if args.lora else "")
+                  + (" decoder-remat" if args.decoder_remat else "")
                   + (f" ema={args.ema}" if args.ema else "")
                   + (" no-dropout" if args.no_dropout else "")
                   + (f" specaug={args.specaugment}" if args.specaugment else "")
