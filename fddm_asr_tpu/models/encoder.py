@@ -57,6 +57,7 @@ class AcousticEncoder(nn.Module):
         lengths: Optional[jnp.ndarray] = None,     # [B] valid sample counts
         deterministic: bool = True,
         mask_time_indices: Optional[jnp.ndarray] = None,  # [B, S] SpecAugment
+        mask_feature_indices: Optional[jnp.ndarray] = None,  # [B, H] SpecAugment
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         B, T = waveforms.shape
         attention_mask = None
@@ -66,7 +67,9 @@ class AcousticEncoder(nn.Module):
         feats = WavLMModel(
             self.config, self.dtype, attention_fn=self.attention_fn, name="backbone"
         )(waveforms, attention_mask=attention_mask,
-          mask_time_indices=mask_time_indices, deterministic=deterministic)
+          mask_time_indices=mask_time_indices,
+          mask_feature_indices=mask_feature_indices,
+          deterministic=deterministic)
         if self.freeze:
             feats = jax.lax.stop_gradient(feats)
 

@@ -651,6 +651,7 @@ class WavLMModel(nn.Module):
         input_values: jnp.ndarray,                  # [B, T] float waveform
         attention_mask: Optional[jnp.ndarray] = None,  # [B, T] True=valid sample
         mask_time_indices: Optional[jnp.ndarray] = None,
+        mask_feature_indices: Optional[jnp.ndarray] = None,  # [B, H] bool
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.config
@@ -682,6 +683,10 @@ class WavLMModel(nn.Module):
         )
         if mask_time_indices is not None:
             x = jnp.where(mask_time_indices[..., None], masked_embed.astype(x.dtype), x)
+        if mask_feature_indices is not None:
+            # SpecAugment feature masks (HF mask_feature_prob): the masked
+            # hidden dims are zeroed across ALL time steps of the row
+            x = jnp.where(mask_feature_indices[:, None, :], 0.0, x)
         x = Encoder(cfg, self.dtype, attention_fn=self.attention_fn, name="encoder")(
             x, feat_mask, deterministic
         )

@@ -122,10 +122,20 @@ def make_optimizer(cfg: Config,
     lr = optim.get("lr", 2e-4)
     warmup = optim.get("warmup_steps", 0) or 0
     wd = optim.get("weight_decay", 0.01)
-    main_tx = optax.adamw(_lr_schedule(optim, lr, warmup), weight_decay=wd)
+    # optim.decay_exclude_1d: standard production practice — no weight decay
+    # on biases / LayerNorm scales / other 1-D params.  OFF by default for
+    # reference parity (torch AdamW decays everything, train.py:542-544).
+    decay_mask = (
+        (lambda params: jax.tree.map(lambda p: p.ndim >= 2, params))
+        if optim.get("decay_exclude_1d") else None)
+
+    def _adamw(schedule):
+        return optax.adamw(schedule, weight_decay=wd, mask=decay_mask)
+
+    main_tx = _adamw(_lr_schedule(optim, lr, warmup))
     if train_encoder:
         enc_lr = optim.get("encoder_lr", lr)
-        enc_tx = optax.adamw(_lr_schedule(optim, enc_lr, warmup), weight_decay=wd)
+        enc_tx = _adamw(_lr_schedule(optim, enc_lr, warmup))
 
         def label_fn(params):
             main = tuple(jax.tree.map(lambda _: "main", p) for p in params[:4])
@@ -281,17 +291,26 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
         enc_cfg = cfg.model.get("encoder", Config())
         mask_time_prob = float(enc_cfg.get("mask_time_prob", 0.0))
         mask_time_length = int(enc_cfg.get("mask_time_length", 10))
+        mask_feature_prob = float(enc_cfg.get("mask_feature_prob", 0.0))
+        mask_feature_length = int(enc_cfg.get("mask_feature_length", 10))
         lora_rank = int(enc_cfg.get("lora_rank", 0) or 0)
 
         def _spec_augment(rng_mask, wave):
-            # SpecAugment: the standard WavLM fine-tuning regularizer
-            # (learned masked_spec_embed over [B, S] spans)
-            if mask_time_prob <= 0.0:
-                return None
+            # SpecAugment: the standard WavLM fine-tuning regularizers —
+            # time spans (learned masked_spec_embed over [B, S]) + feature
+            # spans (zeroed hidden dims over [B, H], HF mask_feature_prob)
             from fddm_asr_tpu.models.wavlm import sample_time_mask
-            S = encoder.config.feat_extract_output_length(wave.shape[1])
-            return sample_time_mask(rng_mask, wave.shape[0], int(S),
-                                    mask_time_prob, mask_time_length)
+            time_mask = feat_mask = None
+            r_t, r_f = jax.random.split(rng_mask)
+            if mask_time_prob > 0.0:
+                S = encoder.config.feat_extract_output_length(wave.shape[1])
+                time_mask = sample_time_mask(r_t, wave.shape[0], int(S),
+                                             mask_time_prob, mask_time_length)
+            if mask_feature_prob > 0.0:
+                feat_mask = sample_time_mask(
+                    r_f, wave.shape[0], encoder.config.hidden_size,
+                    mask_feature_prob, mask_feature_length)
+            return time_mask, feat_mask
 
         if lora_rank > 0:
             # LoRA variant: state.encoder holds only the rank-r adapters;
@@ -307,7 +326,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                           apply_lfd: bool):
                 rng_core, rng_enc, rng_mask = jax.random.split(rng, 3)
                 t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
-                time_mask = _spec_augment(rng_mask, wave)
+                time_mask, feat_mask = _spec_augment(rng_mask, wave)
 
                 def loss_fn(params):
                     dec_p, sp_p, te_p, tp_p, lora_p = params
@@ -315,6 +334,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                     c, c_mask, _ = encoder.apply(
                         enc_p, wave, None, deterministic=False,
                         mask_time_indices=time_mask,
+                        mask_feature_indices=feat_mask,
                         rngs={"dropout": rng_enc},
                     )
                     return _losses(dec_p, sp_p, te_p, tp_p, c, c_mask, xt, x0,
@@ -332,7 +352,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
         def finetune_step(state: TrainState, wave, x0, rng, apply_lfd: bool):
             rng_core, rng_enc, rng_mask = jax.random.split(rng, 3)
             t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
-            time_mask = _spec_augment(rng_mask, wave)
+            time_mask, feat_mask = _spec_augment(rng_mask, wave)
 
             def loss_fn(params):
                 dec_p, sp_p, te_p, tp_p, enc_p = params
@@ -341,6 +361,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                 c, c_mask, _ = encoder.apply(
                     enc_p, wave, None, deterministic=False,
                     mask_time_indices=time_mask,
+                    mask_feature_indices=feat_mask,
                     rngs={"dropout": rng_enc},
                 )
                 return _losses(dec_p, sp_p, te_p, tp_p, c, c_mask, xt, x0, t,

@@ -151,3 +151,27 @@ def test_grad_norm_metric_reported(tmp_path):
                       jax.random.key(0), False)
     gn = float(metrics["grad_norm"])
     assert np.isfinite(gn) and gn > 0.0
+
+
+def test_decay_exclude_1d_masks_weight_decay():
+    """optim.decay_exclude_1d: pure-decay shrinkage applies to 2-D kernels
+    but not 1-D biases (grads zero, lr>0 so only the decay term acts)."""
+    import optax
+
+    def run(exclude):
+        cfg = Config({"optim": {"lr": 1.0, "weight_decay": 0.1,
+                                "decay_exclude_1d": exclude}})
+        tx = make_optimizer(cfg)
+        params = ({"w": jnp.ones((2, 2)), "b": jnp.ones((2,))},) * 4
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.zeros_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        p = optax.apply_updates(params, updates)
+        return p[0]
+
+    p_masked = run(True)
+    assert float(jnp.max(jnp.abs(p_masked["w"] - 1.0))) > 0  # kernel decayed
+    np.testing.assert_array_equal(np.asarray(p_masked["b"]),
+                                  np.ones(2, np.float32))    # bias untouched
+    p_full = run(False)
+    assert float(jnp.max(jnp.abs(p_full["b"] - 1.0))) > 0    # parity default

@@ -347,3 +347,36 @@ def test_run_training_finetune_e2e_with_resume(tmp_path):
                       export_pt=False)
     assert s2["epoch"] == 2
     assert np.isfinite(s2["train_loss"])
+
+
+def test_feature_mask_zeroes_hidden_dims():
+    """SpecAugment feature masks (mask_feature_indices): masked hidden dims
+    are zeroed across all time steps, and the output changes vs unmasked."""
+    from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+    import jax.numpy as jnp
+
+    cfg = WavLMConfig.tiny_for_tests()
+    model = WavLMModel(cfg)
+    wave = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3200)), jnp.float32)
+    params = model.init(jax.random.key(0), wave)
+    H = cfg.hidden_size
+    fmask = jnp.zeros((2, H), bool).at[:, :4].set(True)
+    out_m = model.apply(params, wave, mask_feature_indices=fmask,
+                        deterministic=True)
+    out_u = model.apply(params, wave, deterministic=True)
+    assert not np.allclose(np.asarray(out_m), np.asarray(out_u))
+
+
+def test_finetune_step_with_feature_masks(tmp_path):
+    """encoder.mask_feature_prob composes into the fine-tune step."""
+    cfg = _cfg(tmp_path, freeze=False,
+               encoder_extra={"mask_time_prob": 0.1, "mask_time_length": 4,
+                              "mask_feature_prob": 0.1,
+                              "mask_feature_length": 4})
+    pipeline, state, step = _setup(cfg, train_encoder=True)
+    wave, x0 = _batch()
+    state, metrics = step(state, wave, x0, jax.random.key(42), False)
+    assert np.isfinite(float(metrics["total_loss"]))
+    state, metrics = step(state, wave, x0, jax.random.key(43), False)
+    assert int(state.step) == 2
