@@ -180,11 +180,19 @@ class BatchingEngine:
             t0 = time.perf_counter()
             try:
                 # one duration bucket per batch: pad to the longest request's
-                # bucket so co-batched shorter clips share the program
+                # bucket so co-batched shorter clips share the program.
+                # The BATCH dim is also bucketed (next power of two, capped
+                # at max_batch): without it every distinct concurrency level
+                # compiles its own program — at this environment's 30-60 s
+                # remote-compile latency that is a first-request stall per
+                # level.  Pad rows carry 0.1 s of silence (never all-masked)
+                # and are sliced off below; rows are independent on device.
                 longest = max(len(r.wave) for r in batch)
                 T = -(-max(longest, 1) // self.bucket) * self.bucket
-                wave = np.zeros((len(batch), T), np.float32)
-                lengths = np.zeros((len(batch),), np.int64)
+                Bp = min(self.max_batch,
+                         1 << max(0, (len(batch) - 1).bit_length()))
+                wave = np.zeros((Bp, T), np.float32)
+                lengths = np.full((Bp,), min(1600, T), np.int64)
                 for i, r in enumerate(batch):
                     wave[i, : len(r.wave)] = r.wave
                     lengths[i] = len(r.wave)
@@ -192,7 +200,7 @@ class BatchingEngine:
                 texts_ids = self.pipeline.transcribe_with_ids(
                     wave, lengths, seq_len=self.seq_len,
                     rng=jax.random.key(self._rng_counter), **self.sampling,
-                )
+                )[: len(batch)]
                 device_s = time.perf_counter() - t0
                 now = time.perf_counter()
                 for r, (text, ids) in zip(batch, texts_ids):
@@ -208,7 +216,9 @@ class BatchingEngine:
                 with self.stats_lock:
                     self.stats["requests"] += len(batch)
                     self.stats["batches"] += 1
-                    self.stats["audio_seconds"] += float(lengths.sum()) / 16000.0
+                    # actual request audio only (not batch-pad rows)
+                    self.stats["audio_seconds"] += (
+                        sum(len(r.wave) for r in batch) / 16000.0)
                     self.stats["device_seconds"] += device_s
                     self.stats["batch_size_sum"] += len(batch)
                     self.stats["latencies_ms"].extend(
@@ -365,7 +375,33 @@ def build_server(args) -> ThreadingHTTPServer:
         make_handler(engine, echo, audio_root=getattr(args, "audio_root", None),
                      loopback_only_paths=not loopback))
     server.engine = engine  # for tests / shutdown
+    if getattr(args, "warmup_seconds", None):
+        _warmup(engine, args.warmup_seconds, args.max_batch)
     return server
+
+
+def _warmup(engine: BatchingEngine, seconds_list: str, max_batch: int) -> None:
+    """Pre-compile the hot programs before serving traffic.
+
+    For each duration bucket in the comma-separated list, runs one silent
+    batch at B=1 and one at B=max_batch (the two batch-bucket levels real
+    traffic hits first: a lone request and a saturated batcher).  With the
+    persistent compile cache this costs one remote compile per (B, T) ever;
+    without warmup the first request at each shape stalls 30-60 s."""
+    import jax
+
+    for sec in (float(s) for s in str(seconds_list).split(",") if s):
+        T = -(-int(sec * 16000) // engine.bucket) * engine.bucket
+        for B in sorted({1, max_batch}):
+            t0 = time.perf_counter()
+            wave = np.zeros((B, T), np.float32)
+            lengths = np.full((B,), min(1600, T), np.int64)
+            engine.pipeline.transcribe_with_ids(
+                wave, lengths, seq_len=engine.seq_len,
+                rng=jax.random.key(0), **engine.sampling)
+            # print: serve.py runs with an unconfigured root logger
+            print(f"warmup B={B} T={T / 16000:.0f}s: "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
 def parse_args(argv=None):
@@ -386,6 +422,11 @@ def parse_args(argv=None):
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)
     ap.add_argument("--device", default=None, help="cpu forces the CPU backend")
+    ap.add_argument("--warmup-seconds", default=None,
+                    help="comma-separated duration buckets (e.g. '5,10,20') "
+                         "to pre-compile at startup (B=1 and B=max-batch "
+                         "each) so first requests don't stall on the remote "
+                         "compile")
     ap.add_argument("--audio-root", default=None,
                     help="allowlisted directory for JSON {'path': ...} "
                          "requests; without it path mode only works on a "

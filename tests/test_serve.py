@@ -192,3 +192,49 @@ def test_long_audio_chunks_and_joins(server):
         assert obj["chunk_seconds"] == 0.4
     finally:
         srv.engine.max_samples = int(30.0 * 16000)
+
+
+def test_batch_padding_row_independence(server):
+    """The pow-of-two batch-dim padding must not alter real rows: same rng,
+    different pad-row content -> identical transcripts for rows 0-2 (device
+    rows are independent; compiled-program count is what padding buys)."""
+    import numpy as np
+    import jax
+
+    _, _, srv = server
+    eng = srv.engine
+    rng = np.random.default_rng(0)
+    real = rng.standard_normal((3, 8000)).astype(np.float32)
+
+    def run(pad_row):
+        wave = np.zeros((4, 8000), np.float32)
+        wave[:3] = real
+        wave[3] = pad_row
+        lengths = np.array([8000] * 3 + [1600], np.int64)
+        return eng.pipeline.transcribe_with_ids(
+            wave, lengths, seq_len=eng.seq_len, rng=jax.random.key(5),
+            **eng.sampling)
+
+    a = run(np.zeros(8000, np.float32))
+    b = run(rng.standard_normal(8000).astype(np.float32))
+    for (ta, ia), (tb, ib) in zip(a[:3], b[:3]):
+        assert list(ia) == list(ib) and ta == tb
+
+
+def test_non_pow2_concurrency(server):
+    """3 concurrent requests (padded device batch of 4) all succeed."""
+    base, out, srv = server
+    paths = [f"{out}/data/processed/clips/test_{i:03d}.wav" for i in range(3)]
+    results = [None] * 3
+
+    def call(i):
+        results[i] = _post(base + "/v1/transcribe",
+                           json.dumps({"path": paths[i]}).encode(),
+                           "application/json")
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None and r[0] == 200 for r in results), results
