@@ -169,7 +169,10 @@ def evaluate_cer_with_multi_sample(
     voting="first" reproduces the reference (its voting is stubbed to take
     sample 0, reference 436-438); voting="majority" implements per-position
     token-id majority over the N samples — the aggregation the reference's
-    comment promises.
+    comment promises; voting="logprob" picks, per utterance, the whole
+    sample the model itself scores highest (sum of log p_x0 at the chosen
+    tokens) — best-of-N by model confidence, which unlike "majority" can
+    never splice tokens from different samples into an inconsistent mix.
     """
     # the reference's multi-sample evaluator uses DIFFERENT fallback defaults
     # than the other eval fns when cfg.inference omits keys: r=2 and
@@ -188,17 +191,26 @@ def evaluate_cer_with_multi_sample(
     for batch in batches:
         c, c_mask = pipeline.encode_waveform(batch.wave, batch.wave_lengths)
         L = batch.tokens.shape[1]
-        preds = []
+        preds, scores = [], []
         for _ in range(num_samples):
             rng, step_rng = jax.random.split(rng)
-            x_pred, _ = pipeline.sample(step_rng, c, seq_len=L, c_mask=c_mask, **sc)
-            preds.append(x_pred)
+            x_pred, p_x0 = pipeline.sample(step_rng, c, seq_len=L, c_mask=c_mask, **sc)
+            preds.append(np.asarray(x_pred))
+            if voting == "logprob":
+                p = np.take_along_axis(
+                    np.asarray(p_x0), np.asarray(x_pred)[..., None], axis=-1
+                )[..., 0]                                        # [B, L]
+                scores.append(np.log(np.maximum(p, 1e-20)).sum(axis=-1))
         if voting == "majority":
-            stacked = np.stack([np.asarray(p) for p in preds])  # [N, B, L]
+            stacked = np.stack(preds)                            # [N, B, L]
             def _mode(col):
                 vals, counts = np.unique(col, return_counts=True)
                 return vals[np.argmax(counts)]
             chosen = np.apply_along_axis(_mode, 0, stacked)
+        elif voting == "logprob":
+            stacked = np.stack(preds)                            # [N, B, L]
+            best = np.argmax(np.stack(scores), axis=0)           # [B]
+            chosen = stacked[best, np.arange(stacked.shape[1])]
         else:
             chosen = preds[0]
         hyps = [pipeline.ids_to_text(chosen[i]) for i in range(chosen.shape[0])]

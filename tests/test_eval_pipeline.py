@@ -77,7 +77,7 @@ def test_evaluate_wer(tiny):
     assert np.isfinite(wer) and wer >= 0
 
 
-@pytest.mark.parametrize("voting", ["first", "majority"])
+@pytest.mark.parametrize("voting", ["first", "majority", "logprob"])
 def test_evaluate_multi_sample(tiny, voting):
     cfg, pipeline, ds = tiny
     cer = E.evaluate_cer_with_multi_sample(
