@@ -280,7 +280,16 @@ def save_reference_checkpoint(
     import torch
 
     def to_torch(sd):
-        return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+        # The reference .pt contract stores f32; ml_dtypes bfloat16 (e.g.
+        # optim.ema_dtype: bfloat16 EMA weights) has no torch.from_numpy
+        # mapping, so upcast any non-native float dtype here.
+        def cvt(v):
+            v = np.ascontiguousarray(v)
+            if v.dtype.kind not in "fiub?c":
+                v = v.astype(np.float32)
+            return torch.from_numpy(v)
+
+        return {k: cvt(v) for k, v in sd.items()}
 
     ckpt: Dict[str, Any] = {
         "decoder": to_torch(decoder_state_dict_from_params(decoder_params, pos_emb_type)),

@@ -242,3 +242,29 @@ def test_resume_pre_ema_checkpoint_with_ema_enabled(tmp_path):
     summary = run_training(Config(raw2), raw_cfg=raw2, resume=ck)
     assert summary["epoch"] == 2
     assert np.isfinite(summary["train_loss"])
+
+
+def test_bf16_ema_and_mu_dtype(tmp_path):
+    """optim.ema_dtype/adam_mu_dtype: bfloat16 — training runs, EMA leaves
+    are bf16, Adam mu leaves are bf16, and eval/export still work."""
+    from fddm_asr_tpu.train_lib import run_training
+    from fddm_asr_tpu import checkpoint as C
+
+    raw = _synth_cfg(tmp_path, ema_decay=0.9, ema_dtype="bfloat16",
+                     adam_mu_dtype="bfloat16")
+    raw["log"]["ckpt_dir"] = str(tmp_path / "ck_bf16")
+    summary = run_training(Config(raw), raw_cfg=raw, export_pt=False)
+    assert np.isfinite(summary["train_loss"])
+    st = C.load_orbax(os.path.join(raw["log"]["ckpt_dir"], "ep001.orbax"))["state"]
+    ema_leaves = [np.asarray(x) for x in jax.tree.leaves(st["ema"])]
+    assert all(l.dtype == np.dtype("bfloat16") or not
+               np.issubdtype(l.dtype, np.floating) for l in ema_leaves)
+    # raw weights stay f32
+    assert all(np.asarray(x).dtype == np.float32
+               for x in jax.tree.leaves(st["decoder"]))
+    # Adam state: mu leaves went bf16, nu leaves stayed f32 — so the
+    # restored opt_state must contain BOTH float dtypes.  (No issubdtype
+    # filter: ml_dtypes' bfloat16 is NOT a subtype of np.floating.)
+    opt_dtypes = {np.asarray(x).dtype for x in jax.tree.leaves(st["opt_state"])}
+    assert np.dtype("bfloat16") in opt_dtypes
+    assert np.dtype("float32") in opt_dtypes
