@@ -372,6 +372,11 @@ class GatedRelPosAttention(nn.Module):
     has_relative_position_bias: bool
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    # Sequence-parallel hook: called with the UNFUSED attention inputs
+    # (q/k/v [B,L,H,dh], pos_bias [H,L,L], gate [B,H,L], key_mask [B,L])
+    # BEFORE any [B,H,L,L] bias materialisation — the contract
+    # ops/ring_attention.ring_gated_attention needs to shard the frame axis.
+    gated_attention_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(
@@ -417,7 +422,13 @@ class GatedRelPosAttention(nn.Module):
         k = _dense(cfg, cfg.hidden_size, self.dtype, "k_proj")(x)
         v = _dense(cfg, cfg.hidden_size, self.dtype, "v_proj")(x)
 
-        if cfg.fused_attention and deterministic:
+        if self.gated_attention_fn is not None:
+            out = self.gated_attention_fn(
+                q.reshape(B, L, H, dh), k.reshape(B, L, H, dh),
+                v.reshape(B, L, H, dh), position_bias, gate_out, key_mask,
+            )
+            out = out.reshape(B, L, cfg.hidden_size)
+        elif cfg.fused_attention and deterministic:
             # head-PACKED kernel: q/k/v go in (and come out) exactly as the
             # Dense projections produce them — no [B,H,L,dh] relayout copies
             from fddm_asr_tpu.ops.flash_attention import (
@@ -481,6 +492,7 @@ class EncoderLayerStableLN(nn.Module):
     has_relative_position_bias: bool
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    gated_attention_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, key_mask, position_bias, deterministic: bool = True):
@@ -489,7 +501,8 @@ class EncoderLayerStableLN(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         h, position_bias = GatedRelPosAttention(
             cfg, self.has_relative_position_bias, self.dtype,
-            attention_fn=self.attention_fn, name="attention",
+            attention_fn=self.attention_fn,
+            gated_attention_fn=self.gated_attention_fn, name="attention",
         )(h, key_mask, position_bias, deterministic)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
         x = residual + h
@@ -505,6 +518,7 @@ class EncoderLayerPostLN(nn.Module):
     has_relative_position_bias: bool
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    gated_attention_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, key_mask, position_bias, deterministic: bool = True):
@@ -512,7 +526,8 @@ class EncoderLayerPostLN(nn.Module):
         residual = x
         h, position_bias = GatedRelPosAttention(
             cfg, self.has_relative_position_bias, self.dtype,
-            attention_fn=self.attention_fn, name="attention",
+            attention_fn=self.attention_fn,
+            gated_attention_fn=self.gated_attention_fn, name="attention",
         )(x, key_mask, position_bias, deterministic)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(residual + h)
@@ -528,6 +543,7 @@ class _ScanLayerBody(nn.Module):
     deterministic: bool
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    gated_attention_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, key_mask, position_bias):
@@ -535,7 +551,8 @@ class _ScanLayerBody(nn.Module):
         layer_cls = EncoderLayerStableLN if cfg.do_stable_layer_norm else EncoderLayerPostLN
         x, _ = layer_cls(
             cfg, has_relative_position_bias=False, dtype=self.dtype,
-            attention_fn=self.attention_fn, name="layer",
+            attention_fn=self.attention_fn,
+            gated_attention_fn=self.gated_attention_fn, name="layer",
         )(x, key_mask, position_bias, self.deterministic)
         return x, None
 
@@ -544,6 +561,7 @@ class Encoder(nn.Module):
     config: WavLMConfig
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    gated_attention_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, key_mask=None, deterministic: bool = True):
@@ -568,7 +586,8 @@ class Encoder(nn.Module):
         layer_cls = EncoderLayerStableLN if cfg.do_stable_layer_norm else EncoderLayerPostLN
         x, position_bias = layer_cls(
             cfg, has_relative_position_bias=True, dtype=self.dtype,
-            attention_fn=self.attention_fn, name="layers_0",
+            attention_fn=self.attention_fn,
+            gated_attention_fn=self.gated_attention_fn, name="layers_0",
         )(x, key_mask, None, deterministic)
 
         n_rest = cfg.num_hidden_layers - 1
@@ -595,7 +614,8 @@ class Encoder(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=n_rest,
-            )(cfg, deterministic, self.dtype, self.attention_fn, name="layers_scan")
+            )(cfg, deterministic, self.dtype, self.attention_fn,
+              self.gated_attention_fn, name="layers_scan")
             x, _ = scanned(x, key_mask, position_bias)
         else:
             if cfg.remat_layers and n_rest > 0:
@@ -606,7 +626,9 @@ class Encoder(nn.Module):
             for i in range(1, cfg.num_hidden_layers):
                 x, position_bias = layer_cls(
                     cfg, has_relative_position_bias=False, dtype=self.dtype,
-                    attention_fn=self.attention_fn, name=f"layers_{i}",
+                    attention_fn=self.attention_fn,
+                    gated_attention_fn=self.gated_attention_fn,
+                    name=f"layers_{i}",
                 )(x, key_mask, position_bias, deterministic)
         if cfg.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
@@ -644,6 +666,9 @@ class WavLMModel(nn.Module):
     config: WavLMConfig
     dtype: Dtype = jnp.float32
     attention_fn: Optional[Callable] = None
+    # Sequence-parallel attention hook (ops/ring_attention): receives
+    # unfused q/k/v/pos_bias/gate/key_mask in every layer.
+    gated_attention_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(
@@ -687,7 +712,8 @@ class WavLMModel(nn.Module):
             # SpecAugment feature masks (HF mask_feature_prob): the masked
             # hidden dims are zeroed across ALL time steps of the row
             x = jnp.where(mask_feature_indices[:, None, :], 0.0, x)
-        x = Encoder(cfg, self.dtype, attention_fn=self.attention_fn, name="encoder")(
+        x = Encoder(cfg, self.dtype, attention_fn=self.attention_fn,
+                    gated_attention_fn=self.gated_attention_fn, name="encoder")(
             x, feat_mask, deterministic
         )
         return x

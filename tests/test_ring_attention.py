@@ -1,0 +1,123 @@
+# -*- coding: utf-8 -*-
+"""Sequence-parallel ring attention vs the single-device XLA reference.
+
+The SP/CP completion of SURVEY §2.2 (the reference has no parallelism;
+round 1 deferred sequence sharding to chunked inference).  Contract:
+`ring_gated_attention` over an N-way ring produces the same output as
+`wavlm_gated_attention_xla` on the unsharded arrays — including key-padding
+masks, bf16 inputs, and composition with data parallelism on a 2-D mesh.
+Runs on the 8-device virtual CPU platform (conftest.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fddm_asr_tpu.ops.flash_attention import wavlm_gated_attention_xla
+from fddm_asr_tpu.ops.ring_attention import ring_gated_attention
+
+
+def _mk(B, L, H, dh, dtype, masked, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, L, H, dh)).astype(dtype)
+    k = rng.standard_normal((B, L, H, dh)).astype(dtype)
+    v = rng.standard_normal((B, L, H, dh)).astype(dtype)
+    bias = (0.5 * rng.standard_normal((H, L, L))).astype(dtype)
+    gate = rng.uniform(0.5, 2.0, (B, H, L)).astype(dtype)
+    if masked:
+        lens = rng.integers(L // 2, L + 1, size=B)
+        mask = np.arange(L)[None, :] < lens[:, None]
+    else:
+        mask = np.ones((B, L), bool)
+    return map(jnp.asarray, (q, k, v, bias, gate, mask))
+
+
+def _seq_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]).reshape(1, n), ("data", "model"))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("ring", [2, 4, 8])
+def test_ring_matches_xla(ring, masked):
+    B, L, H, dh = 2, 64, 4, 16
+    q, k, v, bias, gate, mask = _mk(B, L, H, dh, np.float32, masked)
+    want = wavlm_gated_attention_xla(q, k, v, bias, gate, mask)
+    mesh = _seq_mesh(ring)
+    got = ring_gated_attention(
+        q, k, v, bias, gate, mask, mesh=mesh, axis="model", batch_axis=None
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_bf16():
+    B, L, H, dh = 2, 64, 4, 16
+    q, k, v, bias, gate, mask = _mk(B, L, H, dh, np.float32, True, seed=1)
+    cast = lambda x: x.astype(jnp.bfloat16)
+    want = wavlm_gated_attention_xla(cast(q), cast(k), cast(v),
+                                     cast(bias), cast(gate), mask)
+    got = ring_gated_attention(
+        cast(q), cast(k), cast(v), cast(bias), cast(gate), mask,
+        mesh=_seq_mesh(4), axis="model", batch_axis=None,
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_ring_composes_with_dp():
+    """dp x sp on a 2x4 mesh: batch sharded on 'data', frames on 'model'."""
+    B, L, H, dh = 4, 32, 2, 8
+    q, k, v, bias, gate, mask = _mk(B, L, H, dh, np.float32, True, seed=2)
+    want = wavlm_gated_attention_xla(q, k, v, bias, gate, mask)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+    spec = NamedSharding(mesh, P("data", "model", None, None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    got = ring_gated_attention(qs, ks, vs, bias, gate, mask,
+                               mesh=mesh, axis="model", batch_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # the output really is sequence-sharded (no hidden all-gather to host)
+    shard_shapes = {s.data.shape for s in got.addressable_shards}
+    assert shard_shapes == {(B // 2, L // 4, H, dh)}
+
+
+def test_wavlm_forward_with_ring_attention():
+    """Full WavLM forward with the gated_attention_fn hook bound to the ring
+    op reproduces the single-device forward (same params, same waveform)."""
+    import dataclasses
+    import functools
+
+    from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    cfg = dataclasses.replace(WavLMConfig.tiny_for_tests(), seq_pad_multiple=8)
+    rng = jax.random.PRNGKey(0)
+    wave = jax.random.normal(jax.random.PRNGKey(1), (2, 3200))
+    params = WavLMModel(cfg).init(rng, wave)
+    want = WavLMModel(cfg).apply(params, wave)
+
+    ring_fn = functools.partial(
+        ring_gated_attention, mesh=_seq_mesh(4), axis="model", batch_axis=None
+    )
+    got = WavLMModel(cfg, gated_attention_fn=ring_fn).apply(params, wave)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ring_fully_masked_row_matches_xla():
+    """A batch row whose keys are ALL masked degrades to the uniform-average
+    semantics of the XLA softmax (scores pinned at float32-min)."""
+    B, L, H, dh = 2, 32, 2, 8
+    q, k, v, bias, gate, _ = _mk(B, L, H, dh, np.float32, False, seed=3)
+    mask = np.ones((B, L), bool)
+    mask[1, :] = False
+    mask = jnp.asarray(mask)
+    want = wavlm_gated_attention_xla(q, k, v, bias, gate, mask)
+    got = ring_gated_attention(q, k, v, bias, gate, mask,
+                               mesh=_seq_mesh(4), axis="model", batch_axis=None)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
