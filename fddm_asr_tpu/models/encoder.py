@@ -49,6 +49,9 @@ class AcousticEncoder(nn.Module):
     freeze: bool = True
     dtype: Dtype = jnp.float32
     attention_fn: Any = None
+    # sequence-parallel attention hook (ops/ring_attention) — forwarded to
+    # WavLMModel; shards the frame axis across a mesh axis
+    gated_attention_fn: Any = None
 
     @nn.compact
     def __call__(
@@ -65,7 +68,8 @@ class AcousticEncoder(nn.Module):
             attention_mask = jnp.arange(T)[None, :] < lengths[:, None]
 
         feats = WavLMModel(
-            self.config, self.dtype, attention_fn=self.attention_fn, name="backbone"
+            self.config, self.dtype, attention_fn=self.attention_fn,
+            gated_attention_fn=self.gated_attention_fn, name="backbone"
         )(waveforms, attention_mask=attention_mask,
           mask_time_indices=mask_time_indices,
           mask_feature_indices=mask_feature_indices,

@@ -251,7 +251,7 @@ class FDDMPipeline:
         return pipeline
 
     # --------------------------------------------------------- multi-device
-    def apply_mesh(self, mesh) -> "FDDMPipeline":
+    def apply_mesh(self, mesh, seq_parallel: bool = False) -> "FDDMPipeline":
         """Shard the pipeline over a jax Mesh for multi-chip inference.
 
         Params are placed by the dp/tp PartitionSpec rules
@@ -260,12 +260,40 @@ class FDDMPipeline:
         partitions the programs and inserts the ICI collectives — the same
         code path serves one chip (trivial 1x1 mesh) and a pod slice.
         Batch sizes must be divisible by the data-axis size.
+
+        seq_parallel=True additionally shards the ENCODER FRAME AXIS across
+        the "model" mesh axis with ring attention (ops/ring_attention) —
+        long-audio inference where one utterance's attention spans chips.
+        The encoder's seq_pad_multiple is rounded up so padded frame counts
+        always divide the ring.
         """
+        import dataclasses
+        import functools
+        import math
+
         from fddm_asr_tpu.parallel import decoder_param_spec, shard_pytree
 
         self.mesh = mesh
         self.decoder_params = shard_pytree(self.decoder_params, mesh, decoder_param_spec)
         self.encoder_params = shard_pytree(self.encoder_params, mesh, decoder_param_spec)
+        ring = int(mesh.shape.get("model", 1))
+        if seq_parallel and ring > 1:
+            from fddm_asr_tpu.ops.ring_attention import ring_gated_attention
+
+            wcfg = self.encoder.config
+            spm = math.lcm(max(int(wcfg.seq_pad_multiple), 1), ring)
+            self.encoder = dataclasses.replace(
+                self.encoder,
+                config=dataclasses.replace(wcfg, seq_pad_multiple=spm),
+                gated_attention_fn=functools.partial(
+                    ring_gated_attention, mesh=mesh, axis="model",
+                    batch_axis="data",
+                ),
+            )
+            # _encode traces read self.encoder at call time but jit caches by
+            # arg signature — drop any pre-mesh traces so the ring path is
+            # what compiles
+            self._encode_jit = jax.jit(self._encode)
         return self
 
     def _shard_batch(self, x):

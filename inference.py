@@ -65,6 +65,11 @@ def parse_args(argv=None):
                         "data=8,model=1 — shards the batch on the data axis "
                         "and the decoder by the tp rules; --batch-size must "
                         "be divisible by the data-axis size")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="with --mesh model=N>1: additionally shard the "
+                        "ENCODER FRAME AXIS across the model axis with ring "
+                        "attention (one long utterance's attention spans "
+                        "chips; see fddm_asr_tpu/ops/ring_attention.py)")
     p.add_argument("--bucket-seconds", type=float, default=1.0,
                    help="CSV mode: round each batch's padded audio length up "
                         "to a multiple of this many seconds, and pad the last "
@@ -257,7 +262,8 @@ def main(argv=None):
         from train import parse_mesh
         from fddm_asr_tpu.parallel import make_mesh
 
-        pipeline.apply_mesh(make_mesh(parse_mesh(args.mesh)))
+        pipeline.apply_mesh(make_mesh(parse_mesh(args.mesh)),
+                            seq_parallel=args.seq_parallel)
     if args.condition_mask == "auto":
         pipeline.use_condition_mask = bool(args.csv) and args.batch_size > 1
     else:
