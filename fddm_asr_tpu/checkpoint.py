@@ -23,6 +23,7 @@ import numpy as np
 
 __all__ = [
     "save_orbax",
+    "wait_for_saves",
     "load_orbax",
     "load_checkpoint_any",
     "export_reference_ckpt",
@@ -61,12 +62,40 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def save_orbax(path: str, tree: Dict[str, Any]) -> None:
-    """Synchronous orbax save of a pytree (numpy/jax leaves)."""
-    ckptr = _checkpointer()
+# One persistent AsyncCheckpointer for the process: orbax serializes
+# consecutive saves from the same instance (a new save waits for the
+# previous commit), so interleaved best_model/epoch saves can't collide.
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = _checkpointer()
+    return _ASYNC_CKPTR
+
+
+def save_orbax(path: str, tree: Dict[str, Any], asynchronous: bool = False) -> None:
+    """Orbax save of a pytree (numpy/jax leaves).
+
+    asynchronous=True returns once the tree is staged and lets the disk
+    serialization run in orbax's background thread (the commit is an atomic
+    rename, so readers never see a partial checkpoint).  Call
+    `wait_for_saves()` before depending on the files existing — the training
+    loop does so at exit.  Default is a blocking save.
+    """
+    ckptr = _async_checkpointer() if asynchronous else _checkpointer()
     path = os.path.abspath(path)
     ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
+    if not asynchronous:
+        ckptr.wait_until_finished()
+
+
+def wait_for_saves() -> None:
+    """Block until every `save_orbax(..., asynchronous=True)` has committed
+    (and surface any background save error).  No-op if none are pending."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_orbax(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:

@@ -35,6 +35,7 @@ import dataclasses
 import functools
 import logging
 import os
+import sys
 import time
 from datetime import datetime
 from typing import Any, Dict, Iterable, Optional, Tuple
@@ -456,6 +457,20 @@ def run_training(
             export_pt=export_pt, eval_every=eval_every,
         )
     finally:
+        # flush any in-flight async checkpoint writes (log.async_checkpoint)
+        # even on a mid-training exception — a preempted run must still find
+        # its last committed checkpoint on restart.  When a training error is
+        # already propagating, a flush failure is logged instead of raised so
+        # it cannot mask the original exception.
+        from fddm_asr_tpu import checkpoint as C
+
+        if sys.exc_info()[0] is None:
+            C.wait_for_saves()
+        else:
+            try:
+                C.wait_for_saves()
+            except Exception:
+                logging.exception("async checkpoint flush failed")
         guard_ctx.__exit__(None, None, None)
         profiler_ctx.__exit__(None, None, None)
 
@@ -517,6 +532,10 @@ def _run_training_impl(
     ckpt_meta = ({"lora_rank": lora_rank,
                   "lora_alpha": float(enc_cfg.get("lora_alpha", lora_rank))}
                  if lora_rank > 0 else {})
+    # log.async_checkpoint: overlap orbax disk serialization with the next
+    # epoch (the host copy of the state is still taken synchronously; the
+    # commit is an atomic rename and run_training flushes at exit)
+    async_ckpt = bool(cfg.log.get("async_checkpoint", False))
     tx = make_optimizer(cfg, train_encoder=train_encoder)
     params0 = (pipeline.decoder_params, s_proj_p, t_embed_p, t_proj_p)
     if train_encoder:
@@ -794,7 +813,7 @@ def _run_training_impl(
                     _save_ckpt(
                         os.path.join(ckpt_dir, "best_model"), state, epoch, raw_cfg,
                         best_val_cer, export_pt, ema_export=ema_eval,
-                        extra_meta=ckpt_meta,
+                        extra_meta=ckpt_meta, asynchronous=async_ckpt,
                     )
                     # fine-tuned runs: the .pt format (reference schema) has
                     # no encoder slot — point users at the COMPLETE artifact
@@ -824,7 +843,8 @@ def _run_training_impl(
 
             _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state, epoch, raw_cfg,
                        best_val_cer if best_val_cer != float("inf") else None,
-                       export_pt, ema_export=ema_eval, extra_meta=ckpt_meta)
+                       export_pt, ema_export=ema_eval, extra_meta=ckpt_meta,
+                       asynchronous=async_ckpt)
             summary = {
                 "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
                 "val_cer": val_cer, "test_cer": test_cer,
@@ -875,20 +895,23 @@ def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
 
 def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer,
                export_pt: bool, ema_export: bool = False,
-               extra_meta: Optional[Dict[str, Any]] = None):
+               extra_meta: Optional[Dict[str, Any]] = None,
+               asynchronous: bool = False):
     from fddm_asr_tpu import checkpoint as C
 
     if not dist.is_primary():
         # multi-host: non-primary processes skip host-side artifact writes
         # (every host holds identical metrics; the files would collide)
         return
+    # the host copy is taken HERE (synchronously) so an async disk write can
+    # never race the next step's donated device buffers
     host_state = jax.tree.map(lambda x: np.asarray(x), state)
     # best_val_cer rides along so --resume restores the best-checkpoint bar
     # (inf when no best exists yet)
     C.save_orbax(prefix + ".orbax", {
         "state": host_state, "epoch": epoch,
         "best_val_cer": float("inf") if best_val_cer is None else float(best_val_cer),
-    })
+    }, asynchronous=asynchronous)
     # sidecar: run metadata the LOADER needs but the orbax tree can't grow
     # without breaking restore templates (checkpoint.save_ckpt_meta)
     meta = {"epoch": epoch, "ema_eval": bool(ema_export),

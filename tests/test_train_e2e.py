@@ -261,6 +261,37 @@ def test_validate_quant_harness(trained, capsys):
     assert "cer_fp" in report and "cer_int8" in report
 
 
+def test_async_checkpointing(synth, tmp_path):
+    """log.async_checkpoint: true — saves overlap training, run_training
+    flushes at exit, artifacts are loadable, and the trained state is
+    identical to a synchronous-save run (the save mode must not touch
+    training)."""
+    import jax
+    import numpy as np
+
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+    from fddm_asr_tpu import checkpoint as C
+
+    def run(async_on, ckdir):
+        raw = load_yaml(f"{synth}/config.yaml")
+        raw["optim"].update(num_epochs=1, batch_size=8)
+        raw["log"]["ckpt_dir"] = str(ckdir)
+        raw["log"]["async_checkpoint"] = async_on
+        return run_training(Config(raw), raw_cfg=raw, export_pt=False)
+
+    s_async = run(True, tmp_path / "ck_async")
+    s_sync = run(False, tmp_path / "ck_sync")
+    assert s_async["train_loss"] == s_sync["train_loss"]
+
+    # files committed by the time run_training returned (exit flush)
+    a = C.load_orbax(str(tmp_path / "ck_async" / "ep001.orbax"))
+    b = C.load_orbax(str(tmp_path / "ck_sync" / "ep001.orbax"))
+    for x, y in zip(jax.tree.leaves(a["state"]["decoder"]),
+                    jax.tree.leaves(b["state"]["decoder"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_cer_metrics():
     from fddm_asr_tpu.eval import calculate_cer, calculate_wer
 
