@@ -575,6 +575,23 @@ def _run_training_impl(
 
     ckpt_dir = os.path.abspath(cfg.log.get("ckpt_dir", "ckpts/run"))
     os.makedirs(ckpt_dir, exist_ok=True)
+    # log.metrics_jsonl: machine-readable training telemetry — one JSON line
+    # per logged step ("kind": "step") and per epoch ("kind": "epoch").
+    # true -> <ckpt_dir>/metrics.jsonl; any string -> that path.  Lines are
+    # appended with one open/write/close per record (log-step frequency), so
+    # a crash never loses buffered records and --resume simply appends.
+    metrics_path = cfg.log.get("metrics_jsonl")
+    if metrics_path is True:
+        metrics_path = os.path.join(ckpt_dir, "metrics.jsonl")
+
+    def emit_metrics(**record):
+        if not metrics_path or not dist.is_primary():
+            return
+        import json
+
+        record["ts"] = time.time()
+        with open(metrics_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
     start_epoch = 1
     resumed_best_cer = float("inf")
     if resume:
@@ -719,6 +736,8 @@ def _run_training_impl(
         # survives --resume: without this the first post-resume epoch would
         # overwrite best_model.* even when worse than the pre-resume best
         best_val_cer, best_epoch = resumed_best_cer, 0
+        early_stop_patience = int(cfg.optim.get("early_stop_patience", 0) or 0)
+        evals_since_best = 0
         global_step = int(state.step) + 1
         summary: Dict[str, Any] = {}
         timer = StepTimer(skip=2)
@@ -778,6 +797,18 @@ def _run_training_impl(
                     if timer.seconds_per_step:
                         parts.append(f"examples_per_s={timer.throughput(batch_size):.1f}")
                     logging.info(" ".join(parts))
+                    emit_metrics(
+                        kind="step", step=global_step, epoch=epoch,
+                        total_loss=total,
+                        loss_diff=float(metrics["loss_diff"]),
+                        **({"loss_fd": float(metrics["loss_fd"]),
+                            "w_t": float(metrics["w_t"])}
+                           if "loss_fd" in metrics else {}),
+                        **({"grad_norm": float(metrics["grad_norm"])}
+                           if "grad_norm" in metrics else {}),
+                        **({"examples_per_s": timer.throughput(batch_size)}
+                           if timer.seconds_per_step else {}),
+                    )
                 global_step += 1
             train_loss = (float(loss_sum) / step_cnt) if step_cnt else 0.0
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
@@ -851,6 +882,23 @@ def _run_training_impl(
                 "best_val_cer": best_val_cer, "best_epoch": best_epoch,
                 "epoch_seconds": time.time() - t0,
             }
+            emit_metrics(kind="epoch", **{
+                k: (None if v is None or v == float("inf") else v)
+                for k, v in summary.items()})
+
+            # optim.early_stop_patience: stop after N consecutive evals
+            # without a new best val CER (0/absent = run all epochs —
+            # reference behavior)
+            if val_cer is not None:
+                evals_since_best = (0 if epoch == best_epoch
+                                    else evals_since_best + 1)
+                if 0 < early_stop_patience <= evals_since_best:
+                    logging.info(
+                        f"Early stopping at epoch {epoch}: no val CER "
+                        f"improvement in {evals_since_best} evals "
+                        f"(best {best_val_cer:.4f} @ epoch {best_epoch})")
+                    summary["early_stopped"] = True
+                    break
 
     logging.info("=" * 50)
     logging.info("TRAINING COMPLETED!")

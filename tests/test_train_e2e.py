@@ -292,6 +292,35 @@ def test_async_checkpointing(synth, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_metrics_jsonl_and_early_stopping(synth, tmp_path):
+    """log.metrics_jsonl streams machine-readable step/epoch records;
+    optim.early_stop_patience halts after N evals without a new best CER
+    (lr=0 pins the model, so epoch 1 is the only best)."""
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    raw = load_yaml(f"{synth}/config.yaml")
+    raw["optim"].update(num_epochs=5, batch_size=8, lr=0.0,
+                        early_stop_patience=1)
+    raw["log"].update(ckpt_dir=str(tmp_path / "ck"), log_every=1,
+                      metrics_jsonl=True)
+    summary = run_training(Config(raw), raw_cfg=raw, export_pt=False)
+
+    assert summary.get("early_stopped") is True
+    assert summary["epoch"] == 2           # eval1 = best, eval2 = stop
+    assert summary["best_epoch"] == 1
+
+    lines = [json.loads(l) for l in
+             open(tmp_path / "ck" / "metrics.jsonl", encoding="utf-8")]
+    kinds = {l["kind"] for l in lines}
+    assert kinds == {"step", "epoch"}
+    steps = [l for l in lines if l["kind"] == "step"]
+    epochs = [l for l in lines if l["kind"] == "epoch"]
+    assert len(epochs) == 2 and epochs[-1]["epoch"] == 2
+    assert all(np.isfinite(s["total_loss"]) for s in steps)
+    assert all("ts" in l for l in lines)
+
+
 def test_cer_metrics():
     from fddm_asr_tpu.eval import calculate_cer, calculate_wer
 
