@@ -69,11 +69,20 @@ class BatchingEngine:
 
     def __init__(self, pipeline, sampling: dict, seq_len: int,
                  max_batch: int = 16, max_wait_ms: float = 20.0,
-                 bucket_seconds: float = 1.0, max_seconds: float = 30.0):
+                 bucket_seconds: float = 1.0, max_seconds: float = 30.0,
+                 batch_multiple: int = 1):
         self.pipeline = pipeline
         self.sampling = sampling
         self.seq_len = seq_len
         self.max_batch = max_batch
+        # device-mesh data-axis divisibility: batch buckets are rounded up
+        # to this (a power of two — mesh axes are), so sharded batches
+        # always split evenly across the data axis
+        self.batch_multiple = max(1, batch_multiple)
+        if max_batch % self.batch_multiple:
+            raise ValueError(
+                f"--max-batch {max_batch} must be a multiple of the mesh "
+                f"data-axis size {self.batch_multiple}")
         self.max_wait_s = max_wait_ms / 1e3
         self.bucket = int(bucket_seconds * 16000)
         self.max_samples = int(max_seconds * 16000)
@@ -190,7 +199,8 @@ class BatchingEngine:
                 longest = max(len(r.wave) for r in batch)
                 T = -(-max(longest, 1) // self.bucket) * self.bucket
                 Bp = min(self.max_batch,
-                         1 << max(0, (len(batch) - 1).bit_length()))
+                         max(self.batch_multiple,
+                             1 << max(0, (len(batch) - 1).bit_length())))
                 wave = np.zeros((Bp, T), np.float32)
                 lengths = np.full((Bp,), min(1600, T), np.int64)
                 for i, r in enumerate(batch):
@@ -353,6 +363,14 @@ def build_server(args) -> ThreadingHTTPServer:
         cfg, ckpt_path=args.ckpt, tokenizer=tokenizer,
         use_condition_mask=True,  # bucket padding must not alter transcripts
     )
+    data_ways = 1
+    if getattr(args, "mesh", ""):
+        from train import parse_mesh
+        from fddm_asr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(parse_mesh(args.mesh))
+        pipeline.apply_mesh(mesh, seq_parallel=getattr(args, "seq_parallel", False))
+        data_ways = int(mesh.shape.get("data", 1))
     inf = cfg.get("inference", {})
     sampling = {
         "T_infer": args.T_infer or inf.get("T_infer", 20),
@@ -366,6 +384,7 @@ def build_server(args) -> ThreadingHTTPServer:
         pipeline, sampling, seq_len,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         bucket_seconds=args.bucket_seconds, max_seconds=args.max_seconds,
+        batch_multiple=data_ways,
     )
     echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
             "max_batch": args.max_batch}
@@ -421,6 +440,13 @@ def parse_args(argv=None):
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)
+    ap.add_argument("--mesh", default="",
+                    help="device-mesh spec for multi-chip serving, e.g. "
+                         "data=4,model=2 — batch buckets round up to the "
+                         "data-axis size (must divide --max-batch)")
+    ap.add_argument("--seq-parallel", action="store_true",
+                    help="with --mesh model=N>1: ring-attention sequence "
+                         "parallelism in the encoder (see inference.py)")
     ap.add_argument("--device", default=None, help="cpu forces the CPU backend")
     ap.add_argument("--warmup-seconds", default=None,
                     help="comma-separated duration buckets (e.g. '5,10,20') "

@@ -238,3 +238,49 @@ def test_non_pow2_concurrency(server):
     for t in threads:
         t.join(timeout=600)
     assert all(r is not None and r[0] == 200 for r in results), results
+
+
+def test_serve_with_mesh_seq_parallel(server):
+    """--mesh data=2,model=4 --seq-parallel: a sharded serving engine
+    (batch buckets rounded up to the data axis) returns the same greedy
+    transcript as a data-parallel-only server.  Both servers are FRESH so
+    their engines issue the same rng key to the same padded batch shape
+    (Bp=2 via batch_multiple) — sharding must then be numerics-preserving.
+    """
+    import serve
+
+    _, out, _ = server
+    wav_path = f"{out}/data/processed/clips/test_000.wav"
+
+    def run_once(mesh_args):
+        args = serve.parse_args([
+            "--config", f"{out}/config.yaml",
+            "--ckpt", f"{out}/ckpts/best_model.orbax",
+            "--port", "0", "--max-batch", "4", "--max-wait-ms", "50",
+        ] + mesh_args)
+        srv2 = serve.build_server(args)
+        t = threading.Thread(target=srv2.serve_forever, daemon=True)
+        t.start()
+        try:
+            base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+            code, obj = _post(base2 + "/v1/transcribe",
+                              json.dumps({"path": wav_path}).encode(),
+                              "application/json")
+            assert code == 200, obj
+            _, stats = _get(base2 + "/stats")
+            assert stats["batches"] >= 1
+            return obj
+        finally:
+            srv2.shutdown()
+            srv2.engine.shutdown()
+
+    want = run_once(["--mesh", "data=2,model=1"])
+    got = run_once(["--mesh", "data=2,model=4", "--seq-parallel"])
+    assert got["ids"] == want["ids"]
+
+
+def test_batch_multiple_must_divide_max_batch():
+    import serve
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        serve.BatchingEngine(None, {}, 8, max_batch=6, batch_multiple=4)
