@@ -224,3 +224,24 @@ def test_sweep_real_run(tmp_path, capsys):
     summary = json.load(open(tmp_path / "sw/summary.json"))
     assert len(summary) == 1
     assert "val_cer" in summary[0] and summary[0]["trial"] == 0
+
+
+def test_pyproject_metadata_resolves():
+    """pyproject.toml: dynamic version, entry points, and package discovery
+    all resolve (pip install -e . would succeed on a machine that allows it)."""
+    import tomllib
+
+    import fddm_asr_tpu
+
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["name"] == "fddm-asr-tpu"
+    assert meta["tool"]["setuptools"]["dynamic"]["version"]["attr"] == \
+        "fddm_asr_tpu.__version__"
+    assert fddm_asr_tpu.__version__
+    for target in meta["project"]["scripts"].values():
+        mod, fn = target.split(":")
+        assert callable(getattr(__import__(mod), fn)), target
+    from setuptools import find_packages
+    pkgs = find_packages(REPO, include=["fddm_asr_tpu*"])
+    assert "fddm_asr_tpu" in pkgs and "fddm_asr_tpu.ops" in pkgs
