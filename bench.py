@@ -22,11 +22,51 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _relay_up(url: str) -> bool:
+    """Any HTTP response (even an error status) means the relay is alive;
+    a connection failure means TPU programs would hang indefinitely."""
+    import urllib.request
+
+    try:
+        urllib.request.urlopen(url, timeout=3)
+        return True
+    except urllib.error.HTTPError:
+        return True
+    except Exception:
+        return False
+
+
+def _await_tpu_relay() -> bool:
+    """The XLA compile relay has measurable outages (hours-long, CLAUDE.md);
+    jax.devices() hangs rather than erroring when it is down.  Wait up to
+    BENCH_TPU_WAIT seconds for it, and report honestly instead of hanging
+    the driver if it never returns."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return True  # explicit CPU run: no relay involved
+    url = os.environ.get("BENCH_RELAY_URL", "http://localhost:8083/")
+    deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT", "900"))
+    while True:
+        if _relay_up(url):
+            return True
+        if time.time() >= deadline:
+            return False
+        time.sleep(30)
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     seconds = float(os.environ.get("BENCH_SECONDS", "20"))
     seq_len = int(os.environ.get("BENCH_SEQ_LEN", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    if not _await_tpu_relay():
+        print(json.dumps({
+            "metric": "rtfx_e2e", "value": 0.0, "unit": "audio_s/s",
+            "vs_baseline": 0.0, "platform": "none",
+            "error": "TPU compile relay unreachable (outage) — benchmark "
+                     "not run; see CLAUDE.md relay-outage notes",
+        }))
+        return
 
     import dataclasses
 
