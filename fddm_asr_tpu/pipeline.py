@@ -399,16 +399,46 @@ class FDDMPipeline:
         lengths: Optional[np.ndarray] = None,
         seq_len: int = 64,
         rng: Optional[jax.Array] = None,
+        with_confidence: bool = False,
         **sampling,
     ):
         """Like transcribe, but returns [(text, raw_ids list)] per utterance
-        (the reference's result JSON carries both — inference.py:247-255)."""
+        (the reference's result JSON carries both — inference.py:247-255).
+
+        with_confidence=True returns [(text, ids, confidence)] instead:
+        confidence is the geometric mean of the model's probability for each
+        emitted token (p_x0 of the final sampling step), computed over the
+        decoded span (before eos, excluding pad/bos) — the standard ASR
+        per-utterance confidence; 0.0 when nothing was decoded.
+        """
         if wave.ndim == 1:
             wave = wave[None]
         c, c_mask = self.encode_waveform(wave, lengths)
         rng = rng if rng is not None else jax.random.key(0)
-        ids, _ = self.sample(rng, c, seq_len=seq_len, c_mask=c_mask, **sampling)
-        return [
-            (self.ids_to_text(ids[i]), np.asarray(ids[i]).tolist())
-            for i in range(ids.shape[0])
-        ]
+        ids, p = self.sample(rng, c, seq_len=seq_len, c_mask=c_mask, **sampling)
+        out = []
+        for i in range(ids.shape[0]):
+            row = (self.ids_to_text(ids[i]), np.asarray(ids[i]).tolist())
+            if with_confidence:
+                row = row + (self._utterance_confidence(ids[i], p[i]),)
+            out.append(row)
+        return out
+
+    def _utterance_confidence(self, ids_row, p_row) -> float:
+        ids_row = np.asarray(ids_row)
+        tok_p = np.asarray(p_row)[np.arange(len(ids_row)), ids_row]
+        end = len(ids_row)
+        eos = self.special_ids.get("eos_id")
+        if eos is not None:
+            hits = np.nonzero(ids_row == eos)[0]
+            if hits.size:
+                end = int(hits[0])
+        valid = np.zeros(len(ids_row), bool)
+        valid[:end] = True
+        valid &= ids_row != self.pad_id
+        bos = self.special_ids.get("bos_id")
+        if bos is not None:
+            valid &= ids_row != bos
+        if not valid.any():
+            return 0.0
+        return float(np.exp(np.log(np.maximum(tok_p[valid], 1e-12)).mean()))

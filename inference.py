@@ -65,6 +65,10 @@ def parse_args(argv=None):
                         "data=8,model=1 — shards the batch on the data axis "
                         "and the decoder by the tp rules; --batch-size must "
                         "be divisible by the data-axis size")
+    p.add_argument("--confidence", action="store_true",
+                   help="add a per-utterance 'confidence' field to results: "
+                        "geometric mean of the model's probability for each "
+                        "emitted token (final-step p_x0, decoded span only)")
     p.add_argument("--seq-parallel", action="store_true",
                    help="with --mesh model=N>1: additionally shard the "
                         "ENCODER FRAME AXIS across the model axis with ring "
@@ -180,12 +184,15 @@ def infer_batch(
         lengths = lengths + [400] * (n_rows - len(waves))
         seq_len = args.seq_len or 64  # reference default (inference.py:227)
         texts_ids = _transcribe(pipeline, batch, np.asarray(lengths), seq_len, args, rng)
-        for (i, path), (text, ids) in zip(ok_paths, texts_ids):
+        for (i, path), row in zip(ok_paths, texts_ids):
+            text, ids = row[0], row[1]
             out[i] = {
                 "wav": path, "text": text, "ids": ids,
                 "T_infer": args.T_infer, "r": args.r, "greedy": args.greedy,
                 "posterior_mode": args.posterior_mode,
             }
+            if len(row) > 2:
+                out[i]["confidence"] = round(row[2], 6)
     return out  # type: ignore[return-value]
 
 
@@ -193,13 +200,16 @@ def _transcribe(pipeline, batch, lengths, seq_len, args, rng):
     import jax
 
     c, c_mask = pipeline.encode_waveform(batch, lengths)
-    ids, _ = pipeline.sample(
+    ids, p = pipeline.sample(
         rng, c, seq_len=seq_len, c_mask=c_mask, **sampling_kwargs(args)
     )
     results = []
     for i in range(ids.shape[0]):
         id_list = [int(x) for x in ids[i]]
-        results.append((pipeline.ids_to_text(ids[i]), id_list))
+        row = (pipeline.ids_to_text(ids[i]), id_list)
+        if getattr(args, "confidence", False):
+            row = row + (pipeline._utterance_confidence(ids[i], p[i]),)
+        results.append(row)
     return results
 
 
@@ -221,7 +231,7 @@ def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
     win = max(400, int(args.chunk_seconds * 16000))
     n = max(1, -(-len(wav) // win))
     seq_len = args.seq_len or 64
-    texts, ids = [], []
+    texts, ids, confs = [], [], []
     bs = max(1, args.batch_size)
     for start in range(0, n, bs):
         rows = min(bs, n - start)
@@ -232,17 +242,24 @@ def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
             batch[j, : len(seg)] = seg
             lengths.append(max(len(seg), 400))
         rng, step_rng = __import__("jax").random.split(rng)
-        for text, id_list in _transcribe(
+        for row in _transcribe(
             pipeline, batch, np.asarray(lengths), seq_len, args, step_rng
         ):
-            texts.append(text)
-            ids.append(id_list)
-    return {
+            texts.append(row[0])
+            ids.append(row[1])
+            if len(row) > 2:
+                confs.append(row[2])
+    result = {
         "wav": path, "text": "".join(texts), "chunks": texts, "ids": ids,
         "chunk_seconds": args.chunk_seconds, "T_infer": args.T_infer,
         "r": args.r, "greedy": args.greedy,
         "posterior_mode": args.posterior_mode,
     }
+    if confs:
+        # per-chunk geometric means combine as their mean in log space
+        result["confidence"] = round(
+            float(np.exp(np.mean(np.log(np.maximum(confs, 1e-12))))), 6)
+    return result
 
 
 def main(argv=None):

@@ -209,14 +209,16 @@ class BatchingEngine:
                 self._rng_counter += 1
                 texts_ids = self.pipeline.transcribe_with_ids(
                     wave, lengths, seq_len=self.seq_len,
-                    rng=jax.random.key(self._rng_counter), **self.sampling,
+                    rng=jax.random.key(self._rng_counter),
+                    with_confidence=True, **self.sampling,
                 )[: len(batch)]
                 device_s = time.perf_counter() - t0
                 now = time.perf_counter()
-                for r, (text, ids) in zip(batch, texts_ids):
+                for r, (text, ids, conf) in zip(batch, texts_ids):
                     r.result = {
                         "wav": r.name, "text": text,
                         "ids": ids,
+                        "confidence": round(conf, 6),
                         "T_infer": self.sampling.get("T_infer"),
                         "r": self.sampling.get("r"),
                         "greedy": self.sampling.get("greedy", True),

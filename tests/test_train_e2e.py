@@ -67,6 +67,41 @@ def test_single_wav_inference(trained, capsys):
     assert len(res["ids"]) == 12
 
 
+def test_confidence_scores(trained, capsys):
+    """--confidence adds a per-utterance geometric-mean token probability;
+    the math is pinned against a hand-computed case."""
+    import inference
+
+    wav = f"{trained}/data/processed/clips/test_000.wav"
+    inference.main([
+        "--wav", wav, "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--main-config", f"{trained}/config.yaml",
+        "--diffusion-config", f"{trained}/config.yaml",
+        "--tokenizer", f"{trained}/data/tokenizer/toy/spm_toy.model",
+        "--T-infer", "8", "--r", "4", "--greedy", "--seq-len", "12",
+        "--confidence",
+    ])
+    res = json.loads(capsys.readouterr().out)
+    assert 0.0 <= res["confidence"] <= 1.0
+
+    # hand-computed: ids [bos, a, b, eos, pad]; only a, b count
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    class _P:
+        pad_id = 0
+        special_ids = {"bos_id": 1, "eos_id": 2}
+
+    ids = np.array([1, 5, 6, 2, 0])
+    p = np.full((5, 8), 0.01)
+    p[1, 5] = 0.9
+    p[2, 6] = 0.4
+    got = FDDMPipeline._utterance_confidence(_P(), ids, p)
+    assert abs(got - (0.9 * 0.4) ** 0.5) < 1e-9
+    # nothing decoded -> 0.0
+    assert FDDMPipeline._utterance_confidence(
+        _P(), np.array([2, 0, 0]), np.full((3, 8), 0.5)) == 0.0
+
+
 def test_batch_csv_inference(trained, tmp_path, capsys):
     import inference
 
