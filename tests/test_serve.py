@@ -284,3 +284,21 @@ def test_batch_multiple_must_divide_max_batch():
 
     with pytest.raises(ValueError, match="multiple of the mesh"):
         serve.BatchingEngine(None, {}, 8, max_batch=6, batch_multiple=4)
+
+
+def test_bench_serve_script(server, capsys):
+    """scripts/bench_serve.py produces the serving-benchmark JSON line with
+    perfect batch coalescing under closed-loop load."""
+    from scripts.bench_serve import main as bench_main
+
+    _, out, _ = server
+    bench_main([
+        "--config", f"{out}/config.yaml",
+        "--ckpt", f"{out}/ckpts/best_model.orbax",
+        "--concurrency", "2", "--duration-s", "4", "--audio-seconds", "0.5",
+        "--T-infer", "4", "--r", "2", "--seq-len", "8",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["metric"] == "serve_rtfx" and res["value"] > 0
+    assert res["errors"] == 0 and res["requests"] > 0
+    assert res["latency_ms"]["p95"] > 0
