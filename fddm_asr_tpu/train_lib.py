@@ -655,6 +655,30 @@ def _run_training_impl(
     # spans all hosts when jax.distributed is initialized (a strict no-op
     # single-process: make_global_mesh delegates to make_mesh)
     mesh = dist.make_global_mesh(mesh_spec)
+    # model.encoder.seq_parallel: shard the encoder FRAME axis across the
+    # "model" mesh axis with ring attention — forward AND backward (grads
+    # through shard_map+ppermute are parity-tested).  Applies to frozen,
+    # fine-tuned, and LoRA encoders alike; no-op on a 1-wide model axis.
+    if enc_cfg.get("seq_parallel") and int(mesh.shape.get("model", 1)) > 1:
+        import math as _math
+
+        from fddm_asr_tpu.ops.ring_attention import ring_gated_attention
+
+        ring = int(mesh.shape["model"])
+        wcfg0 = pipeline.encoder.config
+        pipeline.encoder = dataclasses.replace(
+            pipeline.encoder,
+            config=dataclasses.replace(
+                wcfg0,
+                seq_pad_multiple=_math.lcm(max(int(wcfg0.seq_pad_multiple), 1),
+                                           ring)),
+            gated_attention_fn=functools.partial(
+                ring_gated_attention, mesh=mesh, axis="model",
+                batch_axis="data"),
+        )
+        # drop any pre-replacement traces (jit caches by arg signature)
+        pipeline._encode_jit = jax.jit(pipeline._encode)
+        logging.info(f"sequence-parallel encoder: ring size {ring}")
     with mesh:
         state = shard_pytree(state, mesh, decoder_param_spec)
         train_step = make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod,

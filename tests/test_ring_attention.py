@@ -165,6 +165,66 @@ def test_seq_parallel_inference_matches_single_device():
     np.testing.assert_array_equal(run(True), base)
 
 
+def test_wavlm_finetune_grads_with_ring_attention():
+    """Sequence-parallel TRAINING: grads of a scalar loss wrt ALL WavLM
+    params, taken through the ring-attention hook on an 8-device mesh,
+    match the single-device grads — fine-tuning can shard the frame axis."""
+    import dataclasses
+    import functools
+
+    from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
+
+    cfg = dataclasses.replace(WavLMConfig.tiny_for_tests(), seq_pad_multiple=8)
+    wave = jax.random.normal(jax.random.PRNGKey(1), (2, 3200))
+    params = WavLMModel(cfg).init(jax.random.PRNGKey(0), wave)
+
+    def loss(params, model):
+        out = model.apply(params, wave)
+        return jnp.mean(jnp.square(out))
+
+    g_want = jax.grad(loss)(params, WavLMModel(cfg))
+    ring_fn = functools.partial(
+        ring_gated_attention, mesh=_seq_mesh(4), axis="model", batch_axis=None
+    )
+    g_got = jax.grad(loss)(params, WavLMModel(cfg, gated_attention_fn=ring_fn))
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(g_want)
+    flat_g = jax.tree.leaves(g_got)
+    assert len(flat_w) == len(flat_g)
+    for (path, w), g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_seq_parallel_training_matches(tmp_path):
+    """model.encoder.seq_parallel: a full training epoch on a dp x sp mesh
+    (data=2, model=4) reproduces the non-sp train loss (same seed)."""
+    import os
+
+    from scripts.make_synth_data import main as synth_main
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.parallel import MeshSpec
+    from fddm_asr_tpu.train_lib import run_training
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+
+    def run(seq_parallel, name):
+        raw = load_yaml(os.path.join(out, "config.yaml"))
+        raw["optim"].update(num_epochs=1, batch_size=8)
+        raw["model"]["encoder"]["seq_parallel"] = seq_parallel
+        raw["log"]["ckpt_dir"] = str(tmp_path / name)
+        return run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                            mesh_spec=MeshSpec(data=2, model=4))
+
+    base = run(False, "ck_base")
+    sp = run(True, "ck_sp")
+    assert np.isfinite(sp["train_loss"])
+    np.testing.assert_allclose(sp["train_loss"], base["train_loss"],
+                               rtol=1e-5)
+    assert sp["val_cer"] == base["val_cer"]
+
+
 def test_ring_fully_masked_row_matches_xla():
     """A batch row whose keys are ALL masked degrades to the uniform-average
     semantics of the XLA softmax (scores pinned at float32-min)."""
