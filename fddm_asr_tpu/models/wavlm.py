@@ -423,6 +423,17 @@ class GatedRelPosAttention(nn.Module):
         v = _dense(cfg, cfg.hidden_size, self.dtype, "v_proj")(x)
 
         if self.gated_attention_fn is not None:
+            # exact-softmax only (same restriction as the trainable fused
+            # kernel): silently skipping attention dropout would make a
+            # seq-parallel fine-tune train with different regularization
+            # than the single-device run it must reproduce
+            if not deterministic and cfg.attention_dropout > 0.0:
+                raise ValueError(
+                    "sequence-parallel attention (gated_attention_fn) does "
+                    "not implement attention dropout; set "
+                    "attention_dropout: 0.0 (regularize with SpecAugment, "
+                    "the recommended fine-tune recipe) or disable "
+                    "seq_parallel for this run")
             out = self.gated_attention_fn(
                 q.reshape(B, L, H, dh), k.reshape(B, L, H, dh),
                 v.reshape(B, L, H, dh), position_bias, gate_out, key_mask,

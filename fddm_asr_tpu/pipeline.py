@@ -267,34 +267,46 @@ class FDDMPipeline:
         The encoder's seq_pad_multiple is rounded up so padded frame counts
         always divide the ring.
         """
-        import dataclasses
-        import functools
-        import math
-
         from fddm_asr_tpu.parallel import decoder_param_spec, shard_pytree
 
         self.mesh = mesh
         self.decoder_params = shard_pytree(self.decoder_params, mesh, decoder_param_spec)
         self.encoder_params = shard_pytree(self.encoder_params, mesh, decoder_param_spec)
-        ring = int(mesh.shape.get("model", 1))
-        if seq_parallel and ring > 1:
-            from fddm_asr_tpu.ops.ring_attention import ring_gated_attention
-
-            wcfg = self.encoder.config
-            spm = math.lcm(max(int(wcfg.seq_pad_multiple), 1), ring)
-            self.encoder = dataclasses.replace(
-                self.encoder,
-                config=dataclasses.replace(wcfg, seq_pad_multiple=spm),
-                gated_attention_fn=functools.partial(
-                    ring_gated_attention, mesh=mesh, axis="model",
-                    batch_axis="data",
-                ),
-            )
-            # _encode traces read self.encoder at call time but jit caches by
-            # arg signature — drop any pre-mesh traces so the ring path is
-            # what compiles
-            self._encode_jit = jax.jit(self._encode)
+        if seq_parallel:
+            self.enable_seq_parallel(mesh)
         return self
+
+    def enable_seq_parallel(self, mesh) -> bool:
+        """Rebuild the encoder with the ring-attention hook so the FRAME
+        axis shards across the mesh's "model" axis (ops/ring_attention);
+        seq_pad_multiple is rounded up so padded frame counts divide the
+        ring.  Shared by apply_mesh(seq_parallel=True) and the training
+        loop (model.encoder.seq_parallel).  No-op (returns False) on a
+        1-wide model axis."""
+        import dataclasses
+        import functools
+        import math
+
+        ring = int(mesh.shape.get("model", 1))
+        if ring <= 1:
+            return False
+        from fddm_asr_tpu.ops.ring_attention import ring_gated_attention
+
+        wcfg = self.encoder.config
+        spm = math.lcm(max(int(wcfg.seq_pad_multiple), 1), ring)
+        self.encoder = dataclasses.replace(
+            self.encoder,
+            config=dataclasses.replace(wcfg, seq_pad_multiple=spm),
+            gated_attention_fn=functools.partial(
+                ring_gated_attention, mesh=mesh, axis="model",
+                batch_axis="data",
+            ),
+        )
+        # _encode traces read self.encoder at call time but jit caches by
+        # arg signature — drop any pre-replacement traces so the ring path
+        # is what compiles
+        self._encode_jit = jax.jit(self._encode)
+        return True
 
     def _shard_batch(self, x):
         if x is None or getattr(self, "mesh", None) is None:

@@ -659,26 +659,9 @@ def _run_training_impl(
     # "model" mesh axis with ring attention — forward AND backward (grads
     # through shard_map+ppermute are parity-tested).  Applies to frozen,
     # fine-tuned, and LoRA encoders alike; no-op on a 1-wide model axis.
-    if enc_cfg.get("seq_parallel") and int(mesh.shape.get("model", 1)) > 1:
-        import math as _math
-
-        from fddm_asr_tpu.ops.ring_attention import ring_gated_attention
-
-        ring = int(mesh.shape["model"])
-        wcfg0 = pipeline.encoder.config
-        pipeline.encoder = dataclasses.replace(
-            pipeline.encoder,
-            config=dataclasses.replace(
-                wcfg0,
-                seq_pad_multiple=_math.lcm(max(int(wcfg0.seq_pad_multiple), 1),
-                                           ring)),
-            gated_attention_fn=functools.partial(
-                ring_gated_attention, mesh=mesh, axis="model",
-                batch_axis="data"),
-        )
-        # drop any pre-replacement traces (jit caches by arg signature)
-        pipeline._encode_jit = jax.jit(pipeline._encode)
-        logging.info(f"sequence-parallel encoder: ring size {ring}")
+    if enc_cfg.get("seq_parallel") and pipeline.enable_seq_parallel(mesh):
+        logging.info(
+            f"sequence-parallel encoder: ring size {mesh.shape['model']}")
     with mesh:
         state = shard_pytree(state, mesh, decoder_param_spec)
         train_step = make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod,
@@ -906,23 +889,26 @@ def _run_training_impl(
                 "best_val_cer": best_val_cer, "best_epoch": best_epoch,
                 "epoch_seconds": time.time() - t0,
             }
-            emit_metrics(kind="epoch", **{
-                k: (None if v is None or v == float("inf") else v)
-                for k, v in summary.items()})
-
             # optim.early_stop_patience: stop after N consecutive evals
             # without a new best val CER (0/absent = run all epochs —
-            # reference behavior)
+            # reference behavior).  Decided BEFORE the telemetry emit so
+            # metrics.jsonl records why the run ended.
+            stop_early = False
             if val_cer is not None:
                 evals_since_best = (0 if epoch == best_epoch
                                     else evals_since_best + 1)
-                if 0 < early_stop_patience <= evals_since_best:
-                    logging.info(
-                        f"Early stopping at epoch {epoch}: no val CER "
-                        f"improvement in {evals_since_best} evals "
-                        f"(best {best_val_cer:.4f} @ epoch {best_epoch})")
-                    summary["early_stopped"] = True
-                    break
+                stop_early = 0 < early_stop_patience <= evals_since_best
+            if stop_early:
+                summary["early_stopped"] = True
+            emit_metrics(kind="epoch", **{
+                k: (None if v is None or v == float("inf") else v)
+                for k, v in summary.items()})
+            if stop_early:
+                logging.info(
+                    f"Early stopping at epoch {epoch}: no val CER "
+                    f"improvement in {evals_since_best} evals "
+                    f"(best {best_val_cer:.4f} @ epoch {best_epoch})")
+                break
 
     logging.info("=" * 50)
     logging.info("TRAINING COMPLETED!")

@@ -116,14 +116,10 @@ def main(argv=None):
     baseline = srv.engine.stats_snapshot()
 
     stop = time.time() + args.duration_s
-    done = []
 
     def client():
-        n = 0
         while time.time() < stop:
             post()
-            n += 1
-        done.append(n)
 
     clients = [threading.Thread(target=client) for _ in range(args.concurrency)]
     t0 = time.time()

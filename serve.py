@@ -100,6 +100,15 @@ class BatchingEngine:
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
+    def _bucket_batch_size(self, n: int) -> int:
+        """Padded batch size for n queued requests: next power of two,
+        rounded UP to a batch_multiple multiple (a pow2 is not necessarily
+        one when the mesh data axis is e.g. 3), capped at max_batch (a
+        validated multiple — the cap keeps the divisibility guarantee)."""
+        pow2 = 1 << max(0, (n - 1).bit_length())
+        bm = self.batch_multiple
+        return min(self.max_batch, -(-max(pow2, bm) // bm) * bm)
+
     # ------------------------------------------------------------------ api
     def submit(self, wave: np.ndarray, name: str,
                timeout_s: float = 600.0) -> dict:
@@ -198,9 +207,7 @@ class BatchingEngine:
                 # and are sliced off below; rows are independent on device.
                 longest = max(len(r.wave) for r in batch)
                 T = -(-max(longest, 1) // self.bucket) * self.bucket
-                Bp = min(self.max_batch,
-                         max(self.batch_multiple,
-                             1 << max(0, (len(batch) - 1).bit_length())))
+                Bp = self._bucket_batch_size(len(batch))
                 wave = np.zeros((Bp, T), np.float32)
                 lengths = np.full((Bp,), min(1600, T), np.int64)
                 for i, r in enumerate(batch):
@@ -405,15 +412,18 @@ def _warmup(engine: BatchingEngine, seconds_list: str, max_batch: int) -> None:
     """Pre-compile the hot programs before serving traffic.
 
     For each duration bucket in the comma-separated list, runs one silent
-    batch at B=1 and one at B=max_batch (the two batch-bucket levels real
-    traffic hits first: a lone request and a saturated batcher).  With the
-    persistent compile cache this costs one remote compile per (B, T) ever;
-    without warmup the first request at each shape stalls 30-60 s."""
+    batch at the smallest batch bucket and one at B=max_batch (the two
+    levels real traffic hits first: a lone request and a saturated
+    batcher).  The smallest bucket is batch_multiple, not 1 — under a
+    data-sharded mesh a B=1 batch is both unshardable and a shape the
+    engine never produces.  With the persistent compile cache this costs
+    one remote compile per (B, T) ever; without warmup the first request
+    at each shape stalls 30-60 s."""
     import jax
 
     for sec in (float(s) for s in str(seconds_list).split(",") if s):
         T = -(-int(sec * 16000) // engine.bucket) * engine.bucket
-        for B in sorted({1, max_batch}):
+        for B in sorted({engine.batch_multiple, max_batch}):
             t0 = time.perf_counter()
             wave = np.zeros((B, T), np.float32)
             lengths = np.full((B,), min(1600, T), np.int64)

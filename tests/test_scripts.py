@@ -229,7 +229,7 @@ def test_sweep_real_run(tmp_path, capsys):
 def test_pyproject_metadata_resolves():
     """pyproject.toml: dynamic version, entry points, and package discovery
     all resolve (pip install -e . would succeed on a machine that allows it)."""
-    import tomllib
+    tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11
 
     import fddm_asr_tpu
 

@@ -286,6 +286,26 @@ def test_batch_multiple_must_divide_max_batch():
         serve.BatchingEngine(None, {}, 8, max_batch=6, batch_multiple=4)
 
 
+def test_bucket_batch_size_respects_batch_multiple():
+    """Non-power-of-two data axes (e.g. 3): every bucketed batch size must
+    divide by batch_multiple AND stay within max_batch."""
+    import serve
+
+    eng = serve.BatchingEngine(None, {}, 8, max_batch=6, batch_multiple=3)
+    try:
+        sizes = {n: eng._bucket_batch_size(n) for n in range(1, 7)}
+        assert all(s % 3 == 0 and s <= 6 and s >= n
+                   for n, s in sizes.items()), sizes
+        assert sizes[1] == 3 and sizes[4] == 6 and sizes[6] == 6
+
+        eng2 = serve.BatchingEngine(None, {}, 8, max_batch=16, batch_multiple=1)
+        assert [eng2._bucket_batch_size(n) for n in (1, 2, 3, 5, 9)] == \
+            [1, 2, 4, 8, 16]
+    finally:
+        eng.shutdown()
+        eng2.shutdown()
+
+
 def test_bench_serve_script(server, capsys):
     """scripts/bench_serve.py produces the serving-benchmark JSON line with
     perfect batch coalescing under closed-loop load."""

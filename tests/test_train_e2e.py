@@ -352,6 +352,9 @@ def test_metrics_jsonl_and_early_stopping(synth, tmp_path):
     steps = [l for l in lines if l["kind"] == "step"]
     epochs = [l for l in lines if l["kind"] == "epoch"]
     assert len(epochs) == 2 and epochs[-1]["epoch"] == 2
+    # telemetry records WHY the run ended
+    assert epochs[-1].get("early_stopped") is True
+    assert "early_stopped" not in epochs[0]
     assert all(np.isfinite(s["total_loss"]) for s in steps)
     assert all("ts" in l for l in lines)
 
