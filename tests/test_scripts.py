@@ -245,3 +245,38 @@ def test_pyproject_metadata_resolves():
     from setuptools import find_packages
     pkgs = find_packages(REPO, include=["fddm_asr_tpu*"])
     assert "fddm_asr_tpu" in pkgs and "fddm_asr_tpu.ops" in pkgs
+
+
+def test_average_checkpoints(tmp_path):
+    """scripts/average_checkpoints.py: the output .pt's weights equal the
+    arithmetic mean of the inputs', and the file loads through the normal
+    checkpoint loader."""
+    import numpy as np
+
+    from scripts.make_synth_data import main as synth_main
+    from scripts.average_checkpoints import main as avg_main
+    from fddm_asr_tpu.checkpoint import load_checkpoint_any
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+    raw = load_yaml(os.path.join(out, "config.yaml"))
+    raw["optim"].update(num_epochs=2, batch_size=8)
+    raw["log"]["ckpt_dir"] = str(tmp_path / "ck")
+    run_training(Config(raw), raw_cfg=raw)
+
+    dst = str(tmp_path / "avg.pt")
+    avg_main(["--out", dst, "--last", "2", "--ckpt-dir", str(tmp_path / "ck")])
+
+    a = load_checkpoint_any(str(tmp_path / "ck" / "ep001.pt"))
+    b = load_checkpoint_any(str(tmp_path / "ck" / "ep002.pt"))
+    got = load_checkpoint_any(dst)
+    import jax
+
+    for la, lb, lg in zip(jax.tree.leaves(a["decoder"]),
+                          jax.tree.leaves(b["decoder"]),
+                          jax.tree.leaves(got["decoder"])):
+        np.testing.assert_allclose(
+            np.asarray(lg), (np.asarray(la) + np.asarray(lb)) / 2.0,
+            rtol=1e-6, atol=1e-7)
