@@ -102,7 +102,11 @@ def load_audio(path: str, target_sr: Optional[int] = None, mono: bool = True) ->
             "-ac", "1" if mono else "2", "-ar", str(out_sr), "-",
         ]
         raw = subprocess.run(cmd, capture_output=True, check=True).stdout
-        return np.frombuffer(raw, np.float32).copy(), out_sr
+        data = np.frombuffer(raw, np.float32).copy()
+        if not mono:
+            # f32le is interleaved; return [C, T] like the WAV branch does
+            data = data.reshape(-1, 2).T
+        return data, out_sr
     else:
         raise RuntimeError(
             f"cannot decode {ext} without ffmpeg; convert {path} to WAV first"

@@ -114,6 +114,24 @@ class ManifestDataset:
         }
 
 
+def shard_example_count(
+    n: int, batch_size: int, shard: Optional[Sequence[int]],
+    drop_last: bool = False,
+) -> int:
+    """How many examples make_batches(batch_size, shard, drop_last) yields
+    for THIS host out of n total — must mirror its block-sharding exactly
+    (used to weight cross-host eval metrics)."""
+    if shard is None:
+        return (n // batch_size) * batch_size if drop_last else n
+    host, num_hosts = shard
+    global_bs = batch_size * num_hosts
+    if drop_last:
+        n = (n // global_bs) * global_bs
+    full, rem = divmod(n, global_bs)
+    tail = max(0, min(batch_size, rem - host * batch_size))
+    return full * batch_size + tail
+
+
 def make_batches(
     dataset: ManifestDataset,
     batch_size: int,
@@ -129,6 +147,15 @@ def make_batches(
 
     Shuffling is seeded per (seed, epoch) so every host in a data-parallel run
     draws the same global order before sharding — deterministic resume.
+
+    Sharding is CONTIGUOUS WITHIN EACH GLOBAL BATCH: host h's k-th batch is
+    rows [h*B, (h+1)*B) of the k-th global batch of size B*num_hosts.  With
+    the host-major data-axis layout of parallel.distributed.make_global_mesh
+    this makes the assembled global batch BIT-IDENTICAL to the
+    single-process batch (the same row order), so losses reproduce exactly
+    across process counts.  (A strided order[h::H] shard would cover the
+    same examples but permute rows, re-pairing examples with per-position
+    corruption noise.)
     """
     n = len(dataset)
     order = np.arange(n)
@@ -136,35 +163,61 @@ def make_batches(
         order = np.random.default_rng((seed, epoch)).permutation(n)
     if shard is not None:
         host, num_hosts = shard
-        order = order[host::num_hosts]
-    if drop_last:
-        order = order[: (len(order) // batch_size) * batch_size]
-    if len(order) == 0:
+        global_bs = batch_size * num_hosts
+        if drop_last:
+            order = order[: (len(order) // global_bs) * global_bs]
+        batches = [
+            g[host * batch_size : (host + 1) * batch_size]
+            for g in (order[i : i + global_bs]
+                      for i in range(0, len(order), global_bs))
+        ]
+        batches = [b for b in batches if len(b)]
+    else:
+        if drop_last:
+            order = order[: (len(order) // batch_size) * batch_size]
+        batches = [order[i : i + batch_size]
+                   for i in range(0, len(order), batch_size)]
+    if not batches:
         return
-
-    batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
     q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     stop = threading.Event()
 
-    def collate(idxs) -> Batch:
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            items = list(pool.map(dataset.__getitem__, idxs))
-        return Batch(
-            wave=np.stack([it["wave"] for it in items]),
-            wave_lengths=np.stack([it["wave_length"] for it in items]),
-            tokens=np.stack([it["tokens"] for it in items]),
-            token_lengths=np.stack([it["token_length"] for it in items]),
-            indices=np.asarray(idxs, np.int64),
-        )
+    def _put(item) -> bool:
+        """Bounded put that re-checks `stop` — a consumer that abandons the
+        generator early (e.g. max_steps_per_epoch) must not leave the
+        producer blocked in q.put forever (thread + batch-memory leak)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
-        try:
-            for idxs in batches:
-                if stop.is_set():
-                    return
-                q.put(collate(idxs))
-        finally:
-            q.put(None)
+        # one pool for the producer's lifetime (a fresh executor per batch
+        # paid thread spawn/join serialized with decode on the 1-core box)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            def collate(idxs) -> Batch:
+                items = list(pool.map(dataset.__getitem__, idxs))
+                return Batch(
+                    wave=np.stack([it["wave"] for it in items]),
+                    wave_lengths=np.stack([it["wave_length"] for it in items]),
+                    tokens=np.stack([it["tokens"] for it in items]),
+                    token_lengths=np.stack([it["token_length"] for it in items]),
+                    indices=np.asarray(idxs, np.int64),
+                )
+
+            try:
+                for idxs in batches:
+                    if stop.is_set() or not _put(collate(idxs)):
+                        return
+            finally:
+                if not _put(None):  # normal end-of-data sentinel
+                    try:  # consumer already gone; don't block on a full queue
+                        q.put_nowait(None)
+                    except queue.Full:
+                        pass
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()

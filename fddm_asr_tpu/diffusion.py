@@ -150,19 +150,22 @@ def sample_xt_tokens(
 
     Equivalent to the reference SchedulerAdapter.sample_q (train.py:180-188):
     one-hot -> q_sample -> per-position categorical draw, but without ever
-    materialising the [B, L, K] one-hot: under q_sample of a one-hot row the
-    categorical draw is exactly `keep x0 with prob p_keep, else uniform over K`
-    where, after the reference's clamp+renorm (a no-op for one-hot inputs at
-    eps=1e-8), p_keep = alpha_bar_t + (1 - alpha_bar_t)/K.
+    materialising the [B, L, K] one-hot.  The categorical of the one-hot
+    q_sample row `ab*onehot(x0) + (1-ab)/K` decomposes EXACTLY as: emit x0
+    with prob ab, else draw uniform over ALL K tokens — the uniform branch
+    re-picks x0 with prob 1/K, supplying precisely the + (1-ab)/K mass.
+    (Keeping with prob ab + (1-ab)/K AND resampling over all K — an earlier
+    revision of this function — double-counts that mass: it inflates
+    P(x_t = x0) by (1-p_keep)/K and shrinks every wrong-token probability
+    by (K-1)/K.  tests/test_diffusion.py pins the exact marginals at K=2.)
 
     This keeps the hot path O(B*L) instead of O(B*L*K) — on TPU the [B,L,K]
     one-hot for K=8000 would dominate HBM traffic of the whole train step.
     """
     B, L = x0_tokens.shape
     ab = sched.alpha_bar_ext[t][:, None]  # [B,1]
-    p_keep = ab + (1.0 - ab) / sched.K
     rng_keep, rng_unif = jax.random.split(rng)
-    keep = jax.random.uniform(rng_keep, (B, L)) < p_keep
+    keep = jax.random.uniform(rng_keep, (B, L)) < ab
     rand_tok = jax.random.randint(rng_unif, (B, L), 0, sched.K, dtype=x0_tokens.dtype)
     return jnp.where(keep, x0_tokens, rand_tok)
 

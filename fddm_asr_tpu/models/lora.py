@@ -42,11 +42,7 @@ DEFAULT_TARGETS = (
 )
 
 
-def _path_str(key_path) -> str:
-    parts = []
-    for k in key_path:
-        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
-    return "/".join(parts)
+from fddm_asr_tpu.parallel.mesh import path_str as _path_str
 
 
 def resolve_scale(rank: int, alpha=None) -> float:
@@ -146,7 +142,7 @@ def normalize_adapter_tree(tree: Any) -> Any:
         return tree
     groups: Dict[str, Dict[str, Any]] = {}
     for key_path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        parts = [str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path]
+        parts = _path_str(key_path).split("/")
         if parts[-1] not in ("a", "b"):
             return None
         groups.setdefault("/".join(parts[:-1]), {})[parts[-1]] = leaf

@@ -104,17 +104,24 @@ def available() -> bool:
     return _load() is not None
 
 
-def _as_u32(seq: Sequence) -> np.ndarray:
+def _as_u32(seq: Sequence, vocab: Optional[dict] = None) -> np.ndarray:
     if isinstance(seq, str):
         return np.frombuffer(seq.encode("utf-32-le"), dtype=np.uint32).copy()
-    # word sequences: hash words into u32 ids
-    return np.asarray([hash(w) & 0xFFFFFFFF for w in seq], np.uint32)
+    # word sequences: intern words to sequential ids (exact — truncated
+    # hash(w) values can collide, silently scoring a substitution as a
+    # match).  The vocab dict must be SHARED across the two sides of one
+    # comparison so equal words get equal ids.
+    if vocab is None:
+        vocab = {}
+    return np.asarray([vocab.setdefault(w, len(vocab)) for w in seq],
+                      np.uint32)
 
 
 def levenshtein(a: Sequence, b: Sequence) -> int:
     """Edit distance over strings (chars) or token sequences (words)."""
     lib = _load()
-    aa, bb = _as_u32(a), _as_u32(b)
+    vocab: dict = {}
+    aa, bb = _as_u32(a, vocab), _as_u32(b, vocab)
     if lib is None:
         return _levenshtein_py(aa, bb)
     return int(lib.levenshtein_u32(
@@ -125,8 +132,10 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
 
 def levenshtein_batch(refs: List[Sequence], hyps: List[Sequence]) -> np.ndarray:
     lib = _load()
-    a_arrs = [_as_u32(r) for r in refs]
-    b_arrs = [_as_u32(h) for h in hyps]
+    # ids need only within-pair consistency (distances are per-pair)
+    vocabs = [dict() for _ in refs]
+    a_arrs = [_as_u32(r, v) for r, v in zip(refs, vocabs)]
+    b_arrs = [_as_u32(h, v) for h, v in zip(hyps, vocabs)]
     if lib is None:
         return np.asarray([_levenshtein_py(a, b) for a, b in zip(a_arrs, b_arrs)], np.int32)
     a_offs = np.zeros(len(a_arrs) + 1, np.int64)

@@ -55,6 +55,7 @@ from fddm_asr_tpu.parallel.mesh import MeshSpec, make_mesh
 __all__ = [
     "DistributedConfig", "initialize", "process_group", "is_primary",
     "host_shard", "make_global_mesh", "put_global_batch", "all_hosts_mean",
+    "all_hosts_weighted_mean", "host_local_copy",
 ]
 
 _initialized = False
@@ -210,3 +211,35 @@ def all_hosts_mean(value: Any) -> float:
 
     gathered = multihost_utils.process_allgather(np.asarray(value, np.float64))
     return float(np.mean(gathered))
+
+
+def all_hosts_weighted_mean(value: Any, weight: float) -> float:
+    """Weight-aware cross-host mean: sum(v_i*w_i)/sum(w_i).  Hosts with
+    weight 0 (e.g. an empty eval shard) contribute nothing; returns 0.0 if
+    every host is empty.  Identity (value) for one process."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    pair = np.asarray([float(value) * float(weight), float(weight)], np.float64)
+    gathered = multihost_utils.process_allgather(pair)  # [nproc, 2]
+    num, den = np.asarray(gathered).reshape(-1, 2).sum(axis=0)
+    return float(num / den) if den > 0 else 0.0
+
+
+def host_local_copy(tree: Any, mesh: Mesh) -> Any:
+    """Fetch a host-local numpy copy of a (possibly cross-host-sharded)
+    param tree: one jitted identity resharded to fully-replicated (a single
+    all-gather collective), then read each leaf's local shard.
+
+    The multi-host eval path needs this: per-host evaluation runs plain
+    process-local jits, which cannot consume arrays committed to other
+    hosts' devices.  Single-process: plain device_get."""
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: np.asarray(x), tree)
+    rep = NamedSharding(mesh, P())
+    replicate_fn = jax.jit(
+        lambda t: t, out_shardings=jax.tree.map(lambda _: rep, tree))
+    replicated = replicate_fn(tree)
+    return jax.tree.map(
+        lambda x: np.asarray(x.addressable_data(0)), replicated)

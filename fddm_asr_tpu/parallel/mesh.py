@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "MeshSpec", "make_mesh", "decoder_param_spec", "shard_pytree",
-    "batch_sharding", "replicate",
+    "batch_sharding", "replicate", "path_str",
 ]
 
 
@@ -88,11 +88,23 @@ def decoder_param_spec(path: str) -> P:
     return P()  # replicate
 
 
-def _path_str(key_path) -> str:
+def path_str(key_path) -> str:
+    """"/"-joined flax/jax tree path — the ONE canonical helper (also used
+    by models/lora.py; do not copy it).  Handles DictKey(.key),
+    SequenceKey(.idx), and GetAttrKey(.name) — the str() fallback of a
+    GetAttrKey is ".name", which would silently break prefix matches."""
     parts = []
     for k in key_path:
-        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+        for attr in ("key", "idx", "name"):
+            if hasattr(k, attr):
+                parts.append(str(getattr(k, attr)))
+                break
+        else:
+            parts.append(str(k))
     return "/".join(parts)
+
+
+_path_str = path_str  # internal alias (pre-existing call sites)
 
 
 def shard_pytree(tree: Any, mesh: Mesh, spec_fn=decoder_param_spec) -> Any:

@@ -347,13 +347,14 @@ class FDDMPipeline:
 
     def _sampler_for(self, key: tuple) -> Callable:
         if key not in self._samplers:
-            (T_infer, r, greedy, posterior_mode, sampling_mode, temperature) = key
+            (T_infer, r, greedy, posterior_mode, sampling_mode, temperature,
+             ref_compat) = key
             scfg = SamplerConfig(
                 K=self.cfg.data.vocab_size,
                 T_train=self.cfg.diffusion["T"],
                 T_infer=T_infer, r=r, greedy=greedy,
                 posterior_mode=posterior_mode, sampling_mode=sampling_mode,
-                temperature=temperature,
+                temperature=temperature, ref_compat=ref_compat,
             )
             def decoder_apply(params, xt, t, cond, c_mask):
                 return self.decoder.apply(
@@ -377,8 +378,13 @@ class FDDMPipeline:
         posterior_mode: str = "map",
         sampling_mode: str = "exact",
         temperature: float = 1.0,
+        ref_compat: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        fn = self._sampler_for((T_infer, r, greedy, posterior_mode, sampling_mode, temperature))
+        # ref_compat=False runs the CORRECTED multi-step posterior instead of
+        # reproducing the reference's tensor-aliasing recurrence (see
+        # diffusion.multi_step_coeffs); default True = reference parity.
+        fn = self._sampler_for((T_infer, r, greedy, posterior_mode,
+                                sampling_mode, temperature, ref_compat))
         if not self.use_condition_mask:
             c_mask = None
         # shard directly-supplied conditions too (encode_waveform outputs are

@@ -561,9 +561,13 @@ def _run_training_impl(
                  if cfg.optim.get("ema_dtype") == "bfloat16" else None)
 
     def _ema_init(p):
-        return (jnp.asarray(p, ema_dtype)
-                if ema_dtype and jnp.issubdtype(p.dtype, jnp.floating)
-                else jnp.array(p))
+        # jnp.array (never asarray): asarray returns the SAME buffer when p
+        # is already the target dtype (e.g. bf16 params loaded from a bf16
+        # orbax checkpoint), and an aliased leaf in state.ema + state.encoder
+        # breaks the first donated step
+        if ema_dtype and jnp.issubdtype(p.dtype, jnp.floating):
+            return jnp.array(p, dtype=ema_dtype)
+        return jnp.array(p)
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -821,6 +825,7 @@ def _run_training_impl(
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
 
             do_eval = (epoch % max(1, eval_every) == 0) or epoch == num_epochs
+            multi_host = jax.process_count() > 1
             if do_eval:
                 # sync trained params into the pipeline for eval/sampling
                 # (samplers take params as call arguments — no cache
@@ -838,20 +843,51 @@ def _run_training_impl(
                         enc_trained = merge_lora(
                             encoder_base_params, enc_trained, lora_scale)
                     pipeline.encoder_params = enc_trained
+                if multi_host:
+                    # HOST-LOCAL eval: the trained params are sharded over the
+                    # GLOBAL mesh, which process-local eval jits cannot
+                    # consume.  Replicate them once (one all-gather — every
+                    # host participates in this collective) and hand each
+                    # host a numpy copy; each host then evaluates only its
+                    # data shard and the metrics recombine below, weighted
+                    # by shard size.  No DCN traffic during eval itself.
+                    pipeline.decoder_params = dist.host_local_copy(
+                        pipeline.decoder_params, mesh)
+                    if train_encoder:
+                        pipeline.encoder_params = dist.host_local_copy(
+                            pipeline.encoder_params, mesh)
+
+            def _eval_shard_size(ds) -> int:
+                from fddm_asr_tpu.data.dataset import shard_example_count
+
+                return shard_example_count(len(ds), batch_size, shard,
+                                           drop_last=False)
+
             val_loss = val_cer = test_cer = None
             if do_eval and val_ds is not None and len(val_ds) > 0:
-                val_cer = E.evaluate_cer_with_jumpy_sampling(
-                    pipeline, make_batches(val_ds, batch_size, drop_last=False), cfg
-                )
-                val_loss = E.evaluate_validation_loss(
-                    pipeline, make_batches(val_ds, batch_size, drop_last=False)
-                )
+                n_local = _eval_shard_size(val_ds)
+                cer_local = (E.evaluate_cer_with_jumpy_sampling(
+                    pipeline,
+                    make_batches(val_ds, batch_size, drop_last=False,
+                                 shard=shard),
+                    cfg) if n_local else 0.0)
+                loss_local = (E.evaluate_validation_loss(
+                    pipeline,
+                    make_batches(val_ds, batch_size, drop_last=False,
+                                 shard=shard)) if n_local else 0.0)
+                val_cer = dist.all_hosts_weighted_mean(cer_local, n_local)
+                val_loss = dist.all_hosts_weighted_mean(loss_local, n_local)
                 if val_cer < best_val_cer:
                     best_val_cer, best_epoch = val_cer, epoch
+                    # every host reaches here (val_cer is identical across
+                    # the group), so _save_ckpt's internal collectives are
+                    # group-consistent
                     _save_ckpt(
-                        os.path.join(ckpt_dir, "best_model"), state, epoch, raw_cfg,
+                        os.path.join(ckpt_dir, "best_model"), state,
+                        epoch, raw_cfg,
                         best_val_cer, export_pt, ema_export=ema_eval,
                         extra_meta=ckpt_meta, asynchronous=async_ckpt,
+                        mesh=mesh,
                     )
                     # fine-tuned runs: the .pt format (reference schema) has
                     # no encoder slot — point users at the COMPLETE artifact
@@ -866,9 +902,13 @@ def _run_training_impl(
                         f"→ {os.path.join(ckpt_dir, best_art)}{suffix}"
                     )
             if do_eval and test_ds is not None and len(test_ds) > 0:
-                test_cer = E.evaluate_cer_with_jumpy_sampling(
-                    pipeline, make_batches(test_ds, batch_size, drop_last=False), cfg
-                )
+                n_local = _eval_shard_size(test_ds)
+                cer_local = (E.evaluate_cer_with_jumpy_sampling(
+                    pipeline,
+                    make_batches(test_ds, batch_size, drop_last=False,
+                                 shard=shard),
+                    cfg) if n_local else 0.0)
+                test_cer = dist.all_hosts_weighted_mean(cer_local, n_local)
 
             msg = f"[Epoch {epoch} Summary] train_loss={train_loss:.4f}"
             if val_loss is not None:
@@ -879,10 +919,11 @@ def _run_training_impl(
                 msg += f" | test_cer={test_cer:.4f}"
             logging.info(msg)
 
-            _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state, epoch, raw_cfg,
+            _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state,
+                       epoch, raw_cfg,
                        best_val_cer if best_val_cer != float("inf") else None,
                        export_pt, ema_export=ema_eval, extra_meta=ckpt_meta,
-                       asynchronous=async_ckpt)
+                       asynchronous=async_ckpt, mesh=mesh)
             summary = {
                 "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
                 "val_cer": val_cer, "test_cer": test_cer,
@@ -954,22 +995,33 @@ def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
 def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer,
                export_pt: bool, ema_export: bool = False,
                extra_meta: Optional[Dict[str, Any]] = None,
-               asynchronous: bool = False):
+               asynchronous: bool = False, mesh=None):
     from fddm_asr_tpu import checkpoint as C
 
-    if not dist.is_primary():
-        # multi-host: non-primary processes skip host-side artifact writes
-        # (every host holds identical metrics; the files would collide)
-        return
-    # the host copy is taken HERE (synchronously) so an async disk write can
-    # never race the next step's donated device buffers
-    host_state = jax.tree.map(lambda x: np.asarray(x), state)
-    # best_val_cer rides along so --resume restores the best-checkpoint bar
-    # (inf when no best exists yet)
-    C.save_orbax(prefix + ".orbax", {
-        "state": host_state, "epoch": epoch,
-        "best_val_cer": float("inf") if best_val_cer is None else float(best_val_cer),
-    }, asynchronous=asynchronous)
+    best = float("inf") if best_val_cer is None else float(best_val_cer)
+    if jax.process_count() > 1:
+        # Multi-host: EVERY process must call the orbax save — it contains
+        # cross-process sync barriers and coordinates the sharded array
+        # writes itself (primary-gating it desyncs the collective stream:
+        # gloo 'preamble.length mismatch' crashes).  The state goes in
+        # AS-IS (global sharded jax.Arrays).
+        C.save_orbax(prefix + ".orbax", {
+            "state": state, "epoch": epoch, "best_val_cer": best,
+        }, asynchronous=asynchronous)
+        # .pt export needs host-local values: replicate collective on ALL
+        # hosts, then only the primary writes the plain files below
+        host_state = dist.host_local_copy(state, mesh)
+        if not dist.is_primary():
+            return
+    else:
+        # the host copy is taken HERE (synchronously) so an async disk write
+        # can never race the next step's donated device buffers
+        host_state = jax.tree.map(lambda x: np.asarray(x), state)
+        # best_val_cer rides along so --resume restores the best-checkpoint
+        # bar (inf when no best exists yet)
+        C.save_orbax(prefix + ".orbax", {
+            "state": host_state, "epoch": epoch, "best_val_cer": best,
+        }, asynchronous=asynchronous)
     # sidecar: run metadata the LOADER needs but the orbax tree can't grow
     # without breaking restore templates (checkpoint.save_ckpt_meta)
     meta = {"epoch": epoch, "ema_eval": bool(ema_export),

@@ -65,6 +65,11 @@ def parse_args(argv=None):
                         "data=8,model=1 — shards the batch on the data axis "
                         "and the decoder by the tp rules; --batch-size must "
                         "be divisible by the data-axis size")
+    p.add_argument("--corrected-posterior", action="store_true",
+                   help="use the mathematically corrected multi-step "
+                        "posterior instead of reproducing the reference's "
+                        "tensor-aliasing recurrence (ref_compat=False; see "
+                        "fddm_asr_tpu/diffusion.py::multi_step_coeffs)")
     p.add_argument("--confidence", action="store_true",
                    help="add a per-utterance 'confidence' field to results: "
                         "geometric mean of the model's probability for each "
@@ -126,6 +131,7 @@ def sampling_kwargs(args) -> Dict[str, Any]:
     return dict(
         T_infer=args.T_infer, r=args.r, greedy=args.greedy,
         posterior_mode=args.posterior_mode, sampling_mode=args.sampling_mode,
+        ref_compat=not getattr(args, "corrected_posterior", False),
     )
 
 

@@ -102,25 +102,58 @@ def build_and_step(mesh):
         return float(metrics["total_loss"]), float(metrics["loss_diff"])
 
 
+def run_training_mode(out_dir: str) -> dict:
+    """The FULL run_training loop (epoch + eval + checkpointing) over the
+    current process group — exercises host-sharded eval batches, the
+    host_local_copy replicate collective, weighted metric recombination,
+    and primary-gated artifact writes."""
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.parallel import MeshSpec
+    from fddm_asr_tpu.train_lib import run_training
+
+    raw = load_yaml(os.path.join(out_dir, "config.yaml"))
+    raw["optim"].update({"num_epochs": 1, "batch_size": 8})
+    raw["log"]["ckpt_dir"] = os.path.join(
+        out_dir, f"ck_{jax.process_count()}p")
+    summary = run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                           mesh_spec=MeshSpec(data=4, model=2))
+    return {
+        "train_loss": summary["train_loss"],
+        "val_cer": summary["val_cer"],
+        "val_loss": summary["val_loss"],
+        "ckpt_dir": raw["log"]["ckpt_dir"],
+    }
+
+
 def main():
     from fddm_asr_tpu.parallel import (
         DistributedConfig, MeshSpec, initialize, make_global_mesh,
     )
 
-    if sys.argv[1] == "solo":
+    argv = sys.argv[1:]
+    mode = argv[0] if argv[0] in ("solo", "train_solo", "train") else "step"
+    if mode in ("solo", "train_solo"):
         assert jax.device_count() == 8, "run with xla_force_host_platform_device_count=8"
-        mesh = make_global_mesh(MeshSpec(data=4, model=2))
     else:
-        pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+        # cluster member: "train <pid> <nproc> <port> <out>" or the classic
+        # step-mode "<pid> <nproc> <port>"
+        rest = argv[1:] if mode == "train" else argv
+        pid, nproc, port = int(rest[0]), int(rest[1]), rest[2]
         initialize(DistributedConfig(f"localhost:{port}", nproc, pid))
         assert jax.process_count() == nproc
         assert jax.device_count() == 8, "run with xla_force_host_platform_device_count=4"
+
+    base = {"process": jax.process_index(),
+            "process_count": jax.process_count()}
+    if mode in ("train_solo", "train"):
+        out_dir = argv[1] if mode == "train_solo" else argv[4]
+        base.update(run_training_mode(out_dir))
+    else:
         mesh = make_global_mesh(MeshSpec(data=4, model=2))
-    total, diff = build_and_step(mesh)
-    print(json.dumps({
-        "process": jax.process_index(), "process_count": jax.process_count(),
-        "mesh": dict(mesh.shape), "total_loss": total, "loss_diff": diff,
-    }), flush=True)
+        total, diff = build_and_step(mesh)
+        base.update({"mesh": dict(mesh.shape), "total_loss": total,
+                     "loss_diff": diff})
+    print(json.dumps(base), flush=True)
 
 
 if __name__ == "__main__":

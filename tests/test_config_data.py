@@ -220,3 +220,34 @@ def test_shipped_finetune_config_resolves():
     wc = build_wavlm_config(enc)
     assert wc.scan_layers and wc.remat_layers and wc.freeze_feature_extractor
     assert wc.attention_dropout == 0.0 and wc.fused_attention
+
+
+def test_make_batches_abandoned_iterator_releases_producer():
+    """Abandoning the generator early (max_steps_per_epoch pattern) must
+    unblock the producer thread within its stop-poll interval — no leaked
+    thread holding prefetched waveform batches."""
+    import threading
+    import time
+
+    class _DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"wave": np.zeros(1600, np.float32),
+                    "wave_length": np.int64(1600),
+                    "tokens": np.zeros(8, np.int32),
+                    "token_length": np.int64(8)}
+
+    before = set(threading.enumerate())
+    gen = make_batches(_DS(), batch_size=4, prefetch=2)
+    next(gen)          # producer running, queue filling
+    gen.close()        # abandon -> generator finally sets stop
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before
+                  if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer threads still alive: {leaked}"

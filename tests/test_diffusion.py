@@ -119,6 +119,33 @@ def test_sample_xt_tokens_marginals(sched):
     assert abs(got - p_keep) < 0.01
 
 
+def test_sample_xt_tokens_exact_small_vocab():
+    """K=2 pins the decomposition exactly: at full corruption (alpha_bar≈0)
+    P(x_t = x0) must be 1/2 + ab/2 ≈ 1/2 — the double-counting bug (keep
+    with prob ab+(1-ab)/K AND resample over all K) gives ≈ 3/4 here, far
+    outside the tolerance that the K=128 marginals test cannot resolve."""
+    sched2 = D.make_schedule(T=20, beta_max=0.999, K=2)
+    n = 200_000
+    x0 = jnp.zeros((1, n), jnp.int32)
+    t = jnp.full((1,), 20, jnp.int32)
+    ab = float(sched2.alpha_bar_ext[20])
+    assert ab < 0.05  # the schedule really is near-fully corrupting
+    xt = D.sample_xt_tokens(sched2, jax.random.key(3), x0, t)
+    want = ab + (1 - ab) / 2
+    got = float((np.asarray(xt) == 0).mean())
+    assert abs(got - want) < 0.005, (got, want)
+    # and every t agrees with the q_sample row's own x0 mass (K=5)
+    sched5 = D.make_schedule(T=20, beta_max=0.6, K=5)
+    x0 = jnp.zeros((1, n), jnp.int32)
+    for tt in (1, 10, 20):
+        t = jnp.full((1,), tt, jnp.int32)
+        ab = float(sched5.alpha_bar_ext[tt])
+        xt = D.sample_xt_tokens(sched5, jax.random.key(100 + tt), x0, t)
+        want = ab + (1 - ab) / 5
+        got = float((np.asarray(xt) == 0).mean())
+        assert abs(got - want) < 0.005, (tt, got, want)
+
+
 def test_kl_zero_when_model_predicts_truth(sched, rng):
     B, L = 2, 8
     x0 = jnp.asarray(rng.integers(0, K, (B, L)))

@@ -104,3 +104,62 @@ def test_real_two_process_cluster_matches_solo():
         assert r["mesh"] == {"data": 4, "model": 2}
         np.testing.assert_allclose(r["total_loss"], solo_total, rtol=1e-5)
         np.testing.assert_allclose(r["loss_diff"], solo_diff, rtol=1e-5)
+
+
+def test_real_two_process_cluster_full_training_with_eval(tmp_path):
+    """The FULL run_training loop on a 2-host cluster: host-sharded eval
+    batches, the host_local_copy replicate collective, weighted CER/loss
+    recombination, and primary-gated checkpoint writes.  Train loss must
+    reproduce the single-process run exactly (deterministic); eval metrics
+    must come out finite and identical on both hosts."""
+    from scripts.make_synth_data import main as synth_main
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+
+    env = {k: v for k, v in os.environ.items() if k != "FDDM_DRYRUN_INNER"}
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+
+    env8 = dict(env)
+    env8["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=8"])
+    solo = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+         "train_solo", out],
+        env=env8, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert solo.returncode == 0, solo.stderr[-2000:]
+    solo_res = json.loads(
+        [l for l in solo.stdout.splitlines() if l.startswith("{")][-1])
+
+    env4 = dict(env)
+    env4["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    port = "9931"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+             "train", str(pid), "2", port, out],
+            env=env4, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e[-3000:]
+    results = [json.loads([l for l in o.splitlines() if l.startswith("{")][-1])
+               for o, _ in outs]
+
+    for r in results:
+        assert r["process_count"] == 2
+        # deterministic across process counts: same global batches + seeds
+        np.testing.assert_allclose(r["train_loss"], solo_res["train_loss"],
+                                   rtol=1e-5)
+        assert np.isfinite(r["val_cer"]) and np.isfinite(r["val_loss"])
+    # the weighted recombination must agree across hosts bit-for-bit
+    assert results[0]["val_cer"] == results[1]["val_cer"]
+    assert results[0]["val_loss"] == results[1]["val_loss"]
+    # primary-only artifact writes
+    ck = results[0]["ckpt_dir"]
+    assert os.path.isdir(os.path.join(ck, "ep001.orbax"))
