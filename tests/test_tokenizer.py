@@ -185,3 +185,52 @@ class TestNativeBpeParity:
         bad = "我們" + "\ud800" + "交流"
         ids = sp.encode(bad)            # must not raise
         assert ids == sp._encode_ids_py(bad)
+
+
+class TestRandomizedRoundTrip:
+    """Property-style sweep: BPE trained on a random mixed-script corpus
+    must round-trip ANY text drawn from its coverage set, keep ids in
+    range, and agree between the Python and native codecs."""
+
+    def test_random_corpus_round_trip(self, tmp_path):
+        import random
+
+        rng = random.Random(7)
+        cjk = [chr(c) for c in range(0x4E00, 0x4E00 + 120)]
+        latin = list("abcdefghij klmnop")
+        misc = ["é", "ß", "€", "中", "，", "。", "🙂"]
+        alphabet = cjk + latin + misc
+
+        corpus = ["".join(rng.choice(alphabet) for _ in range(rng.randint(3, 30)))
+                  for _ in range(300)]
+        model = train_bpe(corpus, vocab_size=512)
+        prefix = str(tmp_path / "rand")
+        write_artifacts(model, prefix)
+        sp = SentencePieceProcessor(prefix + ".model")
+
+        import unicodedata
+
+        for _ in range(200):
+            text = "".join(rng.choice(alphabet)
+                           for _ in range(rng.randint(1, 60)))
+            ids = sp.encode(text)
+            assert all(0 <= i < len(model.pieces) for i in ids)
+            # decode(encode(x)) == nmt_nfkc(x): SPM's default normalizer —
+            # NFKC (fullwidth ，-> ASCII ,) plus whitespace strip/collapse —
+            # exactly like real sentencepiece
+            got = sp.decode(ids)
+            want = " ".join(unicodedata.normalize("NFKC", text).split())
+            assert got == want, (text, got)
+            # and it is idempotent
+            assert sp.decode(sp.encode(got)) == got
+
+    def test_whitespace_edge_cases(self, tmp_path):
+        model = train_bpe(["a b  c", "  leading", "trailing  "], vocab_size=48)
+        prefix = str(tmp_path / "ws")
+        write_artifacts(model, prefix)
+        sp = SentencePieceProcessor(prefix + ".model")
+        # SPM normalizes: leading space added, runs collapse per its rules —
+        # round-trip must at least preserve the non-space content order
+        for text in ["a b c", "a  b", " a", "a "]:
+            got = sp.decode(sp.encode(text))
+            assert got.replace(" ", "") == text.replace(" ", ""), (text, got)
