@@ -180,6 +180,15 @@ def q_posterior(
 
     q propto (M_t^T x_t) . (M_{t-1} x0hat) / (x_t^T M_t x0hat), with the t=1
     boundary handled by M_0 = I (betas_ext[0] = 0).
+
+    Reference design quirk (reproduced on purpose, pinned by
+    tests/test_diffusion.py::test_posteriors_match_explicit_transition_matrices):
+    the prior term applies the SINGLE transition M_{t-1} to x0hat, not the
+    canonical D3PM prior Mbar_{t-1} (the cumulative product from x0).  The
+    multi-step posterior below shares the same family (single M_{t-Delta}
+    prior).  Since x0hat is a model OUTPUT the model trains against this
+    exact objective, so the family is self-consistent — but it is not the
+    textbook posterior, and checkpoints are only calibrated for it.
     """
     xt_prob = xt_prob.astype(jnp.float32)
     x0hat_prob = x0hat_prob.astype(jnp.float32)

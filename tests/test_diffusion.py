@@ -254,3 +254,60 @@ class TestTorchParity:
             jnp.asarray(mask),
         )
         np.testing.assert_allclose(float(ours), float(theirs), rtol=2e-4)
+
+
+def test_posteriors_match_explicit_transition_matrices():
+    """First-principles pin via explicit K x K uniform-mixture matrices
+    M_t = a_t I + b_t 11^T, independent of the torch reference.
+
+    The implemented posterior family is the REFERENCE's (design quirk,
+    reproduced on purpose):
+        q(x_{t-d} | x_t, x0hat)  propto  (Mprod^T x_t) . (M_{t-d} x0hat)
+    where the prior term applies the SINGLE transition M_{t-d} to x0hat —
+    NOT the canonical D3PM prior Mbar_{t-d} (the cumulative product from
+    x0).  This test pins both: the implemented formula matches the
+    explicit-matrix computation exactly, and the canonical-prior variant
+    demonstrably differs (so a future "fix" can't silently change
+    semantics without touching this test)."""
+    Ks, Ts = 4, 6
+    s = D.make_schedule(K=Ks, T=Ts, beta_max=0.5)
+    betas = np.asarray(s.betas_ext)      # [T+1], index 0 = 0.0 (M_0 = I)
+    Ms = [np.eye(Ks)]
+    for t in range(1, Ts + 1):
+        a, b = 1.0 - betas[t], betas[t] / Ks
+        Ms.append(a * np.eye(Ks) + b * np.ones((Ks, Ks)))
+    Mbar = [np.eye(Ks)]
+    for t in range(1, Ts + 1):
+        Mbar.append(Ms[t] @ Mbar[t - 1])
+
+    def explicit(xt, x0, t, delta, canonical=False):
+        Mprod = np.eye(Ks)
+        for s_ in range(t - delta + 1, t + 1):
+            Mprod = Ms[s_] @ Mprod  # x_{t-delta} -> x_t
+        like = Mprod.T[xt]          # P(x_t=xt | x_{t-delta}=j)  (symmetric)
+        prior = (Mbar if canonical else Ms)[t - delta][:, x0]
+        post = like * prior
+        return post / post.sum()
+
+    for t in range(2, Ts + 1):
+        for delta in range(1, t):
+            for xt_id, x0_id in [(0, 0), (1, 3), (2, 1)]:
+                xt = jax.nn.one_hot(jnp.full((1, 1), xt_id), Ks)
+                x0 = jax.nn.one_hot(jnp.full((1, 1), x0_id), Ks)
+                tb = jnp.full((1,), t, jnp.int32)
+                if delta == 1:
+                    got = D.q_posterior(s, xt, x0, tb)
+                    np.testing.assert_allclose(
+                        np.asarray(got)[0, 0],
+                        explicit(xt_id, x0_id, t, 1),
+                        atol=1e-5, err_msg=f"single t={t}")
+                got = D.q_posterior_multi_step(s, xt, x0, tb, delta,
+                                               ref_compat=False)
+                np.testing.assert_allclose(
+                    np.asarray(got)[0, 0],
+                    explicit(xt_id, x0_id, t, delta),
+                    atol=1e-5, err_msg=f"multi t={t} delta={delta}")
+    # the canonical-prior variant is a DIFFERENT distribution (t=3, d=1:
+    # Mbar_2 vs M_2 priors) — guard against silently conflating the two
+    assert not np.allclose(explicit(0, 0, 3, 1),
+                           explicit(0, 0, 3, 1, canonical=True), atol=1e-4)
