@@ -29,21 +29,14 @@ import numpy as np
 __all__ = ["load_wav", "save_wav", "resample", "load_audio", "to_wav_16k_mono"]
 
 
-def load_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a PCM WAV -> (float32 samples [C, T] squeezed to [T] if mono, sr)."""
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        channels = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(n)
+def _decode_pcm_int(raw: bytes, width: int, path: str) -> np.ndarray:
     if width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
-        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif width == 1:
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif width == 3:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    if width == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if width == 3:
         a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
         ints = (
             a[:, 0].astype(np.int32)
@@ -51,9 +44,71 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
             | (a[:, 2].astype(np.int32) << 16)
         )
         ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
-        data = ints.astype(np.float32) / float(1 << 23)
+        return ints.astype(np.float32) / float(1 << 23)
+    raise ValueError(f"unsupported WAV sample width {width} in {path}")
+
+
+def _load_wav_riff(path: str) -> Tuple[np.ndarray, int]:
+    """Minimal RIFF parser for WAVs the stdlib `wave` module rejects —
+    notably WAVE_FORMAT_IEEE_FLOAT (format tag 3: 32/64-bit float) and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping a float or PCM subformat.
+    stdlib wave raises 'unknown format: 3' before the sample-width dispatch
+    can run, so float support needs the format tag read from the fmt chunk
+    directly."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {path}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError(f"missing fmt/data chunk in {path}")
+    tag, channels, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the SubFormat GUID's first two bytes are
+        # the real format tag (KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT})
+        (tag,) = struct.unpack("<H", fmt[24:26])
+    width = bits // 8
+    frame = max(1, width * max(1, channels))
+    data = data[: (len(data) // frame) * frame]
+    if tag == 3:  # IEEE float
+        if width == 4:
+            samples = np.frombuffer(data, "<f4").astype(np.float32)
+        elif width == 8:
+            samples = np.frombuffer(data, "<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float WAV width {bits} in {path}")
+    elif tag == 1:
+        samples = _decode_pcm_int(data, width, path)
     else:
-        raise ValueError(f"unsupported WAV sample width {width} in {path}")
+        raise ValueError(f"unsupported WAV format tag {tag} in {path}")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).T  # [C, T]
+    return samples, int(sr)
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV -> (float32 samples [C, T] squeezed to [T] if mono, sr)."""
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+    except wave.Error:
+        # stdlib wave only accepts PCM (and, on newer Pythons, extensible-
+        # PCM); float and extensible-float WAVs land here
+        return _load_wav_riff(path)
+    data = _decode_pcm_int(raw, width, path)
     if channels > 1:
         data = data.reshape(-1, channels).T  # [C, T]
     return data, sr

@@ -212,6 +212,14 @@ def make_batches(
                 for idxs in batches:
                     if stop.is_set() or not _put(collate(idxs)):
                         return
+            except BaseException as e:
+                # Surface collate failures (e.g. a WAV deleted after the
+                # init-time existence check) in the CONSUMER: swallowing
+                # them here would silently truncate the epoch — and in
+                # multi-host runs desync this host's step count from its
+                # peers, hanging the next collective with no cause.
+                failure[0] = e
+                return
             finally:
                 if not _put(None):  # normal end-of-data sentinel
                     try:  # consumer already gone; don't block on a full queue
@@ -219,12 +227,17 @@ def make_batches(
                     except queue.Full:
                         pass
 
+    failure: list = [None]
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
     try:
         while True:
             batch = q.get()
             if batch is None:
+                if failure[0] is not None:
+                    raise RuntimeError(
+                        "data pipeline worker failed mid-epoch"
+                    ) from failure[0]
                 break
             yield batch
     finally:

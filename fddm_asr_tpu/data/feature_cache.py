@@ -55,11 +55,39 @@ def param_checksum(params) -> float:
     return round(total, 6)
 
 
+def _manifest_digest(manifest_path: str) -> str:
+    """md5 of the manifest bytes plus (size, mtime) of every referenced
+    clip.  Path + count alone would miss re-preprocessed audio written to
+    the SAME manifest/clip paths — the cache would silently serve features
+    of the old audio while tokens come from the new manifest."""
+    import hashlib
+
+    h = hashlib.md5()
+    try:
+        with open(manifest_path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return "unreadable"
+    h.update(data)
+    try:
+        records = json.loads(data.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        records = []
+    for rec in records if isinstance(records, list) else []:
+        p = rec.get("processed_path") if isinstance(rec, dict) else None
+        if p and os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{os.path.basename(p)}:{st.st_size}:"
+                     f"{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
 def fingerprint(manifest_path: str, n: int, checksum: float) -> dict:
     return {
         "manifest": os.path.abspath(manifest_path),
         "n": n,
         "encoder_checksum": checksum,
+        "content": _manifest_digest(manifest_path),
     }
 
 

@@ -160,6 +160,28 @@ def evaluate_wer_with_jumpy_sampling(pipeline, batches, cfg=None, rng=None) -> f
     )
 
 
+def _decoded_span_logprob_mean(ids_row: np.ndarray, tok_p: np.ndarray,
+                               pipeline) -> float:
+    """Mean log p(token) over the decoded span (pre-eos, non-pad/bos) —
+    the same span ids_to_text keeps and _utterance_confidence scores.
+    Empty span (all pad) scores -inf so a sample with real content wins."""
+    end = len(ids_row)
+    eos = pipeline.special_ids.get("eos_id")
+    if eos is not None:
+        hits = np.nonzero(ids_row == eos)[0]
+        if hits.size:
+            end = int(hits[0])
+    valid = np.zeros(len(ids_row), bool)
+    valid[:end] = True
+    valid &= ids_row != pipeline.pad_id
+    bos = pipeline.special_ids.get("bos_id")
+    if bos is not None:
+        valid &= ids_row != bos
+    if not valid.any():
+        return -np.inf
+    return float(np.log(np.maximum(tok_p[valid], 1e-20)).mean())
+
+
 def evaluate_cer_with_multi_sample(
     pipeline, batches, cfg=None, sampling_config=None, num_samples: int = 3,
     rng=None, voting: str = "first",
@@ -200,7 +222,16 @@ def evaluate_cer_with_multi_sample(
                 p = np.take_along_axis(
                     np.asarray(p_x0), np.asarray(x_pred)[..., None], axis=-1
                 )[..., 0]                                        # [B, L]
-                scores.append(np.log(np.maximum(p, 1e-20)).sum(axis=-1))
+                # Score only the DECODED span (pre-eos, non-pad/bos),
+                # mirroring pipeline._utterance_confidence: the post-eos
+                # tail is dropped by ids_to_text, so confidently-scored
+                # garbage there must not sway which sample wins.  Mean
+                # (not sum) so spans of different lengths compare fairly.
+                scores.append(np.asarray([
+                    _decoded_span_logprob_mean(
+                        np.asarray(x_pred)[b], p[b], pipeline)
+                    for b in range(p.shape[0])
+                ]))
         if voting == "majority":
             stacked = np.stack(preds)                            # [N, B, L]
             def _mode(col):

@@ -3,9 +3,16 @@
 
 `dot_product_attention` is the portable XLA path used by every model; it is
 numerically equivalent to torch.nn.MultiheadAttention's core (scale 1/sqrt(dh),
--inf key-padding mask, softmax-weight dropout).  The Pallas flash-attention
+masked key padding, softmax-weight dropout).  The Pallas flash-attention
 kernel (`fddm_asr_tpu.ops.flash_attention`) plugs in through the same
 signature for long-sequence TPU runs.
+
+Masked keys score float32-min rather than -inf, matching the Pallas and ring
+kernels: exp(min - max) underflows to exactly 0 for any row with a valid key
+(bit-identical to the -inf mask there), while a fully-masked row degrades to
+a uniform average instead of softmax(all -inf) = NaN.  Rows with zero valid
+keys arise for real inputs (audio < 400 samples has zero conv frames), and a
+NaN there would poison the whole batch through LayerNorm.
 
 Shapes: q [B, Lq, H, Dh]; k, v [B, Lk, H, Dh] -> out [B, Lq, H, Dh].
 """
@@ -16,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = float("-inf")
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def dot_product_attention(

@@ -43,6 +43,7 @@ interpret mode on CPU; scripts/validate_pallas_tpu.py re-validates on TPU).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -626,7 +627,12 @@ def _train_backward(q, k, v, pos_bias, gate, key_mask, out_p, lse, dout,
         interpret=interpret,
     )(qp, kp, vp, bias_p, gate_p, lse, delta, dop, mask_p)
 
-    block_k = min(block_k, Lk)
+    # Lk is a multiple of 128 but not necessarily of block_k (e.g. L=384
+    # pads to Lk=384; block_k=256 would floor-divide the grid to one step
+    # and leave the tail 128 key rows' dk/dv uninitialized and their dbias
+    # columns unaccumulated).  Shrink block_k to a divisor of Lk so the
+    # grid tiles every key row.
+    block_k = math.gcd(min(block_k, Lk), Lk)
     grid_k = (H // 2, Lk // block_k, B)
     dk, dv, dbias_p = pl.pallas_call(
         functools.partial(_kernel_packed_bwd_dkv, scale=scale, dh=dh),

@@ -174,6 +174,24 @@ def make_global_mesh(
             f"data axis {data} must be divisible by {n_hosts} hosts"
         )
     devs = list(devices if devices is not None else jax.devices())
+    needed_local = (data * model) // n_hosts
+    if needed_local > n_local:
+        raise ValueError(
+            f"mesh data={data},model={model} needs {needed_local} devices "
+            f"per host but only {n_local} are local; lower one axis or use "
+            "more hosts"
+        )
+    if needed_local * n_hosts < len(devs):
+        # pinned subset spec (MeshSpec.resolve permits data*model <
+        # n_devices, mirroring make_mesh's devices[:data*model]): keep every
+        # host in the mesh with an equal share — the first needed_local
+        # local devices per process — so no process is left without an
+        # addressable shard of the global arrays.
+        by_proc: dict = {}
+        for d in sorted(devs, key=lambda d: (d.process_index, d.id)):
+            by_proc.setdefault(d.process_index, []).append(d)
+        devs = [d for _, ds in sorted(by_proc.items())
+                for d in ds[:needed_local]]
     slices = {getattr(d, "slice_index", None) for d in devs}
     if None not in slices and len(slices) == n_hosts:
         # real TPU pod slices: let mesh_utils optimize the ICI layout

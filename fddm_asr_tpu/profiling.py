@@ -50,7 +50,16 @@ def nan_guard(enabled: bool = True) -> Iterator[None]:
 
 
 class StepTimer:
-    """Rolling step timing; the first `skip` steps (compiles) are excluded."""
+    """Rolling step timing; the first `skip` steps (compiles) are excluded.
+
+    Two further guards keep the reported examples_per_s honest:
+      * ``pause()`` — call across known non-step gaps (epoch boundaries:
+        eval, checkpoint save) so the next tick doesn't record the gap.
+      * outlier rejection — an interval > 10x the window median with >= 5
+        samples banked is a mid-run compile (e.g. the deferred apply_lfd
+        jit variant at step n_step_fd; ~30-60 s against ~1 s steps here),
+        not a step; it is dropped rather than skewing the window.
+    """
 
     def __init__(self, skip: int = 1, window: int = 50):
         self.skip = skip
@@ -64,10 +73,21 @@ class StepTimer:
         if self._last is not None:
             self._count += 1
             if self._count > self.skip:
-                self._times.append(now - self._last)
+                dt = now - self._last
+                if len(self._times) >= 5:
+                    med = sorted(self._times)[len(self._times) // 2]
+                    if dt > 10.0 * med:
+                        self._last = now
+                        return
+                self._times.append(dt)
                 if len(self._times) > self.window:
                     self._times.pop(0)
         self._last = now
+
+    def pause(self) -> None:
+        """Forget the last tick: the time until the next tick is not a
+        step (eval, checkpointing, epoch turnover)."""
+        self._last = None
 
     @property
     def seconds_per_step(self) -> Optional[float]:

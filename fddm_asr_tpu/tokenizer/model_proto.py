@@ -68,7 +68,16 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
         shift += 7
 
 
+_U64 = 1 << 64
+
+
 def _write_varint(out: bytearray, value: int) -> None:
+    if value < 0:
+        # protobuf int32/int64: negatives are 64-bit two's complement
+        # (a 10-byte varint).  Python's arithmetic shift would otherwise
+        # never terminate on a negative int.  SentencePiece uses -1 as the
+        # standard "disabled id" sentinel (e.g. its default pad_id).
+        value += _U64
     while True:
         b = value & 0x7F
         value >>= 7
@@ -77,6 +86,11 @@ def _write_varint(out: bytearray, value: int) -> None:
         else:
             out.append(b)
             return
+
+
+def _signed(value: int) -> int:
+    """Undo the two's-complement varint encoding for signed int fields."""
+    return value - _U64 if value >= (1 << 63) else value
 
 
 def _iter_fields(buf: bytes):
@@ -147,10 +161,10 @@ def parse_model(data: bytes) -> SPModel:
                 normalizer[f2] = v2
     model = SPModel(pieces=pieces)
     model.model_type = trainer.get(3, 2)
-    model.unk_id = trainer.get(40, 0)
-    model.bos_id = trainer.get(41, 1)
-    model.eos_id = trainer.get(42, 2)
-    model.pad_id = trainer.get(43, 3)
+    model.unk_id = _signed(trainer.get(40, 0))
+    model.bos_id = _signed(trainer.get(41, 1))
+    model.eos_id = _signed(trainer.get(42, 2))
+    model.pad_id = _signed(trainer.get(43, 3))
     if 1 in normalizer and isinstance(normalizer[1], bytes):
         model.normalizer_name = normalizer[1].decode("utf-8", "replace")
     model.add_dummy_prefix = bool(normalizer.get(3, 1))

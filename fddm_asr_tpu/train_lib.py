@@ -432,13 +432,14 @@ def run_training(
     export_pt: bool = True,
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
-    eval_every: int = 1,
+    eval_every: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Full training run; returns summary metrics.  CLI wrapper: train.py.
 
     eval_every=k evaluates val/test CER every k-th epoch (and always on the
     final epoch); 1 = the reference's per-epoch cadence
-    (/root/reference/train.py:618-650).
+    (/root/reference/train.py:618-650); None defers to cfg log.eval_every
+    (default 1) — a distinct sentinel so an explicit CLI 1 always wins.
 
     The profiler trace and NaN-guard wrap the whole run in try/finally so a
     mid-training exception still dumps the trace and restores the global
@@ -483,11 +484,11 @@ def _run_training_impl(
     wavlm_params: Optional[Dict] = None,
     max_steps_per_epoch: Optional[int] = None,
     export_pt: bool = True,
-    eval_every: int = 1,
+    eval_every: Optional[int] = None,
 ) -> Dict[str, Any]:
     from fddm_asr_tpu.data.dataset import ManifestDataset, make_batches
     from fddm_asr_tpu.pipeline import FDDMPipeline
-    from fddm_asr_tpu.profiling import StepTimer, annotate, nan_guard, trace
+    from fddm_asr_tpu.profiling import StepTimer, annotate
     from fddm_asr_tpu.tokenizer import load_tokenizer
     from fddm_asr_tpu import checkpoint as C
 
@@ -674,7 +675,6 @@ def _run_training_impl(
         # datasets ----------------------------------------------------------
         data_cfg = cfg.data
         max_len = data_cfg.get("max_len", 128)
-        tok_path = None  # pipeline already holds tokenizer
 
         def make_ds(path):
             if not path or not os.path.exists(path):
@@ -715,7 +715,7 @@ def _run_training_impl(
         n_step_fd = cfg.lfd.get("n_step_fd", 4)
         log_every = cfg.log.get("log_every", 50)
         num_epochs = cfg.optim.get("num_epochs", 10)
-        if eval_every == 1:  # param default defers to config
+        if eval_every is None:  # not passed: defer to config
             eval_every = int(cfg.log.get("eval_every", 1))
 
         batch_shard = batch_sharding(mesh)
@@ -821,6 +821,7 @@ def _run_training_impl(
                            if timer.seconds_per_step else {}),
                     )
                 global_step += 1
+            timer.pause()  # eval/ckpt gap until the next epoch's first tick
             train_loss = (float(loss_sum) / step_cnt) if step_cnt else 0.0
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
 
@@ -834,28 +835,29 @@ def _run_training_impl(
                 # ema_eval evaluates the EMA weights — the checkpoints they
                 # gate export those same weights, keeping CER and artifact
                 # consistent
+                # HOST-LOCAL eval (multi-host): the trained params are
+                # sharded over the GLOBAL mesh, which process-local eval
+                # jits cannot consume.  Replicate them once (one all-gather
+                # — every host participates in this collective) and hand
+                # each host a numpy copy; each host then evaluates only its
+                # data shard and the metrics recombine below, weighted by
+                # shard size.  No DCN traffic during eval itself.  The copy
+                # must happen BEFORE the LoRA merge: merge_lora runs eager
+                # einsum/add, which raises on non-fully-addressable arrays.
                 pipeline.decoder_params = (state.ema[0] if ema_eval
                                            else state.decoder)
+                if multi_host:
+                    pipeline.decoder_params = dist.host_local_copy(
+                        pipeline.decoder_params, mesh)
                 if train_encoder:
                     enc_trained = state.ema[4] if ema_eval else state.encoder
+                    if multi_host:
+                        enc_trained = dist.host_local_copy(enc_trained, mesh)
                     if lora_rank > 0:
                         from fddm_asr_tpu.models.lora import merge_lora
                         enc_trained = merge_lora(
                             encoder_base_params, enc_trained, lora_scale)
                     pipeline.encoder_params = enc_trained
-                if multi_host:
-                    # HOST-LOCAL eval: the trained params are sharded over the
-                    # GLOBAL mesh, which process-local eval jits cannot
-                    # consume.  Replicate them once (one all-gather — every
-                    # host participates in this collective) and hand each
-                    # host a numpy copy; each host then evaluates only its
-                    # data shard and the metrics recombine below, weighted
-                    # by shard size.  No DCN traffic during eval itself.
-                    pipeline.decoder_params = dist.host_local_copy(
-                        pipeline.decoder_params, mesh)
-                    if train_encoder:
-                        pipeline.encoder_params = dist.host_local_copy(
-                            pipeline.encoder_params, mesh)
 
             def _eval_shard_size(ds) -> int:
                 from fddm_asr_tpu.data.dataset import shard_example_count

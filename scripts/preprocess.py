@@ -258,19 +258,37 @@ def process_language_batch(
     return total_duration
 
 
-def _temp_path(split: str, dataset: str, lang: str) -> str:
-    return os.path.join(PROCESSED_DIR, f"_tmp_{split}_{dataset}_{lang}.json")
+_flush_counters: Dict[str, int] = {}
 
 
 def _flush_temp(split, dataset, lang, records):
-    path = _temp_path(split, dataset, lang)
-    existing = []
-    if os.path.exists(path):
-        existing = json.load(open(path, encoding="utf-8"))
-    existing.extend(records)
+    # Each flush writes a NEW chunk file (never read-modify-write): flushing
+    # stays O(batch) instead of O(total-so-far), and a crash can't leave a
+    # half-written aggregate.  merge_temp_files_to_unified sorts names, so
+    # the zero-padded counter preserves record order.
+    key = f"{split}_{dataset}_{lang}"
+    n = _flush_counters.get(key, 0)
+    _flush_counters[key] = n + 1
+    path = os.path.join(PROCESSED_DIR, f"_tmp_{key}_{n:06d}.json")
     os.makedirs(PROCESSED_DIR, exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
-        json.dump(existing, f, ensure_ascii=False)
+        json.dump(records, f, ensure_ascii=False)
+
+
+def clear_stale_temps(splits: List[str]):
+    """Remove _tmp_* leftovers from a crashed previous run.
+
+    Temps are only deleted at merge time; if a prior run died after
+    flushing, a rerun would otherwise sweep the stale chunks into the
+    fresh manifests and duplicate every re-processed utterance."""
+    if not os.path.isdir(PROCESSED_DIR):
+        return
+    for split in splits:
+        for name in sorted(os.listdir(PROCESSED_DIR)):
+            if name.startswith(f"_tmp_{split}_") and name.endswith(".json"):
+                path = os.path.join(PROCESSED_DIR, name)
+                print(f"  removing stale temp from a previous run: {path}")
+                os.remove(path)
 
 
 def merge_temp_files_to_unified(splits: List[str]):
@@ -355,6 +373,7 @@ def build_manifests_auto_merge(
             "invalid_files": 0, "duplicates_detail": [],
         },
     }
+    clear_stale_temps(splits)
     datasets = detect_datasets(dataset_names)
     if not datasets:
         raise ValueError(f"no datasets found under {RAW_DIR}")

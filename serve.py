@@ -206,13 +206,18 @@ class BatchingEngine:
                 # level.  Pad rows carry 0.1 s of silence (never all-masked)
                 # and are sliced off below; rows are independent on device.
                 longest = max(len(r.wave) for r in batch)
-                T = -(-max(longest, 1) // self.bucket) * self.bucket
+                T = max(-(-max(longest, 1) // self.bucket) * self.bucket, 400)
                 Bp = self._bucket_batch_size(len(batch))
                 wave = np.zeros((Bp, T), np.float32)
                 lengths = np.full((Bp,), min(1600, T), np.int64)
                 for i, r in enumerate(batch):
                     wave[i, : len(r.wave)] = r.wave
-                    lengths[i] = len(r.wave)
+                    # Clamp to one conv-frame's receptive field (400
+                    # samples): shorter lengths yield ZERO encoder frames,
+                    # whose all-masked attention rows would reach the
+                    # decoder (inference.py guards its rows identically).
+                    # Sub-400 uploads and long-form tail chunks hit this.
+                    lengths[i] = max(len(r.wave), 400)
                 self._rng_counter += 1
                 texts_ids = self.pipeline.transcribe_with_ids(
                     wave, lengths, seq_len=self.seq_len,
@@ -397,7 +402,8 @@ def build_server(args) -> ThreadingHTTPServer:
     )
     echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
             "max_batch": args.max_batch}
-    loopback = args.host in ("127.0.0.1", "localhost", "::1", "")
+    # '' binds INADDR_ANY (all interfaces) — that is NOT loopback.
+    loopback = args.host in ("127.0.0.1", "localhost", "::1")
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(engine, echo, audio_root=getattr(args, "audio_root", None),

@@ -153,6 +153,12 @@ def main():
         total, diff = build_and_step(mesh)
         base.update({"mesh": dict(mesh.shape), "total_loss": total,
                      "loss_diff": diff})
+        # pinned SUBSET spec (data*model < total devices): every host must
+        # still contribute an equal share (regression: reshape crash)
+        sub = make_global_mesh(MeshSpec(data=2, model=2))
+        sub_procs = {d.process_index for d in sub.devices.flat}
+        base["subset_mesh"] = dict(sub.shape)
+        base["subset_hosts"] = len(sub_procs)
     print(json.dumps(base), flush=True)
 
 

@@ -89,6 +89,52 @@ class TestAudio:
         out, sr2 = load_wav(dst)
         assert sr2 == 16000 and abs(len(out) - 16000) <= 2
 
+    @pytest.mark.parametrize("bits,fmt", [(32, "<f4"), (64, "<f8")])
+    def test_float_wav_load(self, tmp_path, bits, fmt):
+        """WAVE_FORMAT_IEEE_FLOAT files (rejected by stdlib wave with
+        'unknown format: 3') decode through the RIFF fallback parser."""
+        import struct
+
+        sr = 16000
+        sig = (0.25 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+        payload = np.asarray(sig, fmt).tobytes()
+        width = bits // 8
+        fmt_chunk = struct.pack("<HHIIHH", 3, 1, sr, sr * width, width, bits)
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        path = str(tmp_path / f"float{bits}.wav")
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+        loaded, sr2 = load_wav(path)
+        assert sr2 == sr
+        np.testing.assert_allclose(loaded, sig, atol=1e-6)
+
+    def test_extensible_float_wav_load(self, tmp_path):
+        """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping the IEEE-float
+        subformat GUID resolves to the float decode path."""
+        import struct
+
+        sr = 8000
+        sig = np.linspace(-0.5, 0.5, sr, dtype=np.float32)
+        payload = sig.tobytes()
+        # KSDATAFORMAT_SUBTYPE_IEEE_FLOAT: 00000003-0000-0010-8000-00aa00389b71
+        guid = (struct.pack("<IHH", 3, 0, 0x0010)
+                + bytes.fromhex("800000aa00389b71"))
+        fmt_chunk = (struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32)
+                     + struct.pack("<HHI", 22, 32, 0) + guid)
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        path = str(tmp_path / "ext.wav")
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+        loaded, sr2 = load_wav(path)
+        assert sr2 == sr
+        np.testing.assert_allclose(loaded, sig, atol=1e-6)
+
     def test_to_wav_failure_returns_minus_one(self, tmp_path):
         bad = str(tmp_path / "bad.mp3")
         open(bad, "wb").write(b"not audio")
@@ -251,3 +297,29 @@ def test_make_batches_abandoned_iterator_releases_producer():
             break
         time.sleep(0.05)
     assert not leaked, f"producer threads still alive: {leaked}"
+
+
+def test_make_batches_surfaces_worker_failure():
+    """A collate failure mid-epoch (e.g. a WAV deleted after the init-time
+    existence check) must raise in the CONSUMER, not silently truncate the
+    epoch (regression: the producer's exception used to die in its thread
+    and the None sentinel read as normal end-of-data — desyncing multi-host
+    step counts)."""
+
+    class _DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise IOError("wav vanished")
+            return {"wave": np.zeros(160, np.float32),
+                    "wave_length": np.int64(160),
+                    "tokens": np.zeros(4, np.int32),
+                    "token_length": np.int64(4)}
+
+    got = 0
+    with pytest.raises(RuntimeError, match="data pipeline worker failed"):
+        for _ in make_batches(_DS(), batch_size=2, shuffle=False):
+            got += 1
+    assert got < 4  # the epoch did NOT complete silently

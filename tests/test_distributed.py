@@ -104,6 +104,9 @@ def test_real_two_process_cluster_matches_solo():
         assert r["mesh"] == {"data": 4, "model": 2}
         np.testing.assert_allclose(r["total_loss"], solo_total, rtol=1e-5)
         np.testing.assert_allclose(r["loss_diff"], solo_diff, rtol=1e-5)
+        # pinned subset spec (4 of 8 devices) keeps every host in the mesh
+        assert r["subset_mesh"] == {"data": 2, "model": 2}
+        assert r["subset_hosts"] == 2
 
 
 def test_real_two_process_cluster_full_training_with_eval(tmp_path):

@@ -102,6 +102,10 @@ def test_flash_kernel_matches_xla(rng, L, block_q, block_k, with_mask):
     (256, 128, 128, True),    # multi q/k-block, ragged mask
     (200, 128, 128, True),    # L not a block multiple: padded rows/keys
     (200, 256, 128, False),   # single q-block (block_q clamped to Lq)
+    (384, 128, 256, True),    # Lk % block_k != 0: dK/dV grid must still
+                              # tile the tail key block (regression: the
+                              # grid used to floor-divide, leaving rows
+                              # 256-383 of dk/dv uninitialized)
 ])
 def test_trainable_kernel_grads_match_xla(rng, L, block_q, block_k, with_mask):
     """custom-VJP fused attention (interpret mode on CPU): forward AND all

@@ -61,6 +61,28 @@ def test_preprocess_auto_merge(cv_raw):
     assert (processed / "train.csv").exists()
 
 
+def test_preprocess_clears_stale_temps(cv_raw):
+    """_tmp_* leftovers from a crashed previous run must be discarded, not
+    merged: otherwise every re-processed utterance appears twice in the
+    fresh manifests (regression)."""
+    import preprocess
+
+    processed = cv_raw / "data/processed"
+    processed.mkdir(parents=True, exist_ok=True)
+    stale = [{"path": "ghost.wav", "sentence": "ghost", "text": "ghost",
+              "duration": 1.0, "processed_path": "ghost16.wav",
+              "language": "zh-TW", "dataset": "cv-v0", "split": "train",
+              "audio_hash": None}]
+    (processed / "_tmp_train_cv-v0_zh-TW_000000.json").write_text(
+        json.dumps(stale), encoding="utf-8")
+
+    preprocess.main(["--auto_merge", "--splits", "train,dev"])
+    train = json.load(open(processed / "train.json", encoding="utf-8"))
+    texts = [r["text"] for r in train]
+    assert "ghost" not in texts
+    assert len(texts) == len(set(texts)) == 2
+
+
 def test_preprocess_multilingual_merge(tmp_path, monkeypatch):
     """--auto_merge across two languages (zh-TW + en) in one dataset
     (BASELINE config #5: merged multilingual corpus)."""

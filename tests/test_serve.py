@@ -113,6 +113,28 @@ def test_concurrent_requests_batch(server):
     assert stats["mean_batch_size"] > 1.0 or stats["batches"] < stats["requests"]
 
 
+def test_sub_frame_audio_is_finite(server, tmp_path):
+    """Audio shorter than one conv frame (400 samples) must transcribe
+    without NaN: the engine clamps lengths to the 400-sample receptive
+    field exactly like inference.py.  Regression: unclamped lengths gave
+    the encoder zero valid frames, whose all-masked attention rows
+    NaN-poisoned features, transcripts, and confidence (invalid JSON)."""
+    import numpy as np
+    from fddm_asr_tpu.data.audio_io import save_wav
+
+    base, _, _ = server
+    rng = np.random.default_rng(0)
+    wav_path = str(tmp_path / "tiny.wav")
+    save_wav(wav_path, rng.uniform(-0.1, 0.1, 320).astype(np.float32), 16000)
+
+    code, obj = _post(base + "/v1/transcribe", open(wav_path, "rb").read(),
+                      "audio/wav")
+    assert code == 200, obj
+    # json.loads is strict about NaN only via parse_constant; assert directly
+    assert "confidence" in obj and obj["confidence"] == obj["confidence"]
+    assert isinstance(obj["text"], str)
+
+
 def test_bad_request(server):
     base, _, _ = server
     code, obj = _post(base + "/v1/transcribe", b"not a wav", "audio/wav")

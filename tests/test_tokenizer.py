@@ -86,6 +86,22 @@ class TestProtoRoundTrip:
         sp = SentencePieceProcessor(path)
         assert sp.encode_as_pieces("ab") == ["▁ab"]
 
+    def test_disabled_id_sentinels_round_trip(self, tmp_path):
+        # SentencePiece's own defaults disable bos/pad with id -1, encoded
+        # as a 10-byte two's-complement varint.  Regression: serialization
+        # used to infinite-loop on negatives and parsing returned 2^64-1.
+        model = mp.SPModel(
+            pieces=[mp.Piece("<unk>", 0.0, mp.UNKNOWN), mp.Piece("a", -1.0)],
+            bos_id=-1, eos_id=1, pad_id=-1,
+        )
+        path = str(tmp_path / "disabled.model")
+        mp.save_model(model, path)
+        loaded = mp.load_model(path)
+        assert loaded.bos_id == -1
+        assert loaded.pad_id == -1
+        assert loaded.eos_id == 1
+        assert loaded.unk_id == 0
+
 
 class TestTraining:
     def test_train_and_use(self, tmp_path):

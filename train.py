@@ -42,10 +42,11 @@ def main(argv=None):
     parser.add_argument("--wavlm-ckpt", type=str, default=None,
                         help="local WavLM weights (HF dir or orbax)")
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
-    parser.add_argument("--eval-every", type=int, default=1,
+    parser.add_argument("--eval-every", type=int, default=None,
                         help="evaluate val/test CER every k-th epoch "
-                             "(final epoch always; cfg log.eval_every also "
-                             "works); 1 = reference per-epoch cadence")
+                             "(final epoch always); overrides cfg "
+                             "log.eval_every; default: cfg value or 1 "
+                             "(reference per-epoch cadence)")
     parser.add_argument("--no-pt-export", action="store_true",
                         help="skip reference-format .pt export per checkpoint")
     parser.add_argument("--profile-dir", type=str, default=None,
