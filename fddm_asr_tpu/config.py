@@ -106,9 +106,24 @@ def load_config(
     if resolve_base and "base_config" in raw:
         base_path = raw.pop("base_config")
         if not os.path.isabs(base_path):
-            # base paths in shipped configs are repo-relative; try both
-            cand = os.path.join(os.path.dirname(path), os.path.basename(base_path))
-            base_path = base_path if os.path.exists(base_path) else cand
+            # base paths in shipped configs are repo-relative; also accept
+            # child-dir-relative (full relative path first — basename-only
+            # last, since it silently discards directory components and
+            # could resolve to an unrelated same-named file)
+            candidates = [
+                base_path,
+                os.path.join(os.path.dirname(path), base_path),
+                os.path.join(os.path.dirname(path), os.path.basename(base_path)),
+            ]
+            for cand in candidates:
+                if os.path.exists(cand):
+                    base_path = cand
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"base_config {base_path!r} (from {path}) not found; "
+                    f"tried: {candidates}"
+                )
         base = load_config(base_path, resolve_base=True).to_dict()
         raw = deep_merge(base, raw)
     if overrides:

@@ -196,11 +196,16 @@ class MultiheadAttention(nn.Module):
 
 
 def masked_mean_pool(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Mean over the time axis honoring a True=keep mask (reference 181-185)."""
+    """Mean over the time axis honoring a True=keep mask (reference 181-185).
+
+    The denominator is clamped (like AcousticEncoder's pooled path): a row
+    with zero valid frames pools to 0 instead of 0/0 = NaN, which would
+    poison that row's FiLM scale/shift and logits.  Identical numerics for
+    any row with at least one valid frame."""
     if mask is None:
         return jnp.mean(x, axis=1)
     m = mask.astype(x.dtype)[..., None]
-    return jnp.sum(x * m, axis=1) / jnp.sum(m, axis=1)
+    return jnp.sum(x * m, axis=1) / jnp.clip(jnp.sum(m, axis=1), min=1.0)
 
 
 class DecoderBlock(nn.Module):
@@ -340,6 +345,14 @@ class DenoisingTransformerDecoder(nn.Module):
             embedding_init=_padding_zero_init(nn.initializers.normal(1.0), self.pad_id),
         )
         x = tok_emb(xt)
+        # torch Embedding(padding_idx=pad_id) zeroes the pad row's GRADIENT
+        # forever, not just its init (reference denoise_decoder.py:214).
+        # Corrupted x_t hits pad_id at loss-active positions ~1/K of the
+        # time, so without this mask the row would drift during training —
+        # a training-dynamics parity divergence.  Masking the OUTPUT rows
+        # blocks that gradient (the output no longer reads the pad row) and
+        # reproduces torch's zero-vector lookup exactly.
+        x = x * (xt != self.pad_id)[..., None].astype(x.dtype)
 
         rope_cos = rope_sin = None
         if self.pos_emb_type == "rope":

@@ -263,7 +263,7 @@ class ConvLayer(nn.Module):
 
             return conv_ln_gelu(
                 x, cp["kernel"], cp.get("bias"), lp["scale"], lp["bias"],
-                self.stride,
+                self.stride, gelu_tanh=self.gelu_tanh,
             )
         x = conv(x)
         if self.norm == "layer":

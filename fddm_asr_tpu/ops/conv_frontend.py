@@ -35,8 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _gelu_f32(x):
-    return jax.nn.gelu(x, approximate=False)
+def _gelu_f32(x, tanh: bool = False):
+    return jax.nn.gelu(x, approximate=tanh)
 
 
 def _erf_poly(x):
@@ -56,8 +56,13 @@ def _erf_poly(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _gelu_kernel(x):
-    """exact-erf GELU via the polynomial erf (kernel-side)."""
+def _gelu_kernel(x, tanh: bool = False):
+    """Kernel-side GELU: exact-erf via the polynomial erf, or the tanh
+    approximation (matching jax.nn.gelu(approximate=True) bit-for-bit —
+    Mosaic lowers tanh natively)."""
+    if tanh:
+        c = np.float32(np.sqrt(2.0 / np.pi))
+        return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
     return 0.5 * x * (1.0 + _erf_poly(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
@@ -69,8 +74,10 @@ def conv_ln_gelu_xla(
     ln_bias: jnp.ndarray,      # [Cout]
     stride: int,
     eps: float = 1e-5,
+    gelu_tanh: bool = False,
 ) -> jnp.ndarray:
-    """Reference semantics: VALID conv -> LayerNorm(channels) -> exact GELU."""
+    """Reference semantics: VALID conv -> LayerNorm(channels) -> GELU
+    (exact erf by default; tanh when WavLMConfig.gelu_approx_tanh)."""
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride,), "VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
@@ -82,22 +89,14 @@ def conv_ln_gelu_xla(
     var = jnp.mean(jnp.square(out32 - mean), axis=-1, keepdims=True)
     normed = (out32 - mean) * jax.lax.rsqrt(var + eps)
     normed = normed * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    return _gelu_f32(normed).astype(x.dtype)
-
-
-def _patches(window, block_t: int, k: int, s: int, cin: int):
-    """[block_t*s + (k-s), cin] -> [block_t, k*cin] with contiguous reshapes."""
-    base = window[: block_t * s, :].reshape(block_t, s * cin)
-    if k == s:
-        return base
-    tail = window[s : block_t * s + s, :].reshape(block_t, s * cin)
-    return jnp.concatenate([base, tail[:, : (k - s) * cin]], axis=1)
+    return _gelu_f32(normed, gelu_tanh).astype(x.dtype)
 
 
 _OVERLAP = 32  # sublane-aligned rows fetched from the next block (>= any s)
 
 
-def _make_kernel(block_t: int, k: int, s: int, cin: int, eps: float, out_dtype):
+def _make_kernel(block_t: int, k: int, s: int, cin: int, eps: float, out_dtype,
+                 gelu_tanh: bool = False):
     """Kernel over Pallas-pipelined blocks (automatic double buffering).
 
     Inputs per program: base tile [block_t*s, cin] and a small _OVERLAP-row
@@ -129,12 +128,13 @@ def _make_kernel(block_t: int, k: int, s: int, cin: int, eps: float, out_dtype):
         normed = (out - mean) * jax.lax.rsqrt(var + eps)
         normed = normed * scale_ref[...].astype(jnp.float32)
         normed = normed + bias_ref[...].astype(jnp.float32)
-        out_ref[0] = _gelu_kernel(normed).astype(out_dtype)
+        out_ref[0] = _gelu_kernel(normed, gelu_tanh).astype(out_dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "block_t", "interpret"))
+@functools.partial(jax.jit, static_argnames=("stride", "block_t", "interpret",
+                                              "gelu_tanh"))
 def conv_ln_gelu_pallas(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -145,6 +145,7 @@ def conv_ln_gelu_pallas(
     block_t: int = 512,
     interpret: bool = False,
     eps: float = 1e-5,
+    gelu_tanh: bool = False,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -168,7 +169,7 @@ def conv_ln_gelu_pallas(
     w2 = w.reshape(k * Cin, Cout)
 
     ratio = bs // _OVERLAP
-    kernel = _make_kernel(block_t, k, s, Cin, eps, x.dtype)
+    kernel = _make_kernel(block_t, k, s, Cin, eps, x.dtype, gelu_tanh)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, T_out_pad, Cout), x.dtype),
@@ -191,7 +192,7 @@ def conv_ln_gelu_pallas(
 
 def conv_ln_gelu(
     x, w, b, ln_scale, ln_bias, stride: int,
-    force_xla: bool = False, interpret: bool = False,
+    force_xla: bool = False, interpret: bool = False, gelu_tanh: bool = False,
 ) -> jnp.ndarray:
     """Dispatch wrapper; reframes the waveform layer (k=10, s=5, Cin=1)."""
     k, Cin, Cout = w.shape
@@ -208,5 +209,7 @@ def conv_ln_gelu(
     # layers (the waveform layer) stay on the XLA path — interpret mode
     # exercises the kernel on all geometries regardless.
     if not use_pallas or (Cin % 128 != 0 and not interpret):
-        return conv_ln_gelu_xla(x, w, b, ln_scale, ln_bias, stride)
-    return conv_ln_gelu_pallas(x, w, b, ln_scale, ln_bias, stride, interpret=interpret)
+        return conv_ln_gelu_xla(x, w, b, ln_scale, ln_bias, stride,
+                                gelu_tanh=gelu_tanh)
+    return conv_ln_gelu_pallas(x, w, b, ln_scale, ln_bias, stride,
+                               interpret=interpret, gelu_tanh=gelu_tanh)

@@ -20,9 +20,12 @@ Semantics matched to the reference:
   * Fast mode remaps t_infer -> t_train = round(clamp(t/T_infer * T_train,
     1, T_train)) and mixes alpha_bar * p(x0) + (1-alpha_bar)/K (lines
     139-151, 219-236).  Python banker's rounding is applied at trace time,
-    matching `round()` in the reference.  alpha_bar lookup uses the length-
-    (T+1) extended table, fixing the reference's IndexError at
-    t_train == T_train (quirk #5) without changing any in-range value.
+    matching `round()` in the reference.  The reference's lookup is
+    off-by-one against its own q_sample convention — it returns
+    abar_{t_train+1} — and IndexErrors at t_train == T_train (quirk #5);
+    `ref_compat=True` (default) reproduces the shifted value (clamped at T
+    instead of crashing), `ref_compat=False` uses the self-consistent
+    abar_{t_train}.  See _fast_alpha_bar_targets.
   * posterior_mode == "max" -> argmax; anything else (including the 'map'
     string used by the reference eval code, which its sampler never
     recognises — quirk #6) falls through to greedy-argmax / temperature
@@ -83,9 +86,20 @@ def _fast_alpha_bar_targets(
 ) -> np.ndarray:
     """Per-jump alpha_bar at the remapped train-axis target step (fast mode).
 
-    Mirrors `_alpha_bar_at_t_train` (reference lines 219-236): python round
-    (banker's) of clamp(t/T_infer * T_train, 1, T_train); target 0 -> 1.0.
-    """
+    Mirrors `_get_alpha_bar_for_t_infer` (reference jumpy_sampler.py:219-236):
+    python round (banker's) of clamp(t/T_infer * T_train, 1, T_train);
+    target 0 -> 1.0.
+
+    Reference quirk #5 (reproduced when cfg.ref_compat, the default): the
+    reference indexes its 0-indexed length-T buffer with the 1-based step
+    (`self.alpha_bar[t_train_idx]`), returning abar_{t_train+1} — one step
+    LESS noise than its own q_sample convention (`alpha_bar[t-1]`) — and
+    IndexErrors outright at t_train == T_train.  Greedy fast mode is
+    invariant (argmax(ab*p + (1-ab)/K) == argmax(p) for any ab > 0), but
+    stochastic fast draws are calibrated against this exact table, so
+    reference checkpoints need the shifted lookup.  ref_compat=False uses
+    the self-consistent abar_{t_train}; both clamp at T instead of crashing.
+    tests/test_sampler.py pins the table against the reference helper."""
     table = np.asarray(sched.alpha_bar_ext)
     out = []
     for t, d in zip(ts.tolist(), deltas.tolist()):
@@ -96,7 +110,8 @@ def _fast_alpha_bar_targets(
         t_train = round(
             max(1.0, min(float(cfg.T_train), target / max(1, cfg.T_infer) * cfg.T_train))
         )
-        out.append(float(table[int(t_train)]))
+        idx = int(t_train) + 1 if cfg.ref_compat else int(t_train)
+        out.append(float(table[min(idx, sched.T)]))
     return np.asarray(out, np.float32)
 
 

@@ -2,6 +2,7 @@
 """Jumpy-sampler tests: schedule construction, jit/scan execution, and
 trajectory parity against the reference torch sampler (greedy exact mode,
 identical initial x_T and converted decoder weights)."""
+import dataclasses
 import sys
 
 import numpy as np
@@ -65,6 +66,57 @@ def test_sampler_stochastic_path_runs():
     fn = jax.jit(make_sample_fn(_dummy_decoder_apply, sched, cfg), static_argnames="seq_len")
     x0, _ = fn(None, jax.random.key(1), jnp.zeros((B, S, Dm)), seq_len=L)
     assert x0.shape == (B, L)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+@pytest.mark.parametrize("T_infer,r", [(8, 3), (10, 5), (20, 7)])
+def test_fast_alpha_bar_table_matches_reference(T_infer, r):
+    """Quirk #5 pin: ref_compat fast-mode alpha_bar values equal the SHIPPED
+    reference helper `_alpha_bar_at_t_train` at every jump target.
+
+    The reference sampler was written for a 1-based [T+1] table ("index=0
+    保留", jumpy_sampler.py:130-132) but its scheduler ships a 0-indexed
+    [T] buffer, so `alpha_bar[t_train_idx]` returns abar_{t_train+1} — one
+    step less noise than intended.  Greedy sampling is argmax-invariant to
+    the mix, so only this direct table comparison can catch a drift.
+    ref_compat=False must give the intended (self-consistent) abar_{t_train}.
+    """
+    import torch
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    from sampler.jumpy_sampler import DiffusionJumpySampler as RefSampler
+    from fddm.sched.diffusion_scheduler import DiscreteDiffusionScheduler
+
+    from fddm_asr_tpu.sampler import _fast_alpha_bar_targets
+
+    ref_sched = DiscreteDiffusionScheduler(
+        K=V, T=T_TRAIN, device=torch.device("cpu"), beta_max=0.2)
+    ref_sampler = RefSampler(
+        scheduler=ref_sched, decoder=torch.nn.Identity(), K=V,
+        T_train=T_TRAIN, T_infer=T_infer, r=r, device=torch.device("cpu"))
+
+    sched = D.make_schedule(V, T_TRAIN, 0.2)
+    ts, deltas = build_jump_schedule(T_infer, r)
+    cfg = SamplerConfig(K=V, T_train=T_TRAIN, T_infer=T_infer, r=r,
+                        sampling_mode="fast", ref_compat=True)
+    ours = _fast_alpha_bar_targets(sched, cfg, ts, deltas)
+    for (t, d, got) in zip(ts.tolist(), deltas.tolist(), ours.tolist()):
+        want = float(ref_sampler._alpha_bar_at_t_train(t - d))
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg=f"jump target {t - d}")
+
+    # corrected mode: the intended 1-based lookup abar_{t_train}
+    cfg_fix = dataclasses.replace(cfg, ref_compat=False)
+    fixed = _fast_alpha_bar_targets(sched, cfg_fix, ts, deltas)
+    table = np.asarray(sched.alpha_bar_ext)
+    for (t, d, got) in zip(ts.tolist(), deltas.tolist(), fixed.tolist()):
+        target = t - d
+        if target <= 0:
+            assert got == 1.0
+            continue
+        t_train = round(max(1.0, min(float(T_TRAIN),
+                                     target / T_infer * T_TRAIN)))
+        np.testing.assert_allclose(got, float(table[int(t_train)]), rtol=1e-6)
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
