@@ -43,6 +43,9 @@ def main(argv=None):
                          "(unbounded Lk — use --frames 8192), train=custom-"
                          "VJP fwd+bwd kernels (validates all 5 gradients)")
     ap.add_argument("--block-k", type=int, default=512)
+    ap.add_argument("--train-block-k", type=int, default=None,
+                    help="dK/dV block for --kernel train (default: the "
+                         "kernel's own 256)")
     args = ap.parse_args(argv)
 
     if jax.default_backend() == "cpu":
@@ -126,8 +129,13 @@ def validate_train(args, q, k, v, bias, gate, mask):
                        * cot.astype(jnp.float32))
 
     def loss_fused(q, k, v, b, g):
+        # --train-block-k exercises non-default dK/dV tilings, e.g.
+        # --frames 384 --train-block-k 256 = the Lk % block_k != 0
+        # geometry whose tail rows the grid used to skip
+        kw = ({"block_k": args.train_block_k}
+              if args.train_block_k else {})
         out = wavlm_gated_attention_packed_trainable(
-            q, k, v, b, g, mask, num_heads=H)
+            q, k, v, b, g, mask, num_heads=H, **kw)
         return jnp.sum(out.astype(jnp.float32) * cot.astype(jnp.float32))
 
     gx_fn = jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3, 4)))

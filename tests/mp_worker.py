@@ -102,19 +102,27 @@ def build_and_step(mesh):
         return float(metrics["total_loss"]), float(metrics["loss_diff"])
 
 
-def run_training_mode(out_dir: str) -> dict:
+def run_training_mode(out_dir: str, lora: bool = False) -> dict:
     """The FULL run_training loop (epoch + eval + checkpointing) over the
     current process group — exercises host-sharded eval batches, the
     host_local_copy replicate collective, weighted metric recombination,
-    and primary-gated artifact writes."""
+    and primary-gated artifact writes.
+
+    lora=True fine-tunes the encoder through rank-2 adapters: the eval
+    epoch must host_local_copy the globally-sharded adapters BEFORE the
+    eager merge_lora (regression: merging first raised 'Array that is not
+    fully addressable' on every multi-host LoRA eval)."""
     from fddm_asr_tpu.config import Config, load_yaml
     from fddm_asr_tpu.parallel import MeshSpec
     from fddm_asr_tpu.train_lib import run_training
 
     raw = load_yaml(os.path.join(out_dir, "config.yaml"))
     raw["optim"].update({"num_epochs": 1, "batch_size": 8})
+    tag = "lora_" if lora else ""
     raw["log"]["ckpt_dir"] = os.path.join(
-        out_dir, f"ck_{jax.process_count()}p")
+        out_dir, f"ck_{tag}{jax.process_count()}p")
+    if lora:
+        raw["model"]["encoder"].update({"freeze": False, "lora_rank": 2})
     summary = run_training(Config(raw), raw_cfg=raw, export_pt=False,
                            mesh_spec=MeshSpec(data=4, model=2))
     return {
@@ -131,13 +139,14 @@ def main():
     )
 
     argv = sys.argv[1:]
-    mode = argv[0] if argv[0] in ("solo", "train_solo", "train") else "step"
+    modes = ("solo", "train_solo", "train", "train_lora")
+    mode = argv[0] if argv[0] in modes else "step"
     if mode in ("solo", "train_solo"):
         assert jax.device_count() == 8, "run with xla_force_host_platform_device_count=8"
     else:
-        # cluster member: "train <pid> <nproc> <port> <out>" or the classic
-        # step-mode "<pid> <nproc> <port>"
-        rest = argv[1:] if mode == "train" else argv
+        # cluster member: "train[_lora] <pid> <nproc> <port> <out>" or the
+        # classic step-mode "<pid> <nproc> <port>"
+        rest = argv[1:] if mode in ("train", "train_lora") else argv
         pid, nproc, port = int(rest[0]), int(rest[1]), rest[2]
         initialize(DistributedConfig(f"localhost:{port}", nproc, pid))
         assert jax.process_count() == nproc
@@ -145,9 +154,9 @@ def main():
 
     base = {"process": jax.process_index(),
             "process_count": jax.process_count()}
-    if mode in ("train_solo", "train"):
+    if mode in ("train_solo", "train", "train_lora"):
         out_dir = argv[1] if mode == "train_solo" else argv[4]
-        base.update(run_training_mode(out_dir))
+        base.update(run_training_mode(out_dir, lora=(mode == "train_lora")))
     else:
         mesh = make_global_mesh(MeshSpec(data=4, model=2))
         total, diff = build_and_step(mesh)

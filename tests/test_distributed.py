@@ -166,3 +166,40 @@ def test_real_two_process_cluster_full_training_with_eval(tmp_path):
     # primary-only artifact writes
     ck = results[0]["ckpt_dir"]
     assert os.path.isdir(os.path.join(ck, "ep001.orbax"))
+
+
+def test_real_two_process_lora_finetune_eval(tmp_path):
+    """LoRA fine-tune on a 2-host cluster THROUGH the eval epoch: the
+    globally-sharded adapters must be host_local_copy'd BEFORE the eager
+    merge_lora (regression: merging first raised 'Array that is not fully
+    addressable' and crashed every multi-host LoRA eval)."""
+    from scripts.make_synth_data import main as synth_main
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+
+    env = {k: v for k, v in os.environ.items() if k != "FDDM_DRYRUN_INNER"}
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    port = "9933"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+             "train_lora", str(pid), "2", port, out],
+            env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e[-3000:]
+    results = [json.loads([l for l in o.splitlines() if l.startswith("{")][-1])
+               for o, _ in outs]
+    for r in results:
+        assert r["process_count"] == 2
+        assert np.isfinite(r["train_loss"])
+        assert np.isfinite(r["val_cer"]) and np.isfinite(r["val_loss"])
+    assert results[0]["val_cer"] == results[1]["val_cer"]

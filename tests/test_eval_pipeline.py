@@ -87,6 +87,33 @@ def test_evaluate_multi_sample(tiny, voting):
     assert np.isfinite(cer) and cer >= 0
 
 
+def test_logprob_voting_ignores_post_eos_tail():
+    """Best-of-N scoring must cover only the decoded span (pre-eos,
+    non-pad/bos), like ids_to_text and _utterance_confidence: a sample
+    whose post-eos garbage the model scores confidently must not beat a
+    sample with a better decoded span (regression: sum over all L)."""
+
+    class _P:
+        special_ids = {"eos_id": 2, "bos_id": 1}
+        pad_id = 0
+
+    # sample A: strong decoded span [5, 6], weak tail after eos
+    ids_a = np.asarray([5, 6, 2, 9, 9, 9])
+    p_a = np.asarray([0.9, 0.9, 0.5, 1e-6, 1e-6, 1e-6])
+    # sample B: weak decoded span, extremely confident post-eos tail
+    ids_b = np.asarray([7, 8, 2, 4, 4, 4])
+    p_b = np.asarray([0.2, 0.2, 0.5, 1.0, 1.0, 1.0])
+
+    score_a = E._decoded_span_logprob_mean(ids_a, p_a, _P())
+    score_b = E._decoded_span_logprob_mean(ids_b, p_b, _P())
+    assert score_a > score_b  # tail confidence must not flip the vote
+    np.testing.assert_allclose(score_a, np.log([0.9, 0.9]).mean(), rtol=1e-6)
+
+    # all-pad decode scores -inf so any real content wins
+    ids_pad = np.zeros(6, np.int64)
+    assert E._decoded_span_logprob_mean(ids_pad, p_a, _P()) == -np.inf
+
+
 def test_transcribe_api(tiny):
     cfg, pipeline, ds = tiny
     wave = np.random.default_rng(1).standard_normal((2, 1600)).astype(np.float32)
