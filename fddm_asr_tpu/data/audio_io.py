@@ -26,7 +26,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_wav", "save_wav", "resample", "load_audio", "to_wav_16k_mono"]
+__all__ = ["load_wav", "save_wav", "resample", "load_audio",
+           "to_wav_16k_mono", "plan_silence_chunks"]
 
 
 def _decode_pcm_int(raw: bytes, width: int, path: str) -> np.ndarray:
@@ -140,6 +141,53 @@ def resample(samples: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly(np.asarray(samples, np.float64), up, down, axis=-1).astype(
         np.float32
     )
+
+
+def plan_silence_chunks(
+    samples: np.ndarray,
+    win: int,
+    search: int = 16000,
+    frame: int = 400,
+) -> list:
+    """Long-form chunk spans [(start, end)], each <= ``win`` samples, with
+    every cut placed at the QUIETEST 25 ms frame inside the last ``search``
+    samples of its window instead of the hard window edge.
+
+    A fixed-boundary split can land mid-word; a non-autoregressive token
+    decoder then transcribes two half-words with no cross-chunk context to
+    repair them.  Cutting at the local energy minimum (a VAD-lite: pauses
+    between words/sentences are near-silent) makes each chunk closed under
+    natural speech units at zero model cost.  Chunks stay <= win, so the
+    fixed [rows, win] batch shape — and therefore the compile cache — is
+    unchanged; only the per-row lengths vary (already supported).
+
+    The final span may be shorter than 400 samples; callers clamp lengths
+    to one conv receptive field exactly as for fixed splits.
+    """
+    n = len(samples)
+    if n <= win:
+        return [(0, n)]
+    # only look near the boundary: a cut far inside the window would
+    # fragment short windows into confetti (search covers at most win/4)
+    search = max(frame, min(search, win // 4))
+    bounds = [0]
+    pos = 0
+    while n - pos > win:
+        hi = pos + win
+        lo = max(pos + frame, hi - search)
+        seg = np.asarray(samples[lo:hi], np.float32)
+        nf = len(seg) // frame
+        if nf >= 1:
+            rms = np.sqrt(
+                np.mean(seg[: nf * frame].reshape(nf, frame) ** 2, axis=1))
+            cut = lo + int(np.argmin(rms)) * frame + frame // 2
+        else:
+            cut = hi
+        cut = max(pos + frame, min(cut, hi))  # forward progress, span <= win
+        bounds.append(cut)
+        pos = cut
+    bounds.append(n)
+    return list(zip(bounds[:-1], bounds[1:]))
 
 
 _FFMPEG = shutil.which("ffmpeg")

@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--device", type=str, default=None, help="cpu|tpu")
     p.add_argument("--batch-size", type=int, default=8,
                    help="CSV mode: utterances per jitted batch")
+    p.add_argument("--chunk-align", choices=["silence", "fixed"],
+                   default="silence",
+                   help="long-form split points: 'silence' cuts each window "
+                        "at the quietest 25 ms frame in its last second "
+                        "(avoids mid-word cuts; same batch shape, no "
+                        "recompiles), 'fixed' cuts at exact window edges")
     p.add_argument("--chunk-seconds", type=float, default=0.0,
                    help="single-WAV mode: transcribe audio longer than this "
                         "in fixed windows of this many seconds (batched in "
@@ -222,12 +228,13 @@ def _transcribe(pipeline, batch, lengths, seq_len, args, rng):
 def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
     """Chunked transcription of one long WAV.
 
-    Splits into fixed --chunk-seconds windows (every window the same shape ->
-    ONE compiled program regardless of recording length), transcribes them as
-    batches of --batch-size with the real lengths condition-masked, and joins
-    the window texts.  Windows are independent — a boundary can split a
-    token; acceptable for long-form transcription where the whole-file path
-    is unusable (per-length recompiles + memory).
+    Splits into --chunk-seconds windows (every window padded to the same
+    shape -> ONE compiled program regardless of recording length),
+    transcribes them as batches of --batch-size with the real lengths
+    condition-masked, and joins the window texts.  Windows are independent;
+    --chunk-align silence (default) places each cut at the quietest 25 ms
+    frame near the window edge so boundaries fall in speech pauses instead
+    of mid-word (plan_silence_chunks); 'fixed' reproduces hard edge cuts.
     """
     import numpy as np
 
@@ -235,7 +242,14 @@ def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
 
     wav, _ = load_audio(path, target_sr=16000, mono=True)
     win = max(400, int(args.chunk_seconds * 16000))
-    n = max(1, -(-len(wav) // win))
+    if getattr(args, "chunk_align", "silence") == "silence":
+        from fddm_asr_tpu.data.audio_io import plan_silence_chunks
+
+        spans = plan_silence_chunks(wav, win)
+    else:
+        spans = [(i * win, min((i + 1) * win, len(wav)))
+                 for i in range(max(1, -(-len(wav) // win)))]
+    n = len(spans)
     seq_len = args.seq_len or 64
     texts, ids, confs = [], [], []
     bs = max(1, args.batch_size)
@@ -244,7 +258,8 @@ def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
         batch = np.zeros((rows, win), np.float32)
         lengths = []
         for j in range(rows):
-            seg = wav[(start + j) * win : (start + j + 1) * win]
+            s, e = spans[start + j]
+            seg = wav[s:e]
             batch[j, : len(seg)] = seg
             lengths.append(max(len(seg), 400))
         rng, step_rng = __import__("jax").random.split(rng)
@@ -257,7 +272,9 @@ def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
                 confs.append(row[2])
     result = {
         "wav": path, "text": "".join(texts), "chunks": texts, "ids": ids,
-        "chunk_seconds": args.chunk_seconds, "T_infer": args.T_infer,
+        "chunk_seconds": args.chunk_seconds,
+        "chunk_align": getattr(args, "chunk_align", "silence"),
+        "T_infer": args.T_infer,
         "r": args.r, "greedy": args.greedy,
         "posterior_mode": args.posterior_mode,
     }

@@ -123,8 +123,12 @@ class BatchingEngine:
         if len(wave) <= self.max_samples:
             chunks = [wave]
         else:
-            chunks = [wave[i: i + self.max_samples]
-                      for i in range(0, len(wave), self.max_samples)]
+            # cuts land at the quietest 25 ms frame near each window edge
+            # (speech pauses), not mid-word — see plan_silence_chunks
+            from fddm_asr_tpu.data.audio_io import plan_silence_chunks
+
+            chunks = [wave[s:e]
+                      for s, e in plan_silence_chunks(wave, self.max_samples)]
         reqs = [
             _Request(c, name if len(chunks) == 1 else f"{name}#chunk{i}")
             for i, c in enumerate(chunks)

@@ -135,6 +135,48 @@ class TestAudio:
         assert sr2 == sr
         np.testing.assert_allclose(loaded, sig, atol=1e-6)
 
+    def test_silence_chunks_cut_in_gaps(self):
+        """Long-form split points land inside the silent gaps, not at the
+        hard window edges — and every span stays <= win with full
+        coverage in order."""
+        from fddm_asr_tpu.data.audio_io import plan_silence_chunks
+
+        sr, win = 16000, 5 * 16000
+        rng = np.random.default_rng(3)
+        # 12 s of loud tone with silence at 4.0-4.4 s and 8.6-9.0 s
+        n = 12 * sr
+        wav = 0.5 * np.sin(2 * np.pi * 300 * np.arange(n) / sr).astype(np.float32)
+        wav += rng.standard_normal(n).astype(np.float32) * 0.01
+        gaps = [(int(4.0 * sr), int(4.4 * sr)), (int(8.6 * sr), int(9.0 * sr))]
+        for a, b in gaps:
+            wav[a:b] = 0.0
+
+        spans = plan_silence_chunks(wav, win)
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert e0 == s1  # contiguous
+        assert all(e - s <= win for s, e in spans)
+        # the first two cuts must land inside the silent gaps (a fixed
+        # split would cut at exactly 5 s and 10 s — mid-speech)
+        cuts = [e for _, e in spans[:-1]]
+        assert gaps[0][0] <= cuts[0] <= gaps[0][1], cuts
+        assert gaps[1][0] <= cuts[1] <= gaps[1][1], cuts
+
+    def test_silence_chunks_short_audio_single_span(self):
+        from fddm_asr_tpu.data.audio_io import plan_silence_chunks
+
+        wav = np.zeros(1000, np.float32)
+        assert plan_silence_chunks(wav, 16000) == [(0, 1000)]
+
+    def test_silence_chunks_uniform_audio_progress(self):
+        """No silence anywhere: cuts still advance and cover everything."""
+        from fddm_asr_tpu.data.audio_io import plan_silence_chunks
+
+        wav = np.ones(50 * 400, np.float32)
+        spans = plan_silence_chunks(wav, 7 * 400)
+        assert spans[0][0] == 0 and spans[-1][1] == len(wav)
+        assert all(0 < e - s <= 7 * 400 for s, e in spans)
+
     def test_to_wav_failure_returns_minus_one(self, tmp_path):
         bad = str(tmp_path / "bad.mp3")
         open(bad, "wb").write(b"not audio")

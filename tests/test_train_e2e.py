@@ -191,8 +191,11 @@ def test_csv_bucketing_stable_shapes(tmp_path):
 
 
 def test_chunked_long_wav_inference(trained, tmp_path, capsys):
-    """--chunk-seconds transcribes long audio in fixed windows and joins
-    the texts (the whole-file path would recompile per recording length)."""
+    """--chunk-seconds transcribes long audio in bounded windows and joins
+    the texts (the whole-file path would recompile per recording length).
+    --chunk-align fixed pins the exact window count; the silence default
+    may cut slightly early (at speech pauses) so its count is bounded,
+    not exact."""
     import inference
     from fddm_asr_tpu.data.audio_io import load_audio, save_wav
 
@@ -205,8 +208,7 @@ def test_chunked_long_wav_inference(trained, tmp_path, capsys):
     path = str(tmp_path / "long.wav")
     save_wav(path, long_wav, 16000)
 
-    out_json = str(tmp_path / "long.json")
-    inference.main([
+    common = [
         "--wav", path,
         "--ckpt", f"{trained}/ckpts/best_model.pt",
         "--main-config", f"{trained}/config.yaml",
@@ -214,13 +216,26 @@ def test_chunked_long_wav_inference(trained, tmp_path, capsys):
         "--tokenizer", f"{trained}/data/tokenizer/toy/spm_toy.model",
         "--T-infer", "4", "--r", "2", "--greedy", "--seq-len", "8",
         "--chunk-seconds", "0.6", "--batch-size", "2",
-        "--out-json", out_json,
-    ])
+    ]
+    out_json = str(tmp_path / "long.json")
+    inference.main(common + ["--chunk-align", "fixed",
+                             "--out-json", out_json])
     capsys.readouterr()
     res = json.load(open(out_json))[0]
     assert len(res["chunks"]) == 3  # ceil(1.5 / 0.6)
     assert res["text"] == "".join(res["chunks"])
     assert len(res["ids"]) == 3 and all(len(i) == 8 for i in res["ids"])
+    assert res["chunk_align"] == "fixed"
+
+    # silence-aligned default: window count stays bounded (every span
+    # covers > win - search) and the join contract holds
+    out2 = str(tmp_path / "long2.json")
+    inference.main(common + ["--out-json", out2])
+    capsys.readouterr()
+    res2 = json.load(open(out2))[0]
+    assert 3 <= len(res2["chunks"]) <= 4
+    assert res2["text"] == "".join(res2["chunks"])
+    assert res2["chunk_align"] == "silence"
 
 
 def test_csv_error_rows_recorded(trained, tmp_path, capsys):
