@@ -130,23 +130,6 @@ def make_sample_fn(
     constants (hundreds of MB of HLO; the TPU remote-compile service rejects
     such programs outright).
     """
-    if cfg.sampling_mode == "exact" and cfg.T_infer != cfg.T_train:
-        # quirk #4: exact mode walks the TRAINING beta table with
-        # inference-axis t (only fast mode remaps axes), so it is only
-        # calibrated when the axes coincide — with T_infer < T_train it
-        # silently samples the low-noise head of the schedule.  Warn once
-        # at build time; the recorded convergence recipes pin
-        # T_infer == T_train for exact mode (CLAUDE.md).
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "sampling_mode='exact' with T_infer=%d != T_train=%d walks only "
-            "the first %d of %d training noise steps (reference quirk #4); "
-            "transcription quality is only calibrated at T_infer == T_train "
-            "— use sampling_mode='fast' or T_infer=%d",
-            cfg.T_infer, cfg.T_train, min(cfg.T_infer, cfg.T_train),
-            cfg.T_train, cfg.T_train,
-        )
     ts_np, deltas_np = build_jump_schedule(cfg.T_infer, cfg.r)
     ab_targets_np = _fast_alpha_bar_targets(sched, cfg, ts_np, deltas_np)
 
