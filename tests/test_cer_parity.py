@@ -17,6 +17,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,7 +41,10 @@ def test_experiment_harness_smoke(tmp_path):
     assert set(results) == {"rebuild", "reference"}
     for side in ("rebuild", "reference"):
         assert results[side]["epochs"] == 2
-        assert results[side]["best_val_cer"] >= 0.0
+        # 2 untrained epochs CANNOT transcribe: a strictly positive CER
+        # proves eval actually ran (a default-0.0 field would pass >= 0.0)
+        cer = results[side]["best_val_cer"]
+        assert np.isfinite(cer) and cer > 0.0, results[side]
 
 
 @pytest.mark.skipif(not os.environ.get("FDDM_CER_PARITY"),

@@ -288,7 +288,10 @@ class TestDataset:
         for host in range(2):
             for b in make_batches(ds, 1, shuffle=False, drop_last=False, shard=(host, 2)):
                 got.append(tuple(b.tokens[0].tolist()))
-        assert len(got) == 7 and len(set(got)) >= 6  # all examples covered once
+        # exactly the 7 distinct examples, each covered once — the texts
+        # tokenize injectively, so == 7 catches a duplicate+drop slicing bug
+        # that >= 6 slack would mask
+        assert len(got) == 7 and len(set(got)) == 7
 
 
 def test_shipped_finetune_config_resolves():

@@ -66,7 +66,41 @@ def test_evaluate_cer_with_jumpy_sampling(tiny):
     cer = E.evaluate_cer_with_jumpy_sampling(
         pipeline, make_batches(ds, 2, drop_last=False), cfg
     )
-    assert np.isfinite(cer) and cer >= 0
+    # an UNTRAINED model cannot transcribe: CER must be strictly positive
+    # (an always-0 wiring bug — e.g. decoding the refs as the hypothesis —
+    # would satisfy a finite-and-nonnegative check everywhere)
+    assert np.isfinite(cer) and cer > 0
+
+
+def test_evaluate_cer_hyp_vs_ref_wiring(tiny):
+    """Pin exact CER values through the evaluator by controlling what the
+    sampler returns: the refs themselves -> 0.0; all-pad -> 1.0 (every
+    reference char deleted).  Catches hyp/ref swaps and decode-side
+    normalization bugs that the statistical tests cannot."""
+    cfg, pipeline, ds = tiny
+    batches = list(make_batches(ds, 2, drop_last=False, shuffle=False))
+
+    class _Echo:
+        """pipeline facade whose sample() returns a queued prediction."""
+
+        def __init__(self, preds):
+            self._preds = list(preds)
+
+        def __getattr__(self, name):
+            return getattr(pipeline, name)
+
+        def sample(self, rng, c, seq_len, c_mask=None, **sc):
+            x = self._preds.pop(0)
+            return x, None
+
+    echo = _Echo([b.tokens for b in batches])
+    cer = E.evaluate_cer_with_full_sampling(echo, batches, cfg)
+    assert cer == 0.0
+
+    pad = pipeline.pad_id
+    echo_pad = _Echo([np.full_like(b.tokens, pad) for b in batches])
+    cer_pad = E.evaluate_cer_with_full_sampling(echo_pad, batches, cfg)
+    assert cer_pad == 1.0
 
 
 def test_evaluate_wer(tiny):

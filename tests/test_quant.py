@@ -156,6 +156,10 @@ class TestQuantizedWavLM:
         assert y_q.shape == y_ref.shape
         err = _rel_l2(y_q, y_ref)
         assert err < 0.05, f"quantized encoder drifted: rel L2 {err:.4f}"
+        # ...but NOT identical: int8 rounding must leave a measurable trace,
+        # or the quant_dense flag silently stopped dispatching to Int8Dense
+        # (a closeness-only assertion is satisfied by a no-op regression)
+        assert err > 1e-6, "int8 output identical to fp: flag is a no-op"
         # direction preserved (the decoder consumes c through cross-attention)
         a = np.asarray(y_ref, np.float64).ravel()
         b = np.asarray(y_q, np.float64).ravel()
@@ -179,11 +183,20 @@ def test_training_with_int8_encoder(tmp_path):
     make(["--out", out, "--n", "4", "--seconds", "0.5"])
     cfg_path = os.path.join(out, "config.yaml")
     cfg_text = open(cfg_path).read()
-    cfg_text = cfg_text.replace(
+    patched = cfg_text.replace(
         "    wavlm_name: tiny",
         "    wavlm_name: tiny\n    wavlm_config:\n      quant_dense: int8",
     )
-    open(cfg_path, "w").write(cfg_text)
+    # a silent-no-op str.replace here would run the test in pure fp
+    assert patched != cfg_text, "synth config template changed; patch missed"
+    open(cfg_path, "w").write(patched)
+
+    # and the YAML -> WavLMConfig plumbing must actually see the flag
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.pipeline import build_wavlm_config
+
+    assert build_wavlm_config(
+        load_config(cfg_path).model.encoder).quant_dense == "int8"
 
     import train as train_cli
 
@@ -216,7 +229,9 @@ class TestQuantizedDecoder:
         y_fp = dec_fp.apply(params, xt, t, cond, deterministic=True)
         y_q = dec_q.apply(params, xt, t, cond, deterministic=True)
         assert y_q.shape == y_fp.shape
-        assert _rel_l2(y_q, y_fp) < 0.05
+        err = _rel_l2(y_q, y_fp)
+        assert err < 0.05
+        assert err > 1e-6, "int8 logits identical to fp: flag is a no-op"
         # argmax tokens (what sampling consumes) should essentially agree
         agree = float(np.mean(np.argmax(np.asarray(y_q), -1)
                               == np.argmax(np.asarray(y_fp), -1)))

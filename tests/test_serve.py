@@ -79,13 +79,18 @@ def test_transcribe_upload_and_path(server):
                         "posterior_mode"}  # reference result schema
     assert isinstance(obj["ids"], list) and obj["ids"]
 
-    # JSON path mode gives the same transcript (same rng counter differs, but
-    # greedy sampling from the same audio should agree)
+    # JSON path mode reads the same audio through the file branch.  NOTE:
+    # transcripts are NOT comparable across requests — x_T init depends on
+    # the engine's rng counter and the padded batch shape (CLAUDE.md) — so
+    # pin that the path branch produced a real decode, not its content.
     code2, obj2 = _post(base + "/v1/transcribe",
                         json.dumps({"path": wav_path}).encode(),
                         "application/json")
     assert code2 == 200
     assert obj2["wav"] == wav_path
+    assert isinstance(obj2["text"], str)
+    assert isinstance(obj2["ids"], list) and obj2["ids"]
+    assert obj2["confidence"] == obj2["confidence"]  # finite, not NaN
 
 
 def test_concurrent_requests_batch(server):

@@ -39,8 +39,14 @@ def trained(synth):
 
 
 def test_training_produces_checkpoints_and_logs(trained):
-    logs = sorted(os.listdir(os.path.join(REPO, "logs")))
-    assert logs  # logs/train_<ts>.log written
+    log_dir = os.path.join(REPO, "logs")
+    ckpt_mtime = os.path.getmtime(f"{trained}/ckpts/best_model.pt")
+    fresh = [n for n in os.listdir(log_dir)
+             if os.path.getmtime(os.path.join(log_dir, n))
+             >= ckpt_mtime - 600]
+    # a log file from THIS training run (stale logs from previous sessions
+    # persist in the gitignored dir and must not satisfy the check)
+    assert fresh, sorted(os.listdir(log_dir))
     # .pt round trip: exported checkpoint loads through the converter
     from fddm_asr_tpu.convert.torch_ckpt import load_reference_checkpoint
 
@@ -118,7 +124,9 @@ def test_batch_csv_inference(trained, tmp_path, capsys):
     capsys.readouterr()
     res = json.load(open(out_json))
     assert len(res) == 8
-    assert all("text" in r or "error" in r for r in res)
+    # every clip is valid: the batched path must SUCCEED on all rows (an
+    # or-with-error acceptance would let a fully-broken batch path pass)
+    assert all("text" in r and "error" not in r for r in res), res
 
 
 def test_csv_bucketing_stable_shapes(tmp_path):
@@ -307,8 +315,10 @@ def test_validate_quant_harness(trained, capsys):
     ])
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["n"] == 8
-    assert 0.0 <= report["transcript_agreement"] <= 1.0
-    assert "cer_fp" in report and "cer_int8" in report
+    # int8 tracks fp closely even on this untrained toy: a floor (not the
+    # tautological 0<=x<=1) so a fully-garbled int8 path cannot pass
+    assert report["transcript_agreement"] >= 0.5, report
+    assert np.isfinite(report["cer_fp"]) and np.isfinite(report["cer_int8"])
 
 
 def test_async_checkpointing(synth, tmp_path):

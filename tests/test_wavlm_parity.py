@@ -140,7 +140,9 @@ def test_wavlm_seq_pad_parity(stable, with_mask, rng):
 
 
 def test_wavlm_gelu_tanh_close(rng):
-    """gelu_approx_tanh=True stays within bf16-noise distance of exact erf."""
+    """gelu_approx_tanh=True stays within bf16-noise distance of exact erf —
+    and actually changes the numerics (a silent no-op of the flag, shipped
+    ON in the flagship bench config, would pass a closeness-only check)."""
     import dataclasses
 
     import torch
@@ -154,8 +156,9 @@ def test_wavlm_gelu_tanh_close(rng):
 
     out = {}
     for tanh in (False, True):
+        # single variable: only the GELU flavor changes between runs
         config = dataclasses.replace(
-            WavLMConfig.from_hf(hf_cfg), gelu_approx_tanh=tanh, scan_layers=tanh
+            WavLMConfig.from_hf(hf_cfg), gelu_approx_tanh=tanh
         )
         params = {"params": wavlm_params_from_state_dict(hf.state_dict(), config)}
         out[tanh] = np.asarray(
@@ -163,6 +166,8 @@ def test_wavlm_gelu_tanh_close(rng):
         )
     assert np.isfinite(out[True]).all()
     np.testing.assert_allclose(out[True], out[False], atol=5e-2, rtol=5e-2)
+    assert float(np.max(np.abs(out[True] - out[False]))) > 1e-7, (
+        "tanh-GELU output identical to erf: gelu_approx_tanh is a no-op")
 
 
 def test_feat_extract_output_length():
