@@ -160,23 +160,33 @@ def evaluate_wer_with_jumpy_sampling(pipeline, batches, cfg=None, rng=None) -> f
     )
 
 
-def _decoded_span_logprob_mean(ids_row: np.ndarray, tok_p: np.ndarray,
-                               pipeline) -> float:
-    """Mean log p(token) over the decoded span (pre-eos, non-pad/bos) —
-    the same span ids_to_text keeps and _utterance_confidence scores.
-    Empty span (all pad) scores -inf so a sample with real content wins."""
+def decoded_span_mask(ids_row: np.ndarray, pad_id: int,
+                      special_ids: Dict[str, Optional[int]]) -> np.ndarray:
+    """Boolean mask of the DECODED span: positions before the first eos
+    that are neither pad nor bos — exactly the tokens ids_to_text keeps.
+    Shared by confidence scoring (pipeline._utterance_confidence) and
+    best-of-N logprob voting so the two can never drift apart."""
+    ids_row = np.asarray(ids_row)
     end = len(ids_row)
-    eos = pipeline.special_ids.get("eos_id")
+    eos = special_ids.get("eos_id")
     if eos is not None:
         hits = np.nonzero(ids_row == eos)[0]
         if hits.size:
             end = int(hits[0])
     valid = np.zeros(len(ids_row), bool)
     valid[:end] = True
-    valid &= ids_row != pipeline.pad_id
-    bos = pipeline.special_ids.get("bos_id")
+    valid &= ids_row != pad_id
+    bos = special_ids.get("bos_id")
     if bos is not None:
         valid &= ids_row != bos
+    return valid
+
+
+def _decoded_span_logprob_mean(ids_row: np.ndarray, tok_p: np.ndarray,
+                               pipeline) -> float:
+    """Mean log p(token) over the decoded span; empty span (all pad)
+    scores -inf so a sample with real content wins."""
+    valid = decoded_span_mask(ids_row, pipeline.pad_id, pipeline.special_ids)
     if not valid.any():
         return -np.inf
     return float(np.log(np.maximum(tok_p[valid], 1e-20)).mean())

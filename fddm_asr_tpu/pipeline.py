@@ -443,20 +443,11 @@ class FDDMPipeline:
         return out
 
     def _utterance_confidence(self, ids_row, p_row) -> float:
+        from fddm_asr_tpu.eval import decoded_span_mask
+
         ids_row = np.asarray(ids_row)
         tok_p = np.asarray(p_row)[np.arange(len(ids_row)), ids_row]
-        end = len(ids_row)
-        eos = self.special_ids.get("eos_id")
-        if eos is not None:
-            hits = np.nonzero(ids_row == eos)[0]
-            if hits.size:
-                end = int(hits[0])
-        valid = np.zeros(len(ids_row), bool)
-        valid[:end] = True
-        valid &= ids_row != self.pad_id
-        bos = self.special_ids.get("bos_id")
-        if bos is not None:
-            valid &= ids_row != bos
+        valid = decoded_span_mask(ids_row, self.pad_id, self.special_ids)
         if not valid.any():
             return 0.0
         return float(np.exp(np.log(np.maximum(tok_p[valid], 1e-12)).mean()))
