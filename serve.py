@@ -457,8 +457,12 @@ def parse_args(argv=None):
     ap.add_argument("--bucket-seconds", type=float, default=1.0)
     ap.add_argument("--max-seconds", type=float, default=30.0,
                     help="chunk window for long-form audio: longer uploads "
-                         "are split into windows of this size, batched "
-                         "alongside regular traffic, and the texts joined")
+                         "are split into windows of this size (cut at the "
+                         "quietest 25 ms frame near each edge), batched "
+                         "alongside regular traffic, and the texts joined. "
+                         "Each window decodes at most --seq-len tokens "
+                         "(default: the model's data.max_len training cap) "
+                         "— lower this if dense speech saturates seq_len")
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)
