@@ -129,7 +129,26 @@ def shard_pytree(tree: Any, mesh: Mesh, spec_fn=decoder_param_spec) -> Any:
             dim = shape[i] if i < len(shape) else 1
             if dim % mesh.shape[ax] != 0:
                 axes[i] = None
-        return jax.device_put(leaf, NamedSharding(mesh, P(*axes)))
+        if (jax.process_count() > 1 and isinstance(leaf, jax.Array)
+                and leaf.is_fully_addressable):
+            # A host-local array (fresh init, orbax restore) may be
+            # COMMITTED to a device other processes cannot address (orbax
+            # restores e.g. the step scalar onto global device 0, which is
+            # non-addressable on process 1) — device_put then demands DCN
+            # cross-host transfer support and raises.  Every process holds
+            # the identical full value here, so drop to numpy and let
+            # device_put assemble the global array from per-host copies
+            # without any transfer.
+            leaf = np.asarray(leaf)
+        try:
+            return jax.device_put(leaf, NamedSharding(mesh, P(*axes)))
+        except ValueError as e:
+            raise ValueError(
+                f"shard_pytree failed at {path}: "
+                f"leaf {type(leaf).__name__}{getattr(leaf, 'shape', ())} "
+                f"src_sharding={getattr(leaf, 'sharding', None)} -> "
+                f"P({', '.join(map(str, axes))}) on mesh {dict(mesh.shape)}"
+            ) from e
 
     return jax.tree_util.tree_map_with_path(place, tree)
 

@@ -133,20 +133,49 @@ def run_training_mode(out_dir: str, lora: bool = False) -> dict:
     }
 
 
+def run_training_resume_mode(out_dir: str) -> dict:
+    """Elastic recovery on the cluster: train epoch 1, then a SECOND
+    run_training resuming from ep001.orbax for epoch 2 — every process
+    calls the orbax restore (its internal barriers must stay
+    group-consistent, exactly like the save side), the restored host-local
+    state re-shards onto the global mesh, and training continues."""
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.parallel import MeshSpec
+    from fddm_asr_tpu.train_lib import run_training
+
+    raw = load_yaml(os.path.join(out_dir, "config.yaml"))
+    raw["optim"].update({"num_epochs": 1, "batch_size": 8})
+    ck = os.path.join(out_dir, f"ck_res_{jax.process_count()}p")
+    raw["log"]["ckpt_dir"] = ck
+    run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                 mesh_spec=MeshSpec(data=4, model=2))
+
+    raw["optim"]["num_epochs"] = 2
+    summary = run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                           mesh_spec=MeshSpec(data=4, model=2),
+                           resume=os.path.join(ck, "ep001.orbax"))
+    return {
+        "train_loss": summary["train_loss"],
+        "val_cer": summary["val_cer"],
+        "has_ep002": os.path.isdir(os.path.join(ck, "ep002.orbax")),
+    }
+
+
 def main():
     from fddm_asr_tpu.parallel import (
         DistributedConfig, MeshSpec, initialize, make_global_mesh,
     )
 
     argv = sys.argv[1:]
-    modes = ("solo", "train_solo", "train", "train_lora")
+    modes = ("solo", "train_solo", "train", "train_lora", "train_resume")
+    train_modes = ("train", "train_lora", "train_resume")
     mode = argv[0] if argv[0] in modes else "step"
     if mode in ("solo", "train_solo"):
         assert jax.device_count() == 8, "run with xla_force_host_platform_device_count=8"
     else:
-        # cluster member: "train[_lora] <pid> <nproc> <port> <out>" or the
-        # classic step-mode "<pid> <nproc> <port>"
-        rest = argv[1:] if mode in ("train", "train_lora") else argv
+        # cluster member: "train[_lora|_resume] <pid> <nproc> <port> <out>"
+        # or the classic step-mode "<pid> <nproc> <port>"
+        rest = argv[1:] if mode in train_modes else argv
         pid, nproc, port = int(rest[0]), int(rest[1]), rest[2]
         initialize(DistributedConfig(f"localhost:{port}", nproc, pid))
         assert jax.process_count() == nproc
@@ -154,7 +183,9 @@ def main():
 
     base = {"process": jax.process_index(),
             "process_count": jax.process_count()}
-    if mode in ("train_solo", "train", "train_lora"):
+    if mode == "train_resume":
+        base.update(run_training_resume_mode(argv[4]))
+    elif mode in ("train_solo", "train", "train_lora"):
         out_dir = argv[1] if mode == "train_solo" else argv[4]
         base.update(run_training_mode(out_dir, lora=(mode == "train_lora")))
     else:

@@ -203,3 +203,40 @@ def test_real_two_process_lora_finetune_eval(tmp_path):
         assert np.isfinite(r["train_loss"])
         assert np.isfinite(r["val_cer"]) and np.isfinite(r["val_loss"])
     assert results[0]["val_cer"] == results[1]["val_cer"]
+
+
+def test_real_two_process_resume(tmp_path):
+    """Elastic recovery on a 2-host cluster: epoch 1, then a fresh
+    run_training resuming from ep001.orbax for epoch 2.  Every process
+    performs the orbax restore (group-consistent barriers, like the save
+    side) and the restored state re-shards onto the global mesh."""
+    from scripts.make_synth_data import main as synth_main
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+
+    env = {k: v for k, v in os.environ.items() if k != "FDDM_DRYRUN_INNER"}
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    port = "9935"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+             "train_resume", str(pid), "2", port, out],
+            env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e[-3000:]
+    results = [json.loads([l for l in o.splitlines() if l.startswith("{")][-1])
+               for o, _ in outs]
+    for r in results:
+        assert r["process_count"] == 2
+        assert np.isfinite(r["train_loss"]) and np.isfinite(r["val_cer"])
+        assert r["has_ep002"]  # the resumed run continued at epoch 2
+    assert results[0]["val_cer"] == results[1]["val_cer"]
