@@ -147,8 +147,12 @@ def run_training_resume_mode(out_dir: str) -> dict:
     raw["optim"].update({"num_epochs": 1, "batch_size": 8})
     ck = os.path.join(out_dir, f"ck_res_{jax.process_count()}p")
     raw["log"]["ckpt_dir"] = ck
+    # epoch 1 saves ASYNCHRONOUSLY: orbax's async commit runs cross-process
+    # barriers of its own, and the artifact must still restore cleanly
+    raw["log"]["async_checkpoint"] = True
     run_training(Config(raw), raw_cfg=raw, export_pt=False,
                  mesh_spec=MeshSpec(data=4, model=2))
+    raw["log"]["async_checkpoint"] = False
 
     raw["optim"]["num_epochs"] = 2
     summary = run_training(Config(raw), raw_cfg=raw, export_pt=False,
