@@ -108,6 +108,26 @@ def test_confidence_scores(trained, capsys):
         _P(), np.array([2, 0, 0]), np.full((3, 8), 0.5)) == 0.0
 
 
+def test_corrected_posterior_flag_flips_ref_compat():
+    """--corrected-posterior must reach the sampler as ref_compat=False
+    (the getattr default in sampling_kwargs would silently mask a renamed
+    argparse dest)."""
+    import inference
+
+    args = inference.parse_args([
+        "--wav", "x.wav", "--ckpt", "c", "--main-config", "m",
+        "--diffusion-config", "d", "--tokenizer", "t",
+    ])
+    assert inference.sampling_kwargs(args)["ref_compat"] is True
+
+    args2 = inference.parse_args([
+        "--wav", "x.wav", "--ckpt", "c", "--main-config", "m",
+        "--diffusion-config", "d", "--tokenizer", "t",
+        "--corrected-posterior",
+    ])
+    assert inference.sampling_kwargs(args2)["ref_compat"] is False
+
+
 def test_batch_csv_inference(trained, tmp_path, capsys):
     import inference
 
