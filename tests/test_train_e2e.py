@@ -108,6 +108,27 @@ def test_confidence_scores(trained, capsys):
         _P(), np.array([2, 0, 0]), np.full((3, 8), 0.5)) == 0.0
 
 
+def test_profile_and_nan_guard_smoke(synth, tmp_path):
+    """--profile-dir wraps the run in a jax.profiler trace (a real trace
+    artifact must land on disk) and --debug-nans completes cleanly and
+    restores the global jax_debug_nans config afterwards."""
+    import glob
+
+    import jax
+    import train as train_cli
+
+    prof = str(tmp_path / "prof")
+    train_cli.main([
+        "--config", f"{synth}/config.yaml", "--device", "cpu",
+        "--mesh", "data=4,model=2", "--max-steps-per-epoch", "2",
+        "--no-pt-export", "--profile-dir", prof, "--debug-nans",
+    ])
+    produced = [p for p in glob.glob(f"{prof}/**", recursive=True)
+                if os.path.isfile(p)]
+    assert produced, "profiler trace directory is empty"
+    assert jax.config.jax_debug_nans is False  # guard restored on exit
+
+
 def test_corrected_posterior_flag_flips_ref_compat():
     """--corrected-posterior must reach the sampler as ref_compat=False
     (the getattr default in sampling_kwargs would silently mask a renamed
