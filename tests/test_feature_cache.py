@@ -178,3 +178,31 @@ def test_training_with_cache_matches_uncached(tmp_path):
     sc2 = run(True)  # second run must REUSE, not rebuild
     assert cache_file.stat().st_mtime == mtime
     np.testing.assert_allclose(sc2["train_loss"], su["train_loss"], rtol=1e-6)
+
+
+def test_precompute_script_then_train(tmp_path):
+    """scripts/precompute_features.py (the documented multi-host
+    prerequisite) writes a cache that a subsequent training run ACCEPTS —
+    same fingerprint, no rebuild — and reproduces the uncached losses."""
+    from scripts.make_synth_data import main as synth_main
+    from scripts.precompute_features import main as precompute
+    from fddm_asr_tpu.config import load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+    cache = str(tmp_path / "feats")
+    precompute(["--config", os.path.join(out, "config.yaml"),
+                "--cache-dir", cache, "--splits", "train", "--device", "cpu"])
+    feats = tmp_path / "feats" / "train" / "feats.npy"
+    assert feats.exists()
+    mtime = feats.stat().st_mtime
+
+    raw = load_yaml(os.path.join(out, "config.yaml"))
+    raw["optim"].update({"num_epochs": 1, "batch_size": 8})
+    raw["data"]["val_json"] = raw["data"]["test_json"] = "/nonexistent"
+    raw["data"]["cache_features"] = cache
+    raw["log"]["ckpt_dir"] = str(tmp_path / "ck")
+    s = run_training(Config(raw), raw_cfg=raw, export_pt=False)
+    assert np.isfinite(s["train_loss"])
+    assert feats.stat().st_mtime == mtime  # accepted, not rebuilt
