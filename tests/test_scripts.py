@@ -177,6 +177,39 @@ def test_sweep_dry_run(tmp_path, capsys):
     assert c["model"]["d_model"] == 768
 
 
+def test_convert_wavlm_script(tmp_path):
+    """convert_wavlm CLI: local HF dir -> orbax dir that train.py's
+    --wavlm-ckpt loader accepts, with --verify's torch-vs-flax comparison
+    passing on the tiny model."""
+    import torch
+    from transformers import WavLMConfig as HFConfig, WavLMModel as HFModel
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=32, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+        num_conv_pos_embeddings=15, num_conv_pos_embedding_groups=1,
+        num_buckets=32, max_bucket_distance=80, do_stable_layer_norm=False,
+        feat_extract_norm="group",
+    )
+    src = str(tmp_path / "hf")
+    HFModel(hf_cfg).save_pretrained(src)
+
+    from scripts.convert_wavlm import main as convert
+
+    out = str(tmp_path / "wavlm.orbax")
+    convert(["--src", src, "--out", out, "--cpu", "--verify"])
+    assert os.path.isdir(out)
+
+    from train import _load_wavlm
+    from fddm_asr_tpu.config import Config
+
+    cfg = Config({"model": {"encoder": {"wavlm_name": src}}})
+    params = _load_wavlm(out, cfg)
+    assert params is not None
+
+
 def test_sanity_check_scheduler_script():
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/sanity_check_scheduler.py"),
