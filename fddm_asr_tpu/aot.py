@@ -1,0 +1,316 @@
+# -*- coding: utf-8 -*-
+"""AOT deployment artifacts: serialize the fused encode+sample transcribe
+step with `jax.export` (StableHLO) into a self-contained directory that
+serves WITHOUT the model code.
+
+The reference has no deployment story at all (its inference path rebuilds
+torch modules from YAML every run — /root/reference/inference.py:96-160);
+this is the TPU-native production packaging layer: a versioned, ahead-of-
+time-lowered program per (batch, samples) bucket, the parameters, and the
+tokenizer, in one directory.  Loading needs only jax + numpy +
+fddm_asr_tpu's tokenizer/eval helpers — no Flax modules are constructed,
+so serving hosts never trace or re-lower the model and cold-start is one
+deserialize instead of a full trace+compile.
+
+Artifact layout (a directory)::
+
+    meta.json                    format/version/bucket/sampling metadata
+    module_b{B}_n{N}.jaxexport   serialized jax.export.Exported per bucket
+    params.npz                   encoder+decoder params (raw-byte leaves,
+                                 bf16-safe — ml_dtypes dtypes round-trip)
+    tokenizer/<file>             copied tokenizer model (+ sidecars)
+
+Exported calling convention (fixed across buckets)::
+
+    call(enc_params, dec_params, seed_u32, wave_f32[B,N], lengths_i32[B])
+        -> (ids_i32[B,seq_len], p_x0_f32[B,seq_len,K])
+
+`seed` feeds `jax.random.key` INSIDE the program, so a live
+`FDDMPipeline.transcribe(..., rng=jax.random.key(seed))` at the same padded
+batch shape produces token-identical transcripts (pinned in
+tests/test_aot_export.py).  `lengths` is ignored unless the pipeline was
+built with `use_condition_mask=True` (reference parity passes no masks at
+inference — SURVEY hard part #4) but is always part of the signature so
+callers never branch.
+
+Multi-platform notes: pass `platforms=("cpu", "tpu")` to lower one artifact
+for both; Pallas-fused attention only lowers for the platform the exporting
+process runs on, so TPU-targeted flagship exports should be produced on a
+TPU host (the tiny/test configs use the portable XLA attention and export
+anywhere).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+FORMAT_VERSION = 1
+_META = "meta.json"
+_PARAMS = "params.npz"
+_TOKDIR = "tokenizer"
+
+
+# --------------------------------------------------------------------------
+# parameter tree <-> npz  (raw bytes per leaf: np.savez cannot hold ml_dtypes
+# bfloat16 without pickling, and np.issubdtype misclassifies it — CLAUDE.md)
+# --------------------------------------------------------------------------
+def _flatten_named(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        keys = []
+        for p in path:
+            if not hasattr(p, "key"):
+                raise TypeError(
+                    f"params must be nested dicts; got path entry {p!r}")
+            keys.append(str(p.key))
+        flat[prefix + "/" + "/".join(keys)] = np.asarray(leaf)
+    return flat
+
+
+def _dtype_from_name(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # bfloat16/float8 live here, not in numpy
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def save_params_npz(path: str, enc_params: Any, dec_params: Any) -> None:
+    flat = {}
+    flat.update(_flatten_named(enc_params, "enc"))
+    flat.update(_flatten_named(dec_params, "dec"))
+    spec = {k: {"dtype": a.dtype.name, "shape": list(a.shape)}
+            for k, a in flat.items()}
+    payload = {k: np.frombuffer(a.tobytes(), dtype=np.uint8)
+               for k, a in flat.items()}
+    payload["__spec__"] = np.frombuffer(
+        json.dumps(spec).encode("utf-8"), dtype=np.uint8)
+    np.savez(path, **payload)
+
+
+def load_params_npz(path: str) -> Tuple[Dict, Dict]:
+    with np.load(path) as z:
+        spec = json.loads(bytes(z["__spec__"]).decode("utf-8"))
+        trees: Dict[str, Dict] = {"enc": {}, "dec": {}}
+        for name, info in spec.items():
+            arr = np.frombuffer(
+                bytes(z[name]), dtype=_dtype_from_name(info["dtype"])
+            ).reshape(info["shape"])
+            parts = name.split("/")
+            node = trees[parts[0]]
+            for k in parts[1:-1]:
+                node = node.setdefault(k, {})
+            node[parts[-1]] = arr
+    return trees["enc"], trees["dec"]
+
+
+# --------------------------------------------------------------------------
+# export side
+# --------------------------------------------------------------------------
+def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
+    """Fused encode+sample step with the fixed AOT calling convention.
+
+    `pipeline` is a live FDDMPipeline; `sampling` takes the same keys as
+    FDDMPipeline.sample (T_infer/r/greedy/posterior_mode/sampling_mode/
+    temperature/ref_compat).
+    """
+    from fddm_asr_tpu.sampler import SamplerConfig, make_sample_fn
+
+    scfg = SamplerConfig(
+        K=pipeline.cfg.data.vocab_size,
+        T_train=pipeline.cfg.diffusion["T"],
+        T_infer=int(sampling.get("T_infer", 20)),
+        r=int(sampling.get("r", 5)),
+        greedy=bool(sampling.get("greedy", True)),
+        posterior_mode=sampling.get("posterior_mode", "map"),
+        sampling_mode=sampling.get("sampling_mode", "exact"),
+        temperature=float(sampling.get("temperature", 1.0)),
+        ref_compat=bool(sampling.get("ref_compat", True)),
+    )
+
+    def decoder_apply(params, xt, t, cond, c_mask):
+        return pipeline.decoder.apply(
+            params, xt, t, cond, None, c_mask, deterministic=True)
+
+    sample_fn = make_sample_fn(decoder_apply, pipeline.sched, scfg)
+    use_cmask = bool(pipeline.use_condition_mask)
+
+    def transcribe_step(enc_params, dec_params, seed, wave, lengths):
+        rng = jax.random.key(seed)
+        feats, feat_mask, _ = pipeline.encoder.apply(
+            enc_params, wave, lengths if use_cmask else None,
+            deterministic=True)
+        c_mask = feat_mask if use_cmask else None
+        ids, p = sample_fn(dec_params, rng, feats, seq_len=seq_len,
+                           c_mask=c_mask)
+        return ids, p
+
+    return transcribe_step
+
+
+def _tree_specs(tree: Any):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), tree)
+
+
+def export_transcribe(
+    pipeline,
+    batch: int,
+    num_samples: int,
+    seq_len: int,
+    sampling: Dict[str, Any],
+    platforms: Optional[Sequence[str]] = None,
+) -> jax_export.Exported:
+    """Lower ONE (batch, num_samples) bucket to a jax.export.Exported."""
+    fn = build_transcribe_fn(pipeline, seq_len, sampling)
+    exp = jax_export.export(
+        jax.jit(fn),
+        platforms=tuple(platforms) if platforms else None,
+    )(
+        _tree_specs(pipeline.encoder_params),
+        _tree_specs(pipeline.decoder_params),
+        jax.ShapeDtypeStruct((), np.uint32),
+        jax.ShapeDtypeStruct((batch, num_samples), np.float32),
+        jax.ShapeDtypeStruct((batch,), np.int32),
+    )
+    return exp
+
+
+def save_artifact(
+    pipeline,
+    out_dir: str,
+    buckets: Sequence[Tuple[int, int]],
+    seq_len: int,
+    sampling: Dict[str, Any],
+    tokenizer_path: str,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export every bucket + params + tokenizer into `out_dir`; returns the
+    meta dict.  `buckets` is a list of (batch, num_samples)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for b, n in buckets:
+        exp = export_transcribe(pipeline, b, n, seq_len, sampling, platforms)
+        with open(os.path.join(out_dir, f"module_b{b}_n{n}.jaxexport"),
+                  "wb") as f:
+            f.write(exp.serialize())
+    save_params_npz(os.path.join(out_dir, _PARAMS),
+                    pipeline.encoder_params, pipeline.decoder_params)
+
+    tokdir = os.path.join(out_dir, _TOKDIR)
+    os.makedirs(tokdir, exist_ok=True)
+    tok_file = os.path.basename(tokenizer_path)
+    shutil.copy2(tokenizer_path, os.path.join(tokdir, tok_file))
+    # sidecars the loader falls back to (.vocab / vocab.json next to .model)
+    stem = os.path.splitext(tokenizer_path)[0]
+    for side in (stem + ".vocab",
+                 os.path.join(os.path.dirname(tokenizer_path), "vocab.json")):
+        if os.path.exists(side):
+            shutil.copy2(side, os.path.join(tokdir, os.path.basename(side)))
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms) if platforms else None,
+        "seq_len": int(seq_len),
+        "sampling": {k: (bool(v) if isinstance(v, (bool, np.bool_)) else v)
+                     for k, v in sampling.items()},
+        "buckets": [[int(b), int(n)] for b, n in sorted(buckets)],
+        "vocab_size": int(pipeline.cfg.data.vocab_size),
+        "special_ids": {k: (None if v is None else int(v))
+                        for k, v in pipeline.special_ids.items()},
+        "use_condition_mask": bool(pipeline.use_condition_mask),
+        "tokenizer_file": tok_file,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+# --------------------------------------------------------------------------
+# serving side — needs NO model code
+# --------------------------------------------------------------------------
+class ExportedPipeline:
+    """Loads an AOT artifact and transcribes.  Buckets are picked as the
+    smallest (batch, samples) that fit; waveforms are zero-padded into the
+    bucket.  NOTE transcripts depend on the padded batch SHAPE (the sampler
+    draws x_T per padded row — same contract as the live engine, CLAUDE.md),
+    so fixed buckets are part of the artifact's observable behavior."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, _META)) as f:
+            self.meta = json.load(f)
+        if self.meta["format_version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.meta['format_version']} is newer "
+                f"than this loader ({FORMAT_VERSION})")
+        self._modules: Dict[Tuple[int, int], jax_export.Exported] = {}
+        for b, n in self.meta["buckets"]:
+            fn = os.path.join(path, f"module_b{b}_n{n}.jaxexport")
+            with open(fn, "rb") as f:
+                self._modules[(b, n)] = jax_export.deserialize(
+                    bytearray(f.read()))
+        self.enc_params, self.dec_params = load_params_npz(
+            os.path.join(path, _PARAMS))
+        from fddm_asr_tpu.tokenizer import load_tokenizer
+
+        self.tokenizer = load_tokenizer(
+            os.path.join(path, _TOKDIR, self.meta["tokenizer_file"]))
+        self.special_ids = self.meta["special_ids"]
+        self.pad_id = self.special_ids["pad_id"]
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedPipeline":
+        return cls(path)
+
+    # ------------------------------------------------------------- buckets
+    def pick_bucket(self, rows: int, samples: int) -> Tuple[int, int]:
+        fits = [(b, n) for b, n in self._modules
+                if b >= rows and n >= samples]
+        if not fits:
+            raise ValueError(
+                f"no exported bucket fits batch={rows} samples={samples}; "
+                f"available: {sorted(self._modules)}")
+        return min(fits, key=lambda bn: (bn[1], bn[0]))
+
+    # ----------------------------------------------------------------- api
+    def transcribe_with_ids(
+        self,
+        wave: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> List[Tuple[str, List[int]]]:
+        from fddm_asr_tpu.eval import ids_to_text
+
+        wave = np.asarray(wave, np.float32)
+        if wave.ndim == 1:
+            wave = wave[None]
+        rows, samples = wave.shape
+        if lengths is None:
+            lengths = np.full((rows,), samples, np.int32)
+        b, n = self.pick_bucket(rows, samples)
+        wave_p = np.zeros((b, n), np.float32)
+        wave_p[:rows, :samples] = wave
+        len_p = np.zeros((b,), np.int32)
+        len_p[:rows] = np.asarray(lengths, np.int32)
+        ids, _p = self._modules[(b, n)].call(
+            self.enc_params, self.dec_params, np.uint32(seed), wave_p, len_p)
+        ids = np.asarray(ids)[:rows]
+        return [
+            (ids_to_text(row, self.tokenizer, self.pad_id,
+                         self.special_ids.get("bos_id"),
+                         self.special_ids.get("eos_id")),
+             row.tolist())
+            for row in ids
+        ]
+
+    def transcribe(self, wave, lengths=None, seed: int = 0) -> List[str]:
+        return [t for t, _ in
+                self.transcribe_with_ids(wave, lengths, seed=seed)]

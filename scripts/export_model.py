@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Export an AOT deployment artifact (StableHLO modules + params +
+tokenizer) from a trained checkpoint.  See fddm_asr_tpu/aot.py for the
+artifact contract; the reference has no deployment packaging at all.
+
+    python scripts/export_model.py \
+        --ckpt ckpts/best_model.pt \
+        --main-config configs/fddm_zhTW_base.yaml \
+        --diffusion-config configs/diffusion.yaml \
+        --tokenizer data/tokenizer/zh-TW_A/spm_zhTW_A.model \
+        --out artifacts/fddm_v1 \
+        --batch-sizes 1,8 --seconds 20 --seq-len 64 \
+        --T-infer 20 --r 5 --greedy [--platforms cpu,tpu]
+
+Prints one JSON summary line on success.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="FDDM-ASR-TPU AOT export")
+    p.add_argument("--ckpt", type=str, required=True,
+                   help=".pt or orbax checkpoint")
+    p.add_argument("--main-config", type=str, required=True)
+    p.add_argument("--diffusion-config", type=str, required=True)
+    p.add_argument("--tokenizer", type=str, required=True)
+    p.add_argument("--out", type=str, required=True, help="artifact directory")
+    p.add_argument("--batch-sizes", type=str, default="1,8",
+                   help="comma-separated batch buckets")
+    p.add_argument("--seconds", type=float, default=20.0,
+                   help="audio bucket length (s at 16 kHz); repeatable via "
+                        "comma-separated values")
+    p.add_argument("--seq-len", type=int, default=64)
+    p.add_argument("--T-infer", type=int, default=20)
+    p.add_argument("--r", type=int, default=5)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--posterior-mode", type=str, default="average",
+                   choices=["average", "max", "map"])
+    p.add_argument("--sampling-mode", type=str, default="exact",
+                   choices=["exact", "fast"])
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--corrected-posterior", action="store_true")
+    p.add_argument("--platforms", type=str, default="",
+                   help="comma-separated lowering targets, e.g. cpu,tpu "
+                        "(default: the current backend)")
+    p.add_argument("--device", type=str, default=None, help="cpu|tpu")
+    p.add_argument("--wavlm-ckpt", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device and args.device.startswith("cpu"):
+        # sitecustomize bakes axon into jax.config — must ASSIGN the env var
+        # AND update the config after import (CLAUDE.md env rules)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.device and args.device.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    import inference as infer_cli
+    from fddm_asr_tpu import aot
+
+    pipeline = infer_cli.build_pipeline(args)
+    sampling = infer_cli.sampling_kwargs(args)
+    sampling["temperature"] = args.temperature
+
+    batches = [int(b) for b in args.batch_sizes.split(",") if b]
+    seconds = [float(s) for s in str(args.seconds).split(",") if s]
+    buckets = [(b, int(round(sec * 16000))) for b in batches
+               for sec in seconds]
+    platforms = [s for s in args.platforms.split(",") if s] or None
+
+    meta = aot.save_artifact(
+        pipeline, args.out, buckets, seq_len=args.seq_len,
+        sampling=sampling, tokenizer_path=args.tokenizer,
+        platforms=platforms,
+    )
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(args.out) for f in files)
+    print(json.dumps({"out": args.out, "buckets": meta["buckets"],
+                      "seq_len": meta["seq_len"],
+                      "platforms": meta["platforms"],
+                      "artifact_bytes": size}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
