@@ -286,8 +286,9 @@ class ExportedPipeline:
         wave: np.ndarray,
         lengths: Optional[np.ndarray] = None,
         seed: int = 0,
-    ) -> List[Tuple[str, List[int]]]:
-        from fddm_asr_tpu.eval import ids_to_text
+        with_confidence: bool = False,
+    ) -> List[Tuple]:
+        from fddm_asr_tpu.eval import ids_to_text, utterance_confidence
 
         wave = np.asarray(wave, np.float32)
         if wave.ndim == 1:
@@ -298,18 +299,27 @@ class ExportedPipeline:
         b, n = self.pick_bucket(rows, samples)
         wave_p = np.zeros((b, n), np.float32)
         wave_p[:rows, :samples] = wave
-        len_p = np.zeros((b,), np.int32)
-        len_p[:rows] = np.asarray(lengths, np.int32)
-        ids, _p = self._modules[(b, n)].call(
+        # clamp to one conv-frame's receptive field (400 samples): shorter
+        # lengths yield ZERO encoder frames whose all-masked attention rows
+        # would reach the decoder (same guard as serve.py's engine); bucket
+        # pad rows get the same floor
+        floor = min(400, n)
+        len_p = np.full((b,), floor, np.int32)
+        len_p[:rows] = np.maximum(np.asarray(lengths, np.int32), floor)
+        ids, p = self._modules[(b, n)].call(
             self.enc_params, self.dec_params, np.uint32(seed), wave_p, len_p)
         ids = np.asarray(ids)[:rows]
-        return [
-            (ids_to_text(row, self.tokenizer, self.pad_id,
-                         self.special_ids.get("bos_id"),
-                         self.special_ids.get("eos_id")),
-             row.tolist())
-            for row in ids
-        ]
+        out = []
+        for i, row in enumerate(ids):
+            entry = (ids_to_text(row, self.tokenizer, self.pad_id,
+                                 self.special_ids.get("bos_id"),
+                                 self.special_ids.get("eos_id")),
+                     row.tolist())
+            if with_confidence:
+                entry = entry + (utterance_confidence(
+                    row, np.asarray(p[i]), self.pad_id, self.special_ids),)
+            out.append(entry)
+        return out
 
     def transcribe(self, wave, lengths=None, seed: int = 0) -> List[str]:
         return [t for t, _ in

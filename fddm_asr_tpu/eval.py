@@ -182,6 +182,21 @@ def decoded_span_mask(ids_row: np.ndarray, pad_id: int,
     return valid
 
 
+def utterance_confidence(ids_row: np.ndarray, p_row: np.ndarray,
+                         pad_id: int,
+                         special_ids: Dict[str, Optional[int]]) -> float:
+    """Geometric-mean probability of the emitted tokens (final-step p_x0)
+    over the decoded span — the standard ASR per-utterance confidence; 0.0
+    when nothing was decoded.  Shared by FDDMPipeline and the AOT
+    ExportedPipeline so live and exported serving report the same score."""
+    ids_row = np.asarray(ids_row)
+    tok_p = np.asarray(p_row)[np.arange(len(ids_row)), ids_row]
+    valid = decoded_span_mask(ids_row, pad_id, special_ids)
+    if not valid.any():
+        return 0.0
+    return float(np.exp(np.log(np.maximum(tok_p[valid], 1e-12)).mean()))
+
+
 def _decoded_span_logprob_mean(ids_row: np.ndarray, tok_p: np.ndarray,
                                pipeline) -> float:
     """Mean log p(token) over the decoded span; empty span (all pad)

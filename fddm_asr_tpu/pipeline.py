@@ -443,11 +443,7 @@ class FDDMPipeline:
         return out
 
     def _utterance_confidence(self, ids_row, p_row) -> float:
-        from fddm_asr_tpu.eval import decoded_span_mask
+        from fddm_asr_tpu.eval import utterance_confidence
 
-        ids_row = np.asarray(ids_row)
-        tok_p = np.asarray(p_row)[np.arange(len(ids_row)), ids_row]
-        valid = decoded_span_mask(ids_row, self.pad_id, self.special_ids)
-        if not valid.any():
-            return 0.0
-        return float(np.exp(np.log(np.maximum(tok_p[valid], 1e-12)).mean()))
+        return utterance_confidence(ids_row, p_row, self.pad_id,
+                                    self.special_ids)

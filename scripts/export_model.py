@@ -48,6 +48,11 @@ def parse_args(argv=None):
                    choices=["exact", "fast"])
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--corrected-posterior", action="store_true")
+    p.add_argument("--condition-mask", choices=["on", "off"], default="off",
+                   help="on: mask padded audio frames in cross-attention so "
+                        "bucket padding cannot alter transcripts (what "
+                        "serve.py uses); off (default): reference parity — "
+                        "no masks at inference")
     p.add_argument("--platforms", type=str, default="",
                    help="comma-separated lowering targets, e.g. cpu,tpu "
                         "(default: the current backend)")
@@ -71,6 +76,7 @@ def main(argv=None):
     from fddm_asr_tpu import aot
 
     pipeline = infer_cli.build_pipeline(args)
+    pipeline.use_condition_mask = args.condition_mask == "on"
     sampling = infer_cli.sampling_kwargs(args)
     sampling["temperature"] = args.temperature
 

@@ -223,10 +223,14 @@ class BatchingEngine:
                     # Sub-400 uploads and long-form tail chunks hit this.
                     lengths[i] = max(len(r.wave), 400)
                 self._rng_counter += 1
+                # AOT-exported pipelines seed jax.random.key INSIDE the
+                # compiled module — pass the raw counter (takes_seed)
+                rng = (self._rng_counter
+                       if getattr(self.pipeline, "takes_seed", False)
+                       else jax.random.key(self._rng_counter))
                 texts_ids = self.pipeline.transcribe_with_ids(
                     wave, lengths, seq_len=self.seq_len,
-                    rng=jax.random.key(self._rng_counter),
-                    with_confidence=True, **self.sampling,
+                    rng=rng, with_confidence=True, **self.sampling,
                 )[: len(batch)]
                 device_s = time.perf_counter() - t0
                 now = time.perf_counter()
@@ -370,7 +374,77 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
     return Handler
 
 
+class ExportedEngineAdapter:
+    """FDDMPipeline-shaped front for an AOT artifact (fddm_asr_tpu.aot).
+
+    seq_len and sampling are baked into the exported modules, so the
+    engine's per-call values are ignored here; the engine is constructed
+    from the artifact meta so they always agree.  takes_seed tells the
+    engine to pass its rng counter as a raw int (the exported module calls
+    jax.random.key(seed) internally — same key the live engine would use,
+    so transcripts match a live server at identical shapes and counters).
+    """
+
+    takes_seed = True
+
+    def __init__(self, exported):
+        self.ep = exported
+
+    def transcribe_with_ids(self, wave, lengths=None, seq_len=None,
+                            rng=0, with_confidence=False, **_sampling):
+        return self.ep.transcribe_with_ids(
+            wave, lengths, seed=int(rng), with_confidence=with_confidence)
+
+
+def _build_exported_server(args) -> ThreadingHTTPServer:
+    import warnings
+
+    from fddm_asr_tpu.aot import ExportedPipeline
+
+    if getattr(args, "mesh", ""):
+        raise SystemExit("--exported artifacts are pre-lowered; --mesh is "
+                         "fixed at export time and cannot be set here")
+    ep = ExportedPipeline.load(args.exported)
+    meta = ep.meta
+    if not meta.get("use_condition_mask"):
+        warnings.warn(
+            "artifact was exported with --condition-mask off: co-batched "
+            "padding can alter transcripts (export serving artifacts with "
+            "--condition-mask on)", stacklevel=2)
+    buckets = [tuple(bn) for bn in meta["buckets"]]
+    batches = sorted({b for b, _ in buckets})
+    samples = sorted({n for _, n in buckets})
+    sampling = {
+        "T_infer": meta["sampling"].get("T_infer"),
+        "r": meta["sampling"].get("r"),
+        "greedy": meta["sampling"].get("greedy", True),
+        "posterior_mode": meta["sampling"].get("posterior_mode", "average"),
+    }
+    engine = BatchingEngine(
+        ExportedEngineAdapter(ep), sampling, meta["seq_len"],
+        max_batch=max(batches), max_wait_ms=args.max_wait_ms,
+        bucket_seconds=min(samples) / 16000.0,
+        max_seconds=max(samples) / 16000.0,
+    )
+    echo = {"model": "fddm-asr-tpu", "exported": args.exported,
+            "seq_len": meta["seq_len"], **sampling,
+            "max_batch": max(batches)}
+    loopback = args.host in ("127.0.0.1", "localhost", "::1")
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(engine, echo,
+                     audio_root=getattr(args, "audio_root", None),
+                     loopback_only_paths=not loopback))
+    server.engine = engine
+    return server
+
+
 def build_server(args) -> ThreadingHTTPServer:
+    if getattr(args, "exported", None):
+        return _build_exported_server(args)
+    if not (args.config and args.ckpt):
+        raise SystemExit("either --exported or both --config and --ckpt "
+                         "are required")
     from fddm_asr_tpu.config import load_config
     from fddm_asr_tpu.pipeline import FDDMPipeline
     from fddm_asr_tpu.tokenizer import load_tokenizer
@@ -447,8 +521,14 @@ def _warmup(engine: BatchingEngine, seconds_list: str, max_batch: int) -> None:
 
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(description="FDDM-ASR-TPU inference server")
-    ap.add_argument("--config", required=True)
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--exported", default=None,
+                    help="serve an AOT artifact (scripts/export_model.py) "
+                         "instead of --config/--ckpt: modules are "
+                         "pre-lowered, so cold start is one deserialize; "
+                         "seq_len/sampling/buckets come from the artifact "
+                         "meta and the corresponding flags are ignored")
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)

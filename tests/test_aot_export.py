@@ -164,6 +164,70 @@ print("FRESH_PROCESS_OK")
     assert "FRESH_PROCESS_OK" in res.stdout
 
 
+def test_serve_exported_artifact(synth, artifact):
+    """serve.py --exported: HTTP serving straight off the AOT artifact —
+    engine params derive from the artifact meta, transcripts are
+    deterministic (identical to a direct ExportedPipeline call at the
+    engine's padded shape and rng counter)."""
+    import threading
+    import urllib.request
+
+    import serve
+    from fddm_asr_tpu import aot
+    from fddm_asr_tpu.data.audio_io import load_audio
+
+    args = serve.parse_args([
+        "--exported", artifact, "--port", "0", "--max-wait-ms", "5",
+    ])
+    with pytest.warns(UserWarning, match="condition-mask off"):
+        srv = serve.build_server(args)
+    # engine config came from the artifact meta, not flags
+    assert srv.engine.max_batch == 2
+    assert srv.engine.bucket == N and srv.engine.max_samples == N
+    assert srv.engine.seq_len == SEQ_LEN
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+            health = json.loads(r.read().decode("utf-8"))
+        assert health["exported"] == artifact
+        assert health["T_infer"] == SAMPLING["T_infer"]
+
+        wav_path = f"{synth}/data/processed/clips/test_000.wav"
+        req = urllib.request.Request(
+            base + "/v1/transcribe", data=open(wav_path, "rb").read(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            res = json.loads(r.read().decode("utf-8"))
+        assert set(res) >= {"wav", "text", "ids", "confidence", "T_infer"}
+        assert res["T_infer"] == SAMPLING["T_infer"]
+
+        # deterministic: first batch uses rng counter 1; the engine padded
+        # the clip to its (1, bucket) shape before the adapter call
+        wave, _sr = load_audio(wav_path, target_sr=16000, mono=True)
+        ep = aot.ExportedPipeline.load(artifact)
+        padded = np.zeros((1, N), np.float32)
+        padded[0, : len(wave)] = wave
+        exp_text, exp_ids, exp_conf = ep.transcribe_with_ids(
+            padded, lengths=np.array([max(len(wave), 400)]), seed=1,
+            with_confidence=True)[0]
+        assert res["ids"] == exp_ids
+        assert res["text"] == exp_text
+        assert abs(res["confidence"] - exp_conf) < 1e-6
+    finally:
+        srv.shutdown()
+        srv.engine.shutdown()
+
+
+def test_serve_requires_exported_or_config():
+    import serve
+
+    args = serve.parse_args(["--port", "0"])
+    with pytest.raises(SystemExit, match="either --exported"):
+        serve.build_server(args)
+
+
 def test_export_cli(synth, pipeline, tmp_path):
     """scripts/export_model.py: .pt checkpoint -> artifact -> transcripts
     identical to a live pipeline built from the same checkpoint."""
