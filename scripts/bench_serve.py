@@ -55,8 +55,12 @@ def _wav_bytes(seconds: float, seed: int, sr: int = 16000) -> bytes:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--exported", default=None,
+                    help="bench an AOT artifact (serve.py --exported) "
+                         "instead of --config/--ckpt; cold_start_s then "
+                         "measures deserialize instead of trace+compile")
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--concurrency", type=int, default=8,
                     help="closed-loop clients (each fires its next request "
@@ -83,17 +87,26 @@ def main(argv=None):
 
     import serve
 
-    srv_args = serve.parse_args([
-        "--config", args.config, "--ckpt", args.ckpt,
-        "--port", "0", "--max-batch", str(args.max_batch),
-        "--max-wait-ms", str(args.max_wait_ms),
-    ] + (["--tokenizer", args.tokenizer] if args.tokenizer else [])
-      + (["--seq-len", str(args.seq_len)] if args.seq_len else [])
-      + (["--T-infer", str(args.T_infer)] if args.T_infer else [])
-      + (["--r", str(args.r)] if args.r else [])
-      + (["--mesh", args.mesh] if args.mesh else [])
-      + (["--seq-parallel"] if args.seq_parallel else []))
+    if args.exported:
+        srv_argv = ["--exported", args.exported, "--port", "0",
+                    "--max-wait-ms", str(args.max_wait_ms)]
+    elif args.config and args.ckpt:
+        srv_argv = ([
+            "--config", args.config, "--ckpt", args.ckpt,
+            "--port", "0", "--max-batch", str(args.max_batch),
+            "--max-wait-ms", str(args.max_wait_ms),
+        ] + (["--tokenizer", args.tokenizer] if args.tokenizer else [])
+          + (["--seq-len", str(args.seq_len)] if args.seq_len else [])
+          + (["--T-infer", str(args.T_infer)] if args.T_infer else [])
+          + (["--r", str(args.r)] if args.r else [])
+          + (["--mesh", args.mesh] if args.mesh else [])
+          + (["--seq-parallel"] if args.seq_parallel else []))
+    else:
+        ap.error("either --exported or both --config and --ckpt")
+    srv_args = serve.parse_args(srv_argv)
+    t_boot = time.perf_counter()
     srv = serve.build_server(srv_args)
+    build_s = time.perf_counter() - t_boot
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     body = _wav_bytes(args.audio_seconds, seed=0)
@@ -106,8 +119,11 @@ def main(argv=None):
             return json.loads(r.read().decode("utf-8"))
 
     # warmup: compile every (duration-bucket, batch-bucket) shape the run
-    # will touch — one solo request (B=1) and one full-concurrency wave
+    # will touch — one solo request (B=1) and one full-concurrency wave.
+    # The first request is the cold start: with --exported it pays a
+    # deserialize, a live pipeline pays trace + (remote) compile.
     post()
+    first_request_s = time.perf_counter() - t_boot
     warm = [threading.Thread(target=post) for _ in range(args.concurrency)]
     for t in warm:
         t.start()
@@ -145,6 +161,9 @@ def main(argv=None):
         "errors": snap["errors"] - baseline["errors"],
         "offered_concurrency": args.concurrency,
         "audio_seconds_per_request": args.audio_seconds,
+        "cold_start_s": {"build": round(build_s, 2),
+                         "first_request": round(first_request_s, 2)},
+        "serving": "exported" if args.exported else "live",
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))

@@ -220,6 +220,25 @@ def test_serve_exported_artifact(synth, artifact):
         srv.engine.shutdown()
 
 
+def test_bench_serve_exported(artifact, capsys):
+    """scripts/bench_serve.py --exported: serving bench off the artifact,
+    with cold-start timings in the JSON row."""
+    import warnings
+
+    from scripts.bench_serve import main as bench_main
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # condition-mask-off artifact
+        bench_main(["--exported", artifact, "--concurrency", "2",
+                    "--duration-s", "1", "--audio-seconds", "0.5",
+                    "--device", "cpu"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["metric"] == "serve_rtfx" and row["serving"] == "exported"
+    assert row["errors"] == 0 and row["value"] > 0
+    assert row["cold_start_s"]["build"] > 0
+    assert row["cold_start_s"]["first_request"] >= row["cold_start_s"]["build"]
+
+
 def test_serve_requires_exported_or_config():
     import serve
 
