@@ -157,8 +157,10 @@ def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
 
 
 def _tree_specs(tree: Any):
+    # leaves are jax/numpy arrays — read shape/dtype without materializing
+    # (np.asarray would pull every device leaf to host once per bucket)
     return jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), tree)
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
 
 
 def export_transcribe(

@@ -35,9 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--out", type=str, required=True, help="artifact directory")
     p.add_argument("--batch-sizes", type=str, default="1,8",
                    help="comma-separated batch buckets")
-    p.add_argument("--seconds", type=float, default=20.0,
-                   help="audio bucket length (s at 16 kHz); repeatable via "
-                        "comma-separated values")
+    p.add_argument("--seconds", type=str, default="20",
+                   help="audio bucket length(s) in seconds at 16 kHz, "
+                        "comma-separated (e.g. '5,10,20')")
     p.add_argument("--seq-len", type=int, default=64)
     p.add_argument("--T-infer", type=int, default=20)
     p.add_argument("--r", type=int, default=5)
@@ -61,6 +61,15 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def parse_buckets(batch_sizes: str, seconds: str):
+    """'1,8' x '5,20' -> [(1, 80000), (1, 320000), (8, 80000), ...]"""
+    batches = [int(b) for b in batch_sizes.split(",") if b]
+    secs = [float(s) for s in seconds.split(",") if s]
+    if not batches or not secs:
+        raise ValueError("need at least one batch size and one duration")
+    return [(b, int(round(sec * 16000))) for b in batches for sec in secs]
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.device and args.device.startswith("cpu"):
@@ -80,10 +89,7 @@ def main(argv=None):
     sampling = infer_cli.sampling_kwargs(args)
     sampling["temperature"] = args.temperature
 
-    batches = [int(b) for b in args.batch_sizes.split(",") if b]
-    seconds = [float(s) for s in str(args.seconds).split(",") if s]
-    buckets = [(b, int(round(sec * 16000))) for b in batches
-               for sec in seconds]
+    buckets = parse_buckets(args.batch_sizes, args.seconds)
     platforms = [s for s in args.platforms.split(",") if s] or None
 
     meta = aot.save_artifact(

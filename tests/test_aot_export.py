@@ -239,6 +239,16 @@ def test_bench_serve_exported(artifact, capsys):
     assert row["cold_start_s"]["first_request"] >= row["cold_start_s"]["build"]
 
 
+def test_cli_bucket_grid_parsing():
+    from scripts.export_model import parse_buckets
+
+    assert parse_buckets("1,8", "5,20") == [
+        (1, 80000), (1, 320000), (8, 80000), (8, 320000)]
+    assert parse_buckets("2", "0.5") == [(2, 8000)]
+    with pytest.raises(ValueError):
+        parse_buckets("", "20")
+
+
 def test_serve_requires_exported_or_config():
     import serve
 
