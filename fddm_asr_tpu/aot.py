@@ -171,17 +171,47 @@ def export_transcribe(
     sampling: Dict[str, Any],
     platforms: Optional[Sequence[str]] = None,
 ) -> jax_export.Exported:
-    """Lower ONE (batch, num_samples) bucket to a jax.export.Exported."""
+    """Lower ONE (batch, num_samples) bucket to a jax.export.Exported.
+
+    If the pipeline has a device mesh applied (FDDMPipeline.apply_mesh),
+    the exported module is SHARDED: param shardings are captured from the
+    placed arrays, the batch rides the "data" axis, and the artifact
+    requires mesh-size devices at load time (multi-chip serving without
+    model code).  Token-exact vs the single-device export — pinned in
+    tests/test_aot_export.py.
+    """
     fn = build_transcribe_fn(pipeline, seq_len, sampling)
+    mesh = getattr(pipeline, "mesh", None)
+    if mesh is None:
+        enc_specs = _tree_specs(pipeline.encoder_params)
+        dec_specs = _tree_specs(pipeline.decoder_params)
+        wave_spec = jax.ShapeDtypeStruct((batch, num_samples), np.float32)
+        len_spec = jax.ShapeDtypeStruct((batch,), np.int32)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_ways = int(mesh.shape.get("data", 1))
+        if batch % data_ways:
+            raise ValueError(
+                f"bucket batch {batch} must be divisible by the mesh "
+                f"data-axis size {data_ways}")
+
+        def placed_spec(a):
+            return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+
+        enc_specs = jax.tree.map(placed_spec, pipeline.encoder_params)
+        dec_specs = jax.tree.map(placed_spec, pipeline.decoder_params)
+        wave_spec = jax.ShapeDtypeStruct(
+            (batch, num_samples), np.float32,
+            sharding=NamedSharding(mesh, P("data", None)))
+        len_spec = jax.ShapeDtypeStruct(
+            (batch,), np.int32, sharding=NamedSharding(mesh, P("data")))
     exp = jax_export.export(
         jax.jit(fn),
         platforms=tuple(platforms) if platforms else None,
     )(
-        _tree_specs(pipeline.encoder_params),
-        _tree_specs(pipeline.decoder_params),
-        jax.ShapeDtypeStruct((), np.uint32),
-        jax.ShapeDtypeStruct((batch, num_samples), np.float32),
-        jax.ShapeDtypeStruct((batch,), np.int32),
+        enc_specs, dec_specs, jax.ShapeDtypeStruct((), np.uint32),
+        wave_spec, len_spec,
     )
     return exp
 
@@ -217,9 +247,13 @@ def save_artifact(
         if os.path.exists(side):
             shutil.copy2(side, os.path.join(tokdir, os.path.basename(side)))
 
+    mesh = getattr(pipeline, "mesh", None)
     meta = {
         "format_version": FORMAT_VERSION,
         "jax_version": jax.__version__,
+        "mesh": (None if mesh is None else
+                 {"axis_names": list(mesh.axis_names),
+                  "shape": [int(mesh.shape[a]) for a in mesh.axis_names]}),
         "platforms": list(platforms) if platforms else None,
         "seq_len": int(seq_len),
         "sampling": {k: (bool(v) if isinstance(v, (bool, np.bool_)) else v)
@@ -261,6 +295,10 @@ class ExportedPipeline:
                     bytearray(f.read()))
         self.enc_params, self.dec_params = load_params_npz(
             os.path.join(path, _PARAMS))
+        self.mesh = None
+        mesh_meta = self.meta.get("mesh")
+        if mesh_meta:
+            self._place_on_mesh(mesh_meta)
         from fddm_asr_tpu.tokenizer import load_tokenizer
 
         self.tokenizer = load_tokenizer(
@@ -271,6 +309,38 @@ class ExportedPipeline:
     @classmethod
     def load(cls, path: str) -> "ExportedPipeline":
         return cls(path)
+
+    def _place_on_mesh(self, mesh_meta: Dict[str, Any]) -> None:
+        """Sharded artifact: rebuild the mesh over local devices and place
+        the params ONCE with the shardings the module recorded (no model
+        code — in_shardings_jax maps the serialized HloShardings onto our
+        mesh).  Wave/seed stay host-side; Exported.call places them per
+        the recorded input shardings."""
+        from jax.sharding import Mesh
+
+        n = int(np.prod(mesh_meta["shape"]))
+        devs = jax.devices()
+        if len(devs) < n:
+            raise ValueError(
+                f"sharded artifact needs {n} devices "
+                f"(mesh {mesh_meta}), this process has {len(devs)}")
+        self.mesh = Mesh(np.array(devs[:n]).reshape(mesh_meta["shape"]),
+                         tuple(mesh_meta["axis_names"]))
+        mod = next(iter(self._modules.values()))
+        flat_sh = mod.in_shardings_jax(self.mesh)
+        enc_leaves, enc_td = jax.tree.flatten(self.enc_params)
+        dec_leaves, dec_td = jax.tree.flatten(self.dec_params)
+        ne, nd = len(enc_leaves), len(dec_leaves)
+        if ne + nd + 3 != len(flat_sh):  # + seed, wave, lengths
+            raise ValueError(
+                f"artifact params ({ne}+{nd} leaves) do not match the "
+                f"module signature ({len(flat_sh)} args)")
+        self.enc_params = jax.tree.unflatten(enc_td, [
+            jax.device_put(l, s)
+            for l, s in zip(enc_leaves, flat_sh[:ne])])
+        self.dec_params = jax.tree.unflatten(dec_td, [
+            jax.device_put(l, s)
+            for l, s in zip(dec_leaves, flat_sh[ne:ne + nd])])
 
     # ------------------------------------------------------------- buckets
     def pick_bucket(self, rows: int, samples: int) -> Tuple[int, int]:

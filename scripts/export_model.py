@@ -58,6 +58,14 @@ def parse_args(argv=None):
                         "(default: the current backend)")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu")
     p.add_argument("--wavlm-ckpt", type=str, default=None)
+    p.add_argument("--mesh", type=str, default="",
+                   help="export SHARDED modules over a device mesh, e.g. "
+                        "data=4,model=2 — the artifact then requires that "
+                        "many devices at load time; batch buckets must be "
+                        "divisible by the data-axis size")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="with --mesh model=N>1: ring-attention sequence "
+                        "parallelism in the exported encoder")
     return p.parse_args(argv)
 
 
@@ -86,6 +94,12 @@ def main(argv=None):
 
     pipeline = infer_cli.build_pipeline(args)
     pipeline.use_condition_mask = args.condition_mask == "on"
+    if args.mesh:
+        from train import parse_mesh
+        from fddm_asr_tpu.parallel import make_mesh
+
+        pipeline.apply_mesh(make_mesh(parse_mesh(args.mesh)),
+                            seq_parallel=args.seq_parallel)
     sampling = infer_cli.sampling_kwargs(args)
     sampling["temperature"] = args.temperature
 

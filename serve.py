@@ -402,8 +402,8 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
     from fddm_asr_tpu.aot import ExportedPipeline
 
     if getattr(args, "mesh", ""):
-        raise SystemExit("--exported artifacts are pre-lowered; --mesh is "
-                         "fixed at export time and cannot be set here")
+        raise SystemExit("--exported artifacts are pre-lowered; pass --mesh "
+                         "to scripts/export_model.py instead")
     ep = ExportedPipeline.load(args.exported)
     meta = ep.meta
     if not meta.get("use_condition_mask"):
@@ -420,11 +420,19 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
         "greedy": meta["sampling"].get("greedy", True),
         "posterior_mode": meta["sampling"].get("posterior_mode", "average"),
     }
+    # sharded artifacts: batch buckets were validated at export to divide
+    # the data axis; keep the engine's buckets aligned the same way
+    mesh_meta = meta.get("mesh") or {}
+    data_ways = 1
+    if mesh_meta:
+        axes = dict(zip(mesh_meta["axis_names"], mesh_meta["shape"]))
+        data_ways = int(axes.get("data", 1))
     engine = BatchingEngine(
         ExportedEngineAdapter(ep), sampling, meta["seq_len"],
         max_batch=max(batches), max_wait_ms=args.max_wait_ms,
         bucket_seconds=min(samples) / 16000.0,
         max_seconds=max(samples) / 16000.0,
+        batch_multiple=data_ways,
     )
     echo = {"model": "fddm-asr-tpu", "exported": args.exported,
             "seq_len": meta["seq_len"], **sampling,

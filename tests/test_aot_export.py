@@ -239,6 +239,124 @@ def test_bench_serve_exported(artifact, capsys):
     assert row["cold_start_s"]["first_request"] >= row["cold_start_s"]["build"]
 
 
+@pytest.fixture(scope="module")
+def mesh_artifact(synth, tmp_path_factory):
+    """A SHARDED artifact: dp=4 x tp=2 mesh captured into the modules."""
+    from fddm_asr_tpu import aot
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.parallel import make_mesh, MeshSpec
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = load_config(f"{synth}/config.yaml")
+    pipe = FDDMPipeline.from_config(cfg)  # fresh — don't mutate the shared one
+    pipe.apply_mesh(make_mesh(MeshSpec(data=4, model=2)))
+    art = str(tmp_path_factory.mktemp("aot_mc") / "artifact")
+    aot.save_artifact(pipe, art, [(4, N)], seq_len=SEQ_LEN,
+                      sampling=SAMPLING,
+                      tokenizer_path=cfg.data.get("tokenizer_path"))
+    return art
+
+
+def test_multichip_artifact_matches_single_device(pipeline, mesh_artifact):
+    """Sharded export/load is token-exact vs the single-device pipeline;
+    params are placed on the reconstructed mesh once at load."""
+    import jax
+    from fddm_asr_tpu import aot
+
+    ep = aot.ExportedPipeline.load(mesh_artifact)
+    assert ep.meta["mesh"] == {"axis_names": ["data", "model"],
+                               "shape": [4, 2]}
+    assert ep.mesh is not None and dict(ep.mesh.shape) == {"data": 4,
+                                                           "model": 2}
+    # params live on the mesh (placed once, not per call)
+    leaf = jax.tree.leaves(ep.dec_params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    wave = _wave(4, seed=5)
+    got = ep.transcribe_with_ids(wave, seed=9)
+    ref = pipeline.transcribe_with_ids(
+        wave, seq_len=SEQ_LEN, rng=jax.random.key(np.uint32(9)), **SAMPLING)
+    assert [g[1] for g in got] == [r[1] for r in ref]
+
+
+def test_multichip_export_validates_batch_divisibility(synth):
+    from fddm_asr_tpu import aot
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.parallel import make_mesh, MeshSpec
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = load_config(f"{synth}/config.yaml")
+    pipe = FDDMPipeline.from_config(cfg)
+    pipe.apply_mesh(make_mesh(MeshSpec(data=4, model=2)))
+    with pytest.raises(ValueError, match="divisible"):
+        aot.export_transcribe(pipe, 3, N, SEQ_LEN, SAMPLING)
+
+
+def test_multichip_artifact_fresh_process(pipeline, mesh_artifact, tmp_path):
+    """Mesh reconstruction + once-only param placement in a process that
+    never builds the models (same import ban as the single-device test)."""
+    import jax
+
+    wave = _wave(4, seed=13)
+    expected = pipeline.transcribe_with_ids(
+        wave, seq_len=SEQ_LEN, rng=jax.random.key(np.uint32(2)), **SAMPLING)
+    wav_path = str(tmp_path / "wave.npy")
+    np.save(wav_path, wave)
+    exp_path = str(tmp_path / "expected.json")
+    with open(exp_path, "w") as f:
+        json.dump([list(e[1]) for e in expected], f)
+
+    script = f"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags +
+        " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {REPO!r})
+import builtins
+_real_import = builtins.__import__
+def _guard(name, *a, **k):
+    if name.startswith("fddm_asr_tpu.models") or name.startswith("flax"):
+        raise ImportError(f"model code imported at serving time: {{name}}")
+    return _real_import(name, *a, **k)
+builtins.__import__ = _guard
+import numpy as np
+from fddm_asr_tpu.aot import ExportedPipeline
+ep = ExportedPipeline.load({mesh_artifact!r})
+assert dict(ep.mesh.shape) == {{"data": 4, "model": 2}}
+wave = np.load({wav_path!r})
+got = [ids for _, ids in ep.transcribe_with_ids(wave, seed=2)]
+expected = json.load(open({exp_path!r}))
+assert got == expected, (got, expected)
+print("FRESH_MC_OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    assert "FRESH_MC_OK" in res.stdout
+
+
+def test_serve_mesh_artifact_batch_multiple(mesh_artifact):
+    """serve --exported on a sharded artifact aligns engine batch buckets
+    to the data-axis size recorded in the meta."""
+    import serve
+
+    args = serve.parse_args(["--exported", mesh_artifact, "--port", "0"])
+    with pytest.warns(UserWarning, match="condition-mask off"):
+        srv = serve.build_server(args)
+    try:
+        assert srv.engine.batch_multiple == 4
+        assert srv.engine.max_batch == 4
+    finally:
+        # serve_forever() was never started: socketserver.shutdown() would
+        # block forever waiting for the loop to acknowledge — close instead
+        srv.server_close()
+        srv.engine.shutdown()
+
+
 def test_cli_bucket_grid_parsing():
     from scripts.export_model import parse_buckets
 
