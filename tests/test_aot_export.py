@@ -220,6 +220,45 @@ def test_serve_exported_artifact(synth, artifact):
         srv.engine.shutdown()
 
 
+def test_serve_exported_long_form(synth, artifact):
+    """Uploads longer than the largest bucket split into windows (engine
+    max_seconds comes from the artifact meta) and the texts join."""
+    import threading
+    import urllib.request
+
+    import serve
+
+    args = serve.parse_args([
+        "--exported", artifact, "--port", "0", "--max-wait-ms", "5",
+    ])
+    with pytest.warns(UserWarning, match="condition-mask off"):
+        srv = serve.build_server(args)
+    assert srv.engine.max_samples == N  # from the artifact meta (0.5 s)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        import io
+        import struct
+
+        pcm = (np.random.default_rng(4).standard_normal(int(1.2 * 16000))
+               * 3000).astype("<i2")
+        hdr = (b"RIFF" + struct.pack("<I", 36 + pcm.nbytes) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+               + b"data" + struct.pack("<I", pcm.nbytes))
+        req = urllib.request.Request(
+            base + "/v1/transcribe", data=hdr + pcm.tobytes(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            res = json.loads(r.read().decode("utf-8"))
+        assert "error" not in res, res
+        assert len(res["chunks"]) >= 2  # 1.2 s through 0.5 s windows
+        assert res["text"] == "".join(res["chunks"])
+    finally:
+        srv.shutdown()
+        srv.engine.shutdown()
+
+
 def test_bench_serve_exported(artifact, capsys):
     """scripts/bench_serve.py --exported: serving bench off the artifact,
     with cold-start timings in the JSON row."""
