@@ -335,3 +335,38 @@ def test_average_checkpoints(tmp_path):
         np.testing.assert_allclose(
             np.asarray(lg), (np.asarray(la) + np.asarray(lb)) / 2.0,
             rtol=1e-6, atol=1e-7)
+
+
+def test_init_random_ckpt_round_trip(tmp_path, capsys):
+    """init_random_ckpt writes a .pt whose decoder params are EXACTLY the
+    config-seeded random init (so serving/export benchmarks on a random
+    checkpoint start from the same weights epoch-0 training would)."""
+    import json
+
+    import jax
+
+    from scripts.make_synth_data import main as make
+
+    out = str(tmp_path / "synth")
+    make(["--out", out, "--n", "4", "--seconds", "0.3"])
+    cfg_path = os.path.join(out, "config.yaml")
+    pt = str(tmp_path / "random.pt")
+
+    from scripts.init_random_ckpt import main as init_main
+
+    assert init_main(["--config", cfg_path, "--out", pt]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["out"] == pt and line["params"] > 0
+    assert os.path.getsize(pt) == line["bytes"]
+
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = load_config(cfg_path)
+    want = FDDMPipeline.from_config(cfg)           # fresh random init
+    got = FDDMPipeline.from_config(cfg, ckpt_path=pt)
+    wl = jax.tree.leaves(want.decoder_params)
+    gl = jax.tree.leaves(got.decoder_params)
+    assert len(wl) == len(gl) and len(wl) > 0
+    for w, g in zip(wl, gl):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
