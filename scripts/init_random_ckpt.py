@@ -27,11 +27,46 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _make_synthetic_tokenizer(prefix: str, vocab_size: int) -> str:
+    """Fabricate an SPM model with exactly `vocab_size` pieces: the 4
+    specials + single CJK-ideograph NORMAL pieces (U+4E00..).  Encodes and
+    decodes real text; piece IDENTITIES are meaningless — this exists so
+    serving/export benchmarks run at the true vocab scale without the
+    (environment-unavailable) trained tokenizer artifact."""
+    from fddm_asr_tpu.tokenizer import model_proto as mp
+    from fddm_asr_tpu.tokenizer.train_bpe import write_artifacts
+
+    n_normal = vocab_size - 4
+    if n_normal <= 0:
+        raise ValueError(f"vocab_size {vocab_size} too small")
+    if n_normal > 0x9FFF - 0x4E00 + 1:
+        raise ValueError(f"vocab_size {vocab_size} exceeds the synthetic "
+                         "CJK piece budget")
+    pieces = [
+        mp.Piece("<unk>", 0.0, mp.UNKNOWN),
+        mp.Piece("<s>", 0.0, mp.CONTROL),
+        mp.Piece("</s>", 0.0, mp.CONTROL),
+        mp.Piece("<pad>", 0.0, mp.CONTROL),
+    ] + [mp.Piece(chr(0x4E00 + i), -float(i + 1), mp.NORMAL)
+         for i in range(n_normal)]
+    model = mp.SPModel(pieces=pieces, unk_id=0, bos_id=1, eos_id=2, pad_id=3)
+    write_artifacts(model, prefix,
+                    vocab_json_path=os.path.join(
+                        os.path.dirname(prefix), "vocab.json"))
+    return prefix + ".model"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True, help="training config.yaml")
     ap.add_argument("--out", required=True, help="output .pt path")
     ap.add_argument("--device", default=None, help="cpu to force CPU")
+    ap.add_argument("--make-tokenizer", action="store_true",
+                    help="also fabricate a synthetic data.vocab_size-piece "
+                         "SPM tokenizer next to --out (spm_synth.model) and "
+                         "use it — for benchmarking at real vocab scale "
+                         "when the config's tokenizer artifact isn't "
+                         "available in this environment")
     args = ap.parse_args(argv)
     if args.device and args.device.startswith("cpu"):
         # sitecustomize bakes axon into jax.config — must ASSIGN the env
@@ -51,7 +86,17 @@ def main(argv=None):
     from fddm_asr_tpu.pipeline import FDDMPipeline
 
     cfg = load_config(args.config)
-    pipeline = FDDMPipeline.from_config(cfg)
+    tokenizer = None
+    tok_path = None
+    if args.make_tokenizer:
+        tok_path = _make_synthetic_tokenizer(
+            os.path.join(os.path.dirname(os.path.abspath(args.out)) or ".",
+                         "spm_synth"),
+            int(cfg.data.vocab_size))
+        from fddm_asr_tpu.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer(tok_path)
+    pipeline = FDDMPipeline.from_config(cfg, tokenizer=tokenizer)
 
     # projection heads: identical rng derivation to train_lib.run_training
     # so a random-init .pt matches what epoch-0 training would start from
@@ -75,8 +120,11 @@ def main(argv=None):
     n_params = sum(
         int(np.prod(x.shape))
         for x in jax.tree.leaves(pipeline.decoder_params))
-    print(json.dumps({"out": args.out, "params": n_params,
-                      "bytes": os.path.getsize(args.out)}))
+    line = {"out": args.out, "params": n_params,
+            "bytes": os.path.getsize(args.out)}
+    if tok_path:
+        line["tokenizer"] = tok_path
+    print(json.dumps(line))
     return 0
 
 

@@ -370,3 +370,34 @@ def test_init_random_ckpt_round_trip(tmp_path, capsys):
     assert len(wl) == len(gl) and len(wl) > 0
     for w, g in zip(wl, gl):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_init_random_ckpt_synthetic_tokenizer(tmp_path, capsys):
+    """--make-tokenizer fabricates an SPM model with exactly
+    data.vocab_size pieces that encodes/decodes CJK text."""
+    import json
+
+    from scripts.make_synth_data import main as make
+
+    out = str(tmp_path / "synth")
+    make(["--out", out, "--n", "4", "--seconds", "0.3"])
+    pt = str(tmp_path / "r.pt")
+
+    from scripts.init_random_ckpt import main as init_main
+
+    assert init_main(["--config", os.path.join(out, "config.yaml"),
+                      "--out", pt, "--make-tokenizer"]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from fddm_asr_tpu.tokenizer import load_tokenizer
+
+    tok = load_tokenizer(line["tokenizer"])
+    assert tok.vocab_size() == 96  # synth config data.vocab_size
+    ids = tok.encode("一丁")
+    assert ids and all(0 <= i < 96 for i in ids)
+    assert "一" in tok.decode(ids)
+    # vocab.json sidecar carries the special ids resolve_special_ids reads
+    side = json.load(open(os.path.join(os.path.dirname(line["tokenizer"]),
+                                       "vocab.json")))
+    assert side["special_token_ids"]["pad_id"] == 3
+    assert side["special_token_ids"]["eos_id"] == 2
