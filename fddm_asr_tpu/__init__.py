@@ -24,3 +24,12 @@ Layer map (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Samples covered by the conv front-end's FIRST output frame (kernel 10
+# stride 5, then six stride-2 stages — models/wavlm.py
+# feat_extract_output_length): inputs shorter than this produce ZERO encoder
+# frames, whose all-masked attention rows would reach the decoder.  Every
+# serving/inference surface clamps per-row lengths to this floor (serve.py,
+# inference.py, fddm_asr_tpu/aot.py).  Lives here (import-light) so serve.py
+# can import it without pulling jax/flax at module import time.
+CONV_RECEPTIVE_FIELD = 400

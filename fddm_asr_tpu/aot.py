@@ -115,6 +115,21 @@ def load_params_npz(path: str) -> Tuple[Dict, Dict]:
 # --------------------------------------------------------------------------
 # export side
 # --------------------------------------------------------------------------
+def resolve_sampling(sampling: Dict[str, Any]) -> Dict[str, Any]:
+    """Fill every sampling default the exported module will bake in, so the
+    artifact meta records exactly what the StableHLO runs (a partial dict
+    would otherwise make loaders guess — and misreport — the defaults)."""
+    return {
+        "T_infer": int(sampling.get("T_infer", 20)),
+        "r": int(sampling.get("r", 5)),
+        "greedy": bool(sampling.get("greedy", True)),
+        "posterior_mode": sampling.get("posterior_mode", "map"),
+        "sampling_mode": sampling.get("sampling_mode", "exact"),
+        "temperature": float(sampling.get("temperature", 1.0)),
+        "ref_compat": bool(sampling.get("ref_compat", True)),
+    }
+
+
 def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
     """Fused encode+sample step with the fixed AOT calling convention.
 
@@ -124,16 +139,17 @@ def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
     """
     from fddm_asr_tpu.sampler import SamplerConfig, make_sample_fn
 
+    s = resolve_sampling(sampling)
     scfg = SamplerConfig(
         K=pipeline.cfg.data.vocab_size,
         T_train=pipeline.cfg.diffusion["T"],
-        T_infer=int(sampling.get("T_infer", 20)),
-        r=int(sampling.get("r", 5)),
-        greedy=bool(sampling.get("greedy", True)),
-        posterior_mode=sampling.get("posterior_mode", "map"),
-        sampling_mode=sampling.get("sampling_mode", "exact"),
-        temperature=float(sampling.get("temperature", 1.0)),
-        ref_compat=bool(sampling.get("ref_compat", True)),
+        T_infer=s["T_infer"],
+        r=s["r"],
+        greedy=s["greedy"],
+        posterior_mode=s["posterior_mode"],
+        sampling_mode=s["sampling_mode"],
+        temperature=s["temperature"],
+        ref_compat=s["ref_compat"],
     )
 
     def decoder_apply(params, xt, t, cond, c_mask):
@@ -256,8 +272,9 @@ def save_artifact(
                   "shape": [int(mesh.shape[a]) for a in mesh.axis_names]}),
         "platforms": list(platforms) if platforms else None,
         "seq_len": int(seq_len),
-        "sampling": {k: (bool(v) if isinstance(v, (bool, np.bool_)) else v)
-                     for k, v in sampling.items()},
+        # resolved, not raw: the meta must state exactly what the modules
+        # baked in, including defaults the caller omitted
+        "sampling": resolve_sampling(sampling),
         "buckets": [[int(b), int(n)] for b, n in sorted(buckets)],
         "vocab_size": int(pipeline.cfg.data.vocab_size),
         "special_ids": {k: (None if v is None else int(v))
@@ -299,6 +316,12 @@ class ExportedPipeline:
         mesh_meta = self.meta.get("mesh")
         if mesh_meta:
             self._place_on_mesh(mesh_meta)
+        else:
+            # place params on the default device ONCE — leaving them as host
+            # numpy would make every .call() re-transfer the full weight set
+            # (hundreds of MB for the flagship) per served batch
+            self.enc_params = jax.device_put(self.enc_params)
+            self.dec_params = jax.device_put(self.dec_params)
         from fddm_asr_tpu.tokenizer import load_tokenizer
 
         self.tokenizer = load_tokenizer(
@@ -371,16 +394,22 @@ class ExportedPipeline:
         b, n = self.pick_bucket(rows, samples)
         wave_p = np.zeros((b, n), np.float32)
         wave_p[:rows, :samples] = wave
-        # clamp to one conv-frame's receptive field (400 samples): shorter
-        # lengths yield ZERO encoder frames whose all-masked attention rows
-        # would reach the decoder (same guard as serve.py's engine); bucket
-        # pad rows get the same floor
-        floor = min(400, n)
+        # clamp to one conv-frame's receptive field: shorter lengths yield
+        # ZERO encoder frames whose all-masked attention rows would reach
+        # the decoder (same guard as serve.py's engine); bucket pad rows get
+        # the same floor
+        from fddm_asr_tpu import CONV_RECEPTIVE_FIELD
+
+        floor = min(CONV_RECEPTIVE_FIELD, n)
         len_p = np.full((b,), floor, np.int32)
         len_p[:rows] = np.maximum(np.asarray(lengths, np.int32), floor)
         ids, p = self._modules[(b, n)].call(
             self.enc_params, self.dec_params, np.uint32(seed), wave_p, len_p)
         ids = np.asarray(ids)[:rows]
+        if with_confidence:
+            # one device->host pull for the whole batch; slicing the device
+            # array per row would pay a dispatch round-trip per utterance
+            p = np.asarray(p)
         out = []
         for i, row in enumerate(ids):
             entry = (ids_to_text(row, self.tokenizer, self.pad_id,

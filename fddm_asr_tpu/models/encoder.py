@@ -31,6 +31,8 @@ from fddm_asr_tpu.models.wavlm import WavLMConfig, WavLMModel
 
 Dtype = Any
 
+from fddm_asr_tpu import CONV_RECEPTIVE_FIELD  # noqa: F401  (re-export)
+
 WAVLM_HOP = 320  # samples per output frame (reference line 80)
 
 

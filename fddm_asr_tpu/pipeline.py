@@ -394,6 +394,73 @@ class FDDMPipeline:
         ids, p = fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
         return np.asarray(ids), np.asarray(p)
 
+    def sample_nbest(
+        self,
+        rng: jax.Array,
+        cond: jnp.ndarray,
+        seq_len: int,
+        num_candidates: int,
+        c_mask: Optional[jnp.ndarray] = None,
+        **sampling,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Draw `num_candidates` independent trajectories per utterance.
+
+        The encoder condition is computed ONCE by the caller; candidates
+        fold into the batch dimension (cond repeated N-fold -> one sampler
+        call at batch B*N, rows [u0c0, u0c1, ..., u1c0, ...]), so on TPU
+        the candidates ride the MXU as extra batch rows instead of N
+        sequential device calls.  Candidates differ through their random
+        x_T init (drawn per padded row), so even greedy exact-mode sampling
+        diversifies.  Returns (ids [B, N, L], p_x0 [B, N, L, K]).
+
+        Under a device mesh, B*N must divide the data axis like any other
+        batch.  Each distinct (B, N) compiles its own program (same rule as
+        any new batch shape).
+        """
+        n = int(num_candidates)
+        if n < 1:
+            raise ValueError(f"num_candidates must be >= 1, got {n}")
+        B = cond.shape[0]
+        cond_rep = jnp.repeat(cond, n, axis=0)
+        mask_rep = None if c_mask is None else jnp.repeat(c_mask, n, axis=0)
+        ids, p = self.sample(rng, cond_rep, seq_len=seq_len, c_mask=mask_rep,
+                             **sampling)
+        return (ids.reshape(B, n, *ids.shape[1:]),
+                p.reshape(B, n, *p.shape[1:]))
+
+    def transcribe_nbest(
+        self,
+        wave: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        seq_len: int = 64,
+        rng: Optional[jax.Array] = None,
+        num_candidates: int = 4,
+        **sampling,
+    ) -> List[List[Tuple[str, List[int], float]]]:
+        """N-best decoding: per utterance, a list of (text, ids, confidence)
+        sorted by confidence (decoded-span geometric-mean token probability)
+        descending.  The serving-side productionization of the reference's
+        multi-sample evaluation (evaluate.py:344-452, whose candidate voting
+        is stubbed to sample 0); the eval-side equivalent is
+        eval.evaluate_cer_with_multi_sample(voting="logprob")."""
+        if wave.ndim == 1:
+            wave = wave[None]
+        c, c_mask = self.encode_waveform(wave, lengths)
+        rng = rng if rng is not None else jax.random.key(0)
+        ids, p = self.sample_nbest(rng, c, seq_len, num_candidates,
+                                   c_mask=c_mask, **sampling)
+        out = []
+        for i in range(ids.shape[0]):
+            cands = [
+                (self.ids_to_text(ids[i, j]),
+                 np.asarray(ids[i, j]).tolist(),
+                 self._utterance_confidence(ids[i, j], p[i, j]))
+                for j in range(ids.shape[1])
+            ]
+            cands.sort(key=lambda c: c[2], reverse=True)
+            out.append(cands)
+        return out
+
     def ids_to_text(self, ids) -> str:
         return ids_to_text(
             ids, self.tokenizer, self.pad_id,
@@ -418,6 +485,7 @@ class FDDMPipeline:
         seq_len: int = 64,
         rng: Optional[jax.Array] = None,
         with_confidence: bool = False,
+        num_candidates: int = 1,
         **sampling,
     ):
         """Like transcribe, but returns [(text, raw_ids list)] per utterance
@@ -428,7 +496,18 @@ class FDDMPipeline:
         emitted token (p_x0 of the final sampling step), computed over the
         decoded span (before eos, excluding pad/bos) — the standard ASR
         per-utterance confidence; 0.0 when nothing was decoded.
+
+        num_candidates > 1 decodes best-of-N: N independent trajectories per
+        utterance (one device call, candidates folded into the batch dim),
+        keeping the highest-confidence one.  See transcribe_nbest for the
+        full candidate lists.
         """
+        if num_candidates > 1:
+            nbest = self.transcribe_nbest(
+                wave, lengths, seq_len=seq_len, rng=rng,
+                num_candidates=num_candidates, **sampling)
+            return [cands[0] if with_confidence else cands[0][:2]
+                    for cands in nbest]
         if wave.ndim == 1:
             wave = wave[None]
         c, c_mask = self.encode_waveform(wave, lengths)

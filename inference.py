@@ -25,6 +25,8 @@ import json
 import os
 from typing import Any, Dict, List, Optional
 
+from fddm_asr_tpu import CONV_RECEPTIVE_FIELD  # import-light (no jax)
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="FDDM-ASR-TPU Inference (Jumpy Sampling)")
@@ -80,6 +82,10 @@ def parse_args(argv=None):
                    help="add a per-utterance 'confidence' field to results: "
                         "geometric mean of the model's probability for each "
                         "emitted token (final-step p_x0, decoded span only)")
+    p.add_argument("--num-candidates", type=int, default=1,
+                   help="best-of-N decoding: sample N trajectories per "
+                        "utterance (one device call — candidates fold into "
+                        "the batch dim) and keep the highest-confidence one")
     p.add_argument("--seq-parallel", action="store_true",
                    help="with --mesh model=N>1: additionally shard the "
                         "ENCODER FRAME AXIS across the model axis with ring "
@@ -190,10 +196,10 @@ def infer_batch(
         batch = np.zeros((n_rows, T), np.float32)
         for j, w in enumerate(waves):
             batch[j, : len(w)] = w
-        # dummy rows: 400 samples = exactly one conv-stack output frame
-        # (feat_extract_output_length(400) == 1; 320 would yield ZERO frames
-        # and an all-masked cross-attention row -> NaNs in the dummy rows)
-        lengths = lengths + [400] * (n_rows - len(waves))
+        # dummy rows: CONV_RECEPTIVE_FIELD samples = exactly one conv-stack
+        # output frame (320 would yield ZERO frames and an all-masked
+        # cross-attention row -> NaNs in the dummy rows)
+        lengths = lengths + [CONV_RECEPTIVE_FIELD] * (n_rows - len(waves))
         seq_len = args.seq_len or 64  # reference default (inference.py:227)
         texts_ids = _transcribe(pipeline, batch, np.asarray(lengths), seq_len, args, rng)
         for (i, path), row in zip(ok_paths, texts_ids):
@@ -209,9 +215,27 @@ def infer_batch(
 
 
 def _transcribe(pipeline, batch, lengths, seq_len, args, rng):
-    import jax
+    import numpy as np
 
     c, c_mask = pipeline.encode_waveform(batch, lengths)
+    n_cand = max(1, int(getattr(args, "num_candidates", 1)))
+    if n_cand > 1:
+        # best-of-N: N trajectories per row in ONE device call, keep the
+        # highest-confidence candidate (pipeline.sample_nbest)
+        ids_n, p_n = pipeline.sample_nbest(
+            rng, c, seq_len, n_cand, c_mask=c_mask, **sampling_kwargs(args)
+        )
+        results = []
+        for i in range(ids_n.shape[0]):
+            confs = [pipeline._utterance_confidence(ids_n[i, j], p_n[i, j])
+                     for j in range(n_cand)]
+            k = int(np.argmax(confs))
+            row = (pipeline.ids_to_text(ids_n[i, k]),
+                   [int(x) for x in ids_n[i, k]])
+            if getattr(args, "confidence", False):
+                row = row + (confs[k],)
+            results.append(row)
+        return results
     ids, p = pipeline.sample(
         rng, c, seq_len=seq_len, c_mask=c_mask, **sampling_kwargs(args)
     )
@@ -241,7 +265,7 @@ def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
     from fddm_asr_tpu.data.audio_io import load_audio
 
     wav, _ = load_audio(path, target_sr=16000, mono=True)
-    win = max(400, int(args.chunk_seconds * 16000))
+    win = max(CONV_RECEPTIVE_FIELD, int(args.chunk_seconds * 16000))
     if getattr(args, "chunk_align", "silence") == "silence":
         from fddm_asr_tpu.data.audio_io import plan_silence_chunks
 
@@ -261,7 +285,7 @@ def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:
             s, e = spans[start + j]
             seg = wav[s:e]
             batch[j, : len(seg)] = seg
-            lengths.append(max(len(seg), 400))
+            lengths.append(max(len(seg), CONV_RECEPTIVE_FIELD))
         rng, step_rng = __import__("jax").random.split(rng)
         for row in _transcribe(
             pipeline, batch, np.asarray(lengths), seq_len, args, step_rng

@@ -77,6 +77,9 @@ def main(argv=None):
     ap.add_argument("--seq-parallel", action="store_true")
     ap.add_argument("--device", default=None)
     args = ap.parse_args(argv)
+    if args.exported and (args.config or args.ckpt):
+        ap.error("--exported and --config/--ckpt are mutually exclusive "
+                 "(they select different serving paths)")
 
     if args.device and args.device.startswith("cpu"):
         os.environ["JAX_PLATFORMS"] = "cpu"

@@ -96,11 +96,11 @@ def main(argv=None):
         from fddm_asr_tpu.tokenizer import load_tokenizer
 
         tokenizer = load_tokenizer(tok_path)
-    pipeline = FDDMPipeline.from_config(cfg, tokenizer=tokenizer)
-
-    # projection heads: identical rng derivation to train_lib.run_training
-    # so a random-init .pt matches what epoch-0 training would start from
+    # identical rng derivation to train_lib.run_training (seed default 1337
+    # INCLUDED — from_config alone would default to cfg.get('seed', 0)) so a
+    # random-init .pt matches what epoch-0 training would start from
     seed = int(cfg.get("seed", 1337))
+    pipeline = FDDMPipeline.from_config(cfg, tokenizer=tokenizer, seed=seed)
     d_model = cfg.model.d_model
     d_proj = cfg.model.projector.get("d_proj", 256)
     vocab = cfg.data.vocab_size

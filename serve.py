@@ -47,6 +47,8 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
+from fddm_asr_tpu import CONV_RECEPTIVE_FIELD  # import-light (no jax)
+
 
 class _Request:
     __slots__ = ("wave", "name", "done", "result", "t_enqueue")
@@ -210,18 +212,26 @@ class BatchingEngine:
                 # level.  Pad rows carry 0.1 s of silence (never all-masked)
                 # and are sliced off below; rows are independent on device.
                 longest = max(len(r.wave) for r in batch)
-                T = max(-(-max(longest, 1) // self.bucket) * self.bucket, 400)
+                T = max(-(-max(longest, 1) // self.bucket) * self.bucket,
+                        CONV_RECEPTIVE_FIELD)
+                # Rounding up to a bucket multiple can overshoot max_samples
+                # when max_samples is not itself a multiple of the bucket
+                # (e.g. exported buckets 5 s and 12 s: an 11 s request would
+                # round to 15 s and no exported module covers it).  Requests
+                # are already chunked to <= max_samples, so clamping keeps
+                # T >= longest while staying inside the largest program.
+                T = min(T, max(self.max_samples, CONV_RECEPTIVE_FIELD))
                 Bp = self._bucket_batch_size(len(batch))
                 wave = np.zeros((Bp, T), np.float32)
                 lengths = np.full((Bp,), min(1600, T), np.int64)
                 for i, r in enumerate(batch):
                     wave[i, : len(r.wave)] = r.wave
-                    # Clamp to one conv-frame's receptive field (400
-                    # samples): shorter lengths yield ZERO encoder frames,
-                    # whose all-masked attention rows would reach the
-                    # decoder (inference.py guards its rows identically).
-                    # Sub-400 uploads and long-form tail chunks hit this.
-                    lengths[i] = max(len(r.wave), 400)
+                    # Clamp to one conv-frame's receptive field: shorter
+                    # lengths yield ZERO encoder frames, whose all-masked
+                    # attention rows would reach the decoder (inference.py
+                    # guards its rows identically).  Sub-frame uploads and
+                    # long-form tail chunks hit this.
+                    lengths[i] = max(len(r.wave), CONV_RECEPTIVE_FIELD)
                 self._rng_counter += 1
                 # AOT-exported pipelines seed jax.random.key INSIDE the
                 # compiled module — pass the raw counter (takes_seed)
@@ -244,6 +254,8 @@ class BatchingEngine:
                         "greedy": self.sampling.get("greedy", True),
                         "posterior_mode": self.sampling.get("posterior_mode", "average"),
                     }
+                    if self.sampling.get("num_candidates", 1) > 1:
+                        r.result["num_candidates"] = self.sampling["num_candidates"]
                     r.done.set()
                 with self.stats_lock:
                     self.stats["requests"] += len(batch)
@@ -404,6 +416,10 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
     if getattr(args, "mesh", ""):
         raise SystemExit("--exported artifacts are pre-lowered; pass --mesh "
                          "to scripts/export_model.py instead")
+    if getattr(args, "num_candidates", 1) > 1:
+        raise SystemExit("--num-candidates needs the live pipeline "
+                         "(--config/--ckpt): exported artifacts bake their "
+                         "sampling and batch shapes")
     ep = ExportedPipeline.load(args.exported)
     meta = ep.meta
     if not meta.get("use_condition_mask"):
@@ -414,11 +430,14 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
     buckets = [tuple(bn) for bn in meta["buckets"]]
     batches = sorted({b for b, _ in buckets})
     samples = sorted({n for _, n in buckets})
+    # fallbacks mirror aot.resolve_sampling (what the module actually baked
+    # in) — current artifacts always record the resolved dict, but format-
+    # version-1 artifacts written via the library API may carry partial dicts
     sampling = {
-        "T_infer": meta["sampling"].get("T_infer"),
-        "r": meta["sampling"].get("r"),
+        "T_infer": meta["sampling"].get("T_infer", 20),
+        "r": meta["sampling"].get("r", 5),
         "greedy": meta["sampling"].get("greedy", True),
-        "posterior_mode": meta["sampling"].get("posterior_mode", "average"),
+        "posterior_mode": meta["sampling"].get("posterior_mode", "map"),
     }
     # sharded artifacts: batch buckets were validated at export to divide
     # the data axis; keep the engine's buckets aligned the same way
@@ -479,6 +498,10 @@ def build_server(args) -> ThreadingHTTPServer:
         # passed through to the sampler AND echoed in results — must agree
         "posterior_mode": inf.get("posterior_mode", "average"),
     }
+    if getattr(args, "num_candidates", 1) > 1:
+        # best-of-N decoding (pipeline.transcribe_with_ids num_candidates):
+        # candidates fold into the device batch, highest-confidence wins
+        sampling["num_candidates"] = int(args.num_candidates)
     seq_len = args.seq_len or cfg.data.get("max_len", 64)
     engine = BatchingEngine(
         pipeline, sampling, seq_len,
@@ -554,6 +577,11 @@ def parse_args(argv=None):
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)
+    ap.add_argument("--num-candidates", type=int, default=1,
+                    help="best-of-N decoding: N trajectories per utterance "
+                         "(folded into the device batch), highest-confidence "
+                         "candidate served (live serving only — exported "
+                         "artifacts bake their sampling)")
     ap.add_argument("--mesh", default="",
                     help="device-mesh spec for multi-chip serving, e.g. "
                          "data=4,model=2 — batch buckets round up to the "

@@ -457,3 +457,35 @@ def test_export_cli(synth, pipeline, tmp_path):
     ref = live.transcribe_with_ids(
         wave, seq_len=SEQ_LEN, rng=jax.random.key(np.uint32(1)), **SAMPLING)
     assert [g[1] for g in got] == [r[1] for r in ref]
+
+
+def test_serve_exported_nonmultiple_buckets(synth, pipeline):
+    """Duration buckets whose largest is NOT a multiple of the smallest:
+    the engine rounds audio up to multiples of the SMALLEST bucket, which
+    can overshoot the largest exported module (regression: with {0.3 s,
+    0.5 s} buckets a 0.35 s upload rounded to 0.6 s and pick_bucket raised,
+    failing the whole batch).  The round-up must clamp at max_samples."""
+    import serve
+    from fddm_asr_tpu import aot
+
+    art = os.path.join(synth, "artifact_grid")
+    tok = pipeline.cfg.data.get("tokenizer_path")
+    meta = aot.save_artifact(pipeline, art, [(1, 4800), (1, 8000)],
+                             seq_len=SEQ_LEN, sampling=SAMPLING,
+                             tokenizer_path=tok)
+    # the meta records the RESOLVED sampling config (defaults the caller
+    # omitted are what the StableHLO baked in, e.g. temperature)
+    assert meta["sampling"]["temperature"] == 1.0
+    assert meta["sampling"]["sampling_mode"] == "exact"
+
+    args = serve.parse_args(["--exported", art, "--port", "0",
+                             "--max-wait-ms", "5"])
+    with pytest.warns(UserWarning, match="condition-mask off"):
+        srv = serve.build_server(args)
+    try:
+        res = srv.engine.submit(_wave(1, 5600, seed=9)[0], "mid.wav")
+        assert "error" not in res, res
+        assert isinstance(res["text"], str)
+    finally:
+        srv.server_close()
+        srv.engine.shutdown()

@@ -372,6 +372,41 @@ def test_init_random_ckpt_round_trip(tmp_path, capsys):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
 
 
+def test_init_random_ckpt_seedless_config_matches_train_default(
+        tmp_path, capsys):
+    """A config WITHOUT a 'seed' key must init with train_lib's default
+    (1337) — regression: from_config alone defaults to seed 0, so the .pt
+    did not match what epoch-0 training would start from."""
+    import yaml
+
+    from scripts.make_synth_data import main as make
+
+    out = str(tmp_path / "synth")
+    make(["--out", out, "--n", "4", "--seconds", "0.3"])
+    cfg_path = os.path.join(out, "config.yaml")
+    raw = yaml.safe_load(open(cfg_path))
+    raw.pop("seed", None)
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    pt = str(tmp_path / "random.pt")
+
+    from scripts.init_random_ckpt import main as init_main
+
+    assert init_main(["--config", cfg_path, "--out", pt]) == 0
+    capsys.readouterr()
+
+    import jax
+
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = load_config(cfg_path)
+    want = FDDMPipeline.from_config(cfg, seed=1337)  # train_lib default
+    got = FDDMPipeline.from_config(cfg, ckpt_path=pt)
+    for w, g in zip(jax.tree.leaves(want.decoder_params),
+                    jax.tree.leaves(got.decoder_params)):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def test_init_random_ckpt_synthetic_tokenizer(tmp_path, capsys):
     """--make-tokenizer fabricates an SPM model with exactly
     data.vocab_size pieces that encodes/decodes CJK text."""

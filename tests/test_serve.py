@@ -349,3 +349,40 @@ def test_bench_serve_script(server, capsys):
     assert res["metric"] == "serve_rtfx" and res["value"] > 0
     assert res["errors"] == 0 and res["requests"] > 0
     assert res["latency_ms"]["p95"] > 0
+
+
+def test_serve_num_candidates(server):
+    """--num-candidates on the live server: best-of-N per request, the
+    result echoes num_candidates, and exported serving rejects the flag."""
+    import threading
+
+    import numpy as np
+    import pytest
+
+    import serve
+
+    _, out, _ = server
+    args = serve.parse_args([
+        "--config", f"{out}/config.yaml",
+        "--ckpt", f"{out}/ckpts/best_model.orbax",
+        "--port", "0", "--max-batch", "4", "--max-wait-ms", "5",
+        "--num-candidates", "2",
+    ])
+    srv = serve.build_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        wave = (np.random.default_rng(0).standard_normal(8000) * 0.1
+                ).astype(np.float32)
+        res = srv.engine.submit(wave, "x.wav")
+        assert "error" not in res, res
+        assert res["num_candidates"] == 2
+        assert 0.0 <= res["confidence"] <= 1.0
+    finally:
+        srv.shutdown()
+        srv.engine.shutdown()
+
+    bad = serve.parse_args(["--exported", "/nonexistent", "--port", "0",
+                            "--num-candidates", "2"])
+    with pytest.raises(SystemExit, match="num-candidates"):
+        serve.build_server(bad)
