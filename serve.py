@@ -20,6 +20,10 @@ Endpoints:
   POST /v1/transcribe   body = WAV bytes (Content-Type: audio/wav), or
                         JSON {"path": "/abs/file.wav"}; optional query
                         params seq_len/T_infer/r are fixed server-wide.
+                        ?stream=1 streams NDJSON over chunked transfer:
+                        one line per long-form window as it completes
+                        (chunk_index/chunk_count tags), then the aggregate
+                        result as the final line.
   GET  /healthz         liveness + config echo
   GET  /stats           request counts, latency percentiles, batch sizes,
                         audio seconds served, running RTFx
@@ -112,15 +116,11 @@ class BatchingEngine:
         return min(self.max_batch, -(-max(pow2, bm) // bm) * bm)
 
     # ------------------------------------------------------------------ api
-    def submit(self, wave: np.ndarray, name: str,
-               timeout_s: float = 600.0) -> dict:
-        """Transcribe one utterance.  Audio longer than max_seconds is
-        split into max_seconds windows submitted as SEPARATE engine
-        requests — they coalesce into the same device batches as everyone
-        else's traffic (long-form handling rides the dynamic batcher; cf.
-        inference.py --chunk-seconds for the offline equivalent)."""
-        if self._stop.is_set():
-            return {"wav": name, "error": "server shutting down"}
+    def _plan_requests(self, wave: np.ndarray, name: str) -> List[_Request]:
+        """Split audio longer than max_seconds into window requests — they
+        coalesce into the same device batches as everyone else's traffic
+        (long-form handling rides the dynamic batcher; cf. inference.py
+        --chunk-seconds for the offline equivalent)."""
         wave = np.asarray(wave, np.float32)
         if len(wave) <= self.max_samples:
             chunks = [wave]
@@ -131,10 +131,12 @@ class BatchingEngine:
 
             chunks = [wave[s:e]
                       for s, e in plan_silence_chunks(wave, self.max_samples)]
-        reqs = [
+        return [
             _Request(c, name if len(chunks) == 1 else f"{name}#chunk{i}")
             for i, c in enumerate(chunks)
         ]
+
+    def _enqueue(self, reqs: List[_Request]) -> None:
         for r in reqs:
             self.q.put(r)
         if self._stop.is_set():
@@ -144,25 +146,60 @@ class BatchingEngine:
                 if not r.done.is_set():
                     r.result = {"wav": r.name, "error": "server shutting down"}
                     r.done.set()
-        for r in reqs:
-            if not r.done.wait(timeout=timeout_s):
-                return {"wav": name, "error": f"timed out after {timeout_s}s"}
-        errs = [r.result for r in reqs if "error" in r.result]
+
+    def _aggregate(self, name: str, results: List[dict]) -> dict:
+        errs = [r for r in results if "error" in r]
         if errs:
             return {"wav": name, "error": errs[0]["error"]}
-        if len(reqs) == 1:
-            return reqs[0].result
-        first = reqs[0].result
+        if len(results) == 1:
+            return results[0]
+        first = results[0]
         return {
             "wav": name,
-            "text": "".join(r.result["text"] for r in reqs),
-            "chunks": [r.result["text"] for r in reqs],
-            "ids": [r.result["ids"] for r in reqs],
+            "text": "".join(r["text"] for r in results),
+            "chunks": [r["text"] for r in results],
+            "ids": [r["ids"] for r in results],
             "chunk_seconds": self.max_samples / 16000.0,
             "T_infer": first["T_infer"], "r": first["r"],
             "greedy": first["greedy"],
             "posterior_mode": first["posterior_mode"],
         }
+
+    def submit(self, wave: np.ndarray, name: str,
+               timeout_s: float = 600.0) -> dict:
+        """Transcribe one utterance (blocking); long audio is windowed via
+        _plan_requests and the window texts joined."""
+        if self._stop.is_set():
+            return {"wav": name, "error": "server shutting down"}
+        reqs = self._plan_requests(wave, name)
+        self._enqueue(reqs)
+        for r in reqs:
+            if not r.done.wait(timeout=timeout_s):
+                return {"wav": name, "error": f"timed out after {timeout_s}s"}
+        return self._aggregate(name, [r.result for r in reqs])
+
+    def submit_stream(self, wave: np.ndarray, name: str,
+                      timeout_s: float = 600.0):
+        """Streaming variant: yields one result dict per window IN ORDER as
+        windows complete (each tagged chunk_index/chunk_count), then the
+        exact aggregate submit() would have returned as the FINAL item.
+        Long recordings surface partial transcripts while later windows are
+        still on the device."""
+        if self._stop.is_set():
+            yield {"wav": name, "error": "server shutting down"}
+            return
+        reqs = self._plan_requests(wave, name)
+        self._enqueue(reqs)
+        results = []
+        for i, r in enumerate(reqs):
+            if not r.done.wait(timeout=timeout_s):
+                yield {"wav": name, "error": f"timed out after {timeout_s}s"}
+                return
+            results.append(r.result)
+            if "error" in r.result:
+                break
+            yield {**r.result, "chunk_index": i, "chunk_count": len(reqs)}
+        yield self._aggregate(name, results)
 
     def shutdown(self):
         self._stop.set()
@@ -380,8 +417,40 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
             except Exception as e:  # noqa: BLE001 - bad request isolation
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
+            from urllib.parse import parse_qs, urlsplit
+
+            query = parse_qs(urlsplit(self.path).query)
+            if query.get("stream", ["0"])[-1] in ("1", "true"):
+                self._stream_reply(wave, name)
+                return
             result = engine.submit(wave, name)
             self._reply(200 if "error" not in result else 500, result)
+
+        def _stream_reply(self, wave, name):
+            """POST /v1/transcribe?stream=1 — NDJSON over chunked transfer:
+            one line per long-form window as it completes (tagged
+            chunk_index/chunk_count), then the aggregate result (the exact
+            object the non-streaming path returns) as the last line.
+            Partial transcripts reach the client while later windows are
+            still on the device."""
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/x-ndjson; charset=utf-8")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_line(obj):
+                data = (json.dumps(obj, ensure_ascii=False) + "\n"
+                        ).encode("utf-8")
+                self.wfile.write(b"%X\r\n" % len(data) + data + b"\r\n")
+                self.wfile.flush()
+
+            try:
+                for res in engine.submit_stream(wave, name):
+                    write_line(res)
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream; device work completes
 
     return Handler
 

@@ -386,3 +386,54 @@ def test_serve_num_candidates(server):
                             "--num-candidates", "2"])
     with pytest.raises(SystemExit, match="num-candidates"):
         serve.build_server(bad)
+
+
+def test_streaming_long_form(server):
+    """POST /v1/transcribe?stream=1: NDJSON — one line per long-form window
+    as it completes (chunk_index/chunk_count tags), final line = the exact
+    aggregate the non-streaming path returns."""
+    import numpy as np
+
+    base, out, srv = server
+    srv.engine.max_samples = int(0.4 * 16000)
+    try:
+        src = f"{out}/data/processed/clips/test_000.wav"
+        body = open(src, "rb").read()  # 0.5 s > 0.4 s window -> 2 chunks
+        req = urllib.request.Request(
+            base + "/v1/transcribe?stream=1", data=body,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith(
+                "application/x-ndjson")
+            lines = [json.loads(l) for l in
+                     r.read().decode("utf-8").splitlines() if l.strip()]
+        assert len(lines) == 3  # 2 window partials + 1 aggregate
+        partials, final = lines[:-1], lines[-1]
+        for i, p in enumerate(partials):
+            assert p["chunk_index"] == i and p["chunk_count"] == 2
+            assert isinstance(p["text"], str)
+        assert "error" not in final
+        assert final["chunks"] == [p["text"] for p in partials]
+        assert final["text"] == "".join(final["chunks"])
+
+        # short upload: one tagged partial + the plain single result
+        short = np.zeros(3200, np.float32)
+        import io
+        import struct
+        pcm = (short * 32767).astype("<i2")
+        hdr = (b"RIFF" + struct.pack("<I", 36 + pcm.nbytes) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+               + b"data" + struct.pack("<I", pcm.nbytes))
+        req = urllib.request.Request(
+            base + "/v1/transcribe?stream=1", data=hdr + pcm.tobytes(),
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            lines = [json.loads(l) for l in
+                     r.read().decode("utf-8").splitlines() if l.strip()]
+        assert len(lines) == 2
+        assert lines[0]["chunk_index"] == 0 and lines[0]["chunk_count"] == 1
+        assert "chunk_index" not in lines[1]
+        assert lines[1]["text"] == lines[0]["text"]
+    finally:
+        srv.engine.max_samples = int(30.0 * 16000)
