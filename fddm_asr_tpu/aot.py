@@ -34,10 +34,13 @@ inference — SURVEY hard part #4) but is always part of the signature so
 callers never branch.
 
 Multi-platform notes: pass `platforms=("cpu", "tpu")` to lower one artifact
-for both; Pallas-fused attention only lowers for the platform the exporting
-process runs on, so TPU-targeted flagship exports should be produced on a
-TPU host (the tiny/test configs use the portable XLA attention and export
-anywhere).
+for both.  Pallas kernels do NOT survive the export round-trip on current
+TPU toolchains: the serialized Mosaic fused-attention kernel fails to
+RECOMPILE at load ("Invalid relayout ... vector<1x1024xi1>", measured on
+v5e) even though the live pipeline — which lowers the kernel fresh per
+trace — runs it fine.  scripts/export_model.py therefore builds export
+pipelines with the portable XLA attention by default (--fused-attention
+auto|on|off); pass `on` only on toolchains where the round-trip works.
 """
 from __future__ import annotations
 

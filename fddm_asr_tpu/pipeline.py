@@ -106,6 +106,7 @@ class FDDMPipeline:
         self.special_ids = special_ids
         self.pad_id = special_ids["pad_id"]
         self.use_condition_mask = use_condition_mask
+        self.dtype = dtype  # compute dtype of both modules (params stay f32)
 
         model_cfg = cfg.model
         d_model = model_cfg.d_model
@@ -158,7 +159,7 @@ class FDDMPipeline:
         tokenizer=None,
         seed: Optional[int] = None,
         use_condition_mask: bool = False,
-        dtype: Any = jnp.float32,
+        dtype: Any = None,
     ) -> "FDDMPipeline":
         # Default to the config seed: when no pretrained WavLM weights are
         # supplied the encoder is random-initialised, and training/inference
@@ -166,6 +167,15 @@ class FDDMPipeline:
         # reference contract re-fetches the frozen encoder from HF).
         if seed is None:
             seed = int(cfg.get("seed", 0))
+        if dtype is None:
+            # model.dtype: the COMPUTE dtype for inference/serving/export
+            # surfaces (params stay f32).  bfloat16 is the TPU production
+            # setting (the MXU runs bf16 at full rate; the shipped flagship
+            # config sets it); float32 is the parity-suite default.
+            # Training has its own knob (optim.dtype, default bfloat16 —
+            # train_lib.py) so train-time eval already ran bf16.
+            name = str(cfg.model.get("dtype", "float32")).lower()
+            dtype = jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
         from fddm_asr_tpu.tokenizer import load_tokenizer
 
         special = resolve_special_ids(cfg)

@@ -506,7 +506,8 @@ def _run_training_impl(
     special = resolve_special_ids(cfg)
     pad_id = special["pad_id"]
 
-    dtype = jnp.bfloat16 if cfg.optim.get("dtype", "bfloat16") == "bfloat16" else jnp.float32
+    dt_name = cfg.optim.get("dtype", cfg.model.get("dtype", "bfloat16"))
+    dtype = jnp.bfloat16 if str(dt_name).lower() in ("bfloat16", "bf16") else jnp.float32
     pipeline = FDDMPipeline.from_config(
         cfg, wavlm_params=wavlm_params, seed=seed, dtype=dtype
     )

@@ -86,6 +86,12 @@ def parse_args(argv=None):
                    help="best-of-N decoding: sample N trajectories per "
                         "utterance (one device call — candidates fold into "
                         "the batch dim) and keep the highest-confidence one")
+    p.add_argument("--dtype", choices=["config", "bfloat16", "float32"],
+                   default="config",
+                   help="model compute dtype; config (default) honors the "
+                        "YAML's model.dtype (float32 when unset).  bfloat16 "
+                        "is the TPU production setting — full-rate MXU, "
+                        "matches training's eval precision")
     p.add_argument("--seq-parallel", action="store_true",
                    help="with --mesh model=N>1: additionally shard the "
                         "ENCODER FRAME AXIS across the model axis with ring "
@@ -124,6 +130,12 @@ def build_pipeline(args):
         "T": diff.get("T", main_cfg.diffusion["T"]),
         "beta_max": diff.get("beta_max", main_cfg.diffusion.get("beta_max", 0.2)),
     }})
+    # programmatic config overrides (deep-merged) — used by callers that
+    # must adjust model knobs without editing the YAML, e.g. export_model
+    # forcing the portable attention into AOT artifacts
+    extra = getattr(args, "config_overrides", None)
+    if extra:
+        cfg = cfg.updated(extra)
     tokenizer = load_tokenizer(args.tokenizer)
 
     wavlm_params = None
@@ -132,10 +144,21 @@ def build_pipeline(args):
 
         wavlm_params = _load_wavlm(args.wavlm_ckpt, cfg)
 
+    # --dtype overrides the config's model.dtype compute precision
+    # (None -> from_config resolves model.dtype, default float32)
+    dtype = {"bfloat16": "bf16", "bf16": "bf16",
+             "float32": "f32", "f32": "f32"}.get(
+                 str(getattr(args, "dtype", None) or "config").lower())
+    import jax.numpy as jnp
+
+    dtype = None if dtype is None else (
+        jnp.bfloat16 if dtype == "bf16" else jnp.float32)
+
     # NOTE: the model-init seed comes from the config (so a random-init dev
     # encoder matches training); --seed only controls sampling randomness.
     return FDDMPipeline.from_config(
         cfg, ckpt_path=args.ckpt, wavlm_params=wavlm_params, tokenizer=tokenizer,
+        dtype=dtype,
     )
 
 

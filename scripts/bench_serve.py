@@ -88,16 +88,25 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    from fddm_asr_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()  # remote compiles are 30 s-10 min; persist them
+
     import serve
 
+    # first-request cold start waits out param placement + the remote XLA
+    # compile — give it the same generous bound serve.py users would set
+    timeout_s = 1800.0
     if args.exported:
         srv_argv = ["--exported", args.exported, "--port", "0",
-                    "--max-wait-ms", str(args.max_wait_ms)]
+                    "--max-wait-ms", str(args.max_wait_ms),
+                    "--request-timeout-s", str(timeout_s)]
     elif args.config and args.ckpt:
         srv_argv = ([
             "--config", args.config, "--ckpt", args.ckpt,
             "--port", "0", "--max-batch", str(args.max_batch),
             "--max-wait-ms", str(args.max_wait_ms),
+            "--request-timeout-s", str(timeout_s),
         ] + (["--tokenizer", args.tokenizer] if args.tokenizer else [])
           + (["--seq-len", str(args.seq_len)] if args.seq_len else [])
           + (["--T-infer", str(args.T_infer)] if args.T_infer else [])
@@ -118,8 +127,15 @@ def main(argv=None):
         req = urllib.request.Request(
             base + "/v1/transcribe", data=body,
             headers={"Content-Type": "audio/wav"})
-        with urllib.request.urlopen(req, timeout=600) as r:
-            return json.loads(r.read().decode("utf-8"))
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            # surface the engine's error body — a blind "HTTP 500" hides
+            # the actual device/compile failure
+            raise RuntimeError(
+                f"server returned {e.code}: {e.read().decode('utf-8')}"
+            ) from None
 
     # warmup: compile every (duration-bucket, batch-bucket) shape the run
     # will touch — one solo request (B=1) and one full-concurrency wave.

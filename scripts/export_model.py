@@ -58,6 +58,21 @@ def parse_args(argv=None):
                         "(default: the current backend)")
     p.add_argument("--device", type=str, default=None, help="cpu|tpu")
     p.add_argument("--wavlm-ckpt", type=str, default=None)
+    p.add_argument("--dtype", choices=["config", "bfloat16", "float32"],
+                   default="config",
+                   help="compute dtype baked into the exported modules; "
+                        "config honors the YAML's model.dtype — bfloat16 "
+                        "is the TPU production setting")
+    p.add_argument("--fused-attention", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Pallas fused gated attention inside the exported "
+                        "encoder.  auto/off (default): use the portable XLA "
+                        "attention — the serialized Mosaic kernel fails to "
+                        "RECOMPILE after the jax.export round-trip on "
+                        "current TPU toolchains ('Invalid relayout' on its "
+                        "i1 gate vectors; the live pipeline, which lowers "
+                        "the kernel fresh per trace, is unaffected).  on: "
+                        "keep the kernel, for toolchains where it works")
     p.add_argument("--mesh", type=str, default="",
                    help="export SHARDED modules over a device mesh, e.g. "
                         "data=4,model=2 — the artifact then requires that "
@@ -92,6 +107,11 @@ def main(argv=None):
     import inference as infer_cli
     from fddm_asr_tpu import aot
 
+    if args.fused_attention != "on":
+        # deep-merged into the main config by build_pipeline: AOT modules
+        # carry the portable XLA attention (see --fused-attention help)
+        args.config_overrides = {
+            "model": {"encoder": {"wavlm_config": {"fused_attention": False}}}}
     pipeline = infer_cli.build_pipeline(args)
     pipeline.use_condition_mask = args.condition_mask == "on"
     if args.mesh:
@@ -117,6 +137,7 @@ def main(argv=None):
     print(json.dumps({"out": args.out, "buckets": meta["buckets"],
                       "seq_len": meta["seq_len"],
                       "platforms": meta["platforms"],
+                      "fused_attention": args.fused_attention == "on",
                       "artifact_bytes": size}))
     return 0
 

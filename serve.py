@@ -76,8 +76,14 @@ class BatchingEngine:
     def __init__(self, pipeline, sampling: dict, seq_len: int,
                  max_batch: int = 16, max_wait_ms: float = 20.0,
                  bucket_seconds: float = 1.0, max_seconds: float = 30.0,
-                 batch_multiple: int = 1):
+                 batch_multiple: int = 1,
+                 request_timeout_s: float = 600.0):
         self.pipeline = pipeline
+        # per-request wait bound; the FIRST request on a fresh server also
+        # waits out param placement + the remote XLA compile, which can
+        # exceed 600 s for flagship programs in this environment — serving
+        # CLIs expose it as --request-timeout-s
+        self.request_timeout_s = request_timeout_s
         self.sampling = sampling
         self.seq_len = seq_len
         self.max_batch = max_batch
@@ -166,9 +172,10 @@ class BatchingEngine:
         }
 
     def submit(self, wave: np.ndarray, name: str,
-               timeout_s: float = 600.0) -> dict:
+               timeout_s: Optional[float] = None) -> dict:
         """Transcribe one utterance (blocking); long audio is windowed via
         _plan_requests and the window texts joined."""
+        timeout_s = self.request_timeout_s if timeout_s is None else timeout_s
         if self._stop.is_set():
             return {"wav": name, "error": "server shutting down"}
         reqs = self._plan_requests(wave, name)
@@ -179,12 +186,13 @@ class BatchingEngine:
         return self._aggregate(name, [r.result for r in reqs])
 
     def submit_stream(self, wave: np.ndarray, name: str,
-                      timeout_s: float = 600.0):
+                      timeout_s: Optional[float] = None):
         """Streaming variant: yields one result dict per window IN ORDER as
         windows complete (each tagged chunk_index/chunk_count), then the
         exact aggregate submit() would have returned as the FINAL item.
         Long recordings surface partial transcripts while later windows are
         still on the device."""
+        timeout_s = self.request_timeout_s if timeout_s is None else timeout_s
         if self._stop.is_set():
             yield {"wav": name, "error": "server shutting down"}
             return
@@ -521,6 +529,7 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
         bucket_seconds=min(samples) / 16000.0,
         max_seconds=max(samples) / 16000.0,
         batch_multiple=data_ways,
+        request_timeout_s=getattr(args, "request_timeout_s", 600.0),
     )
     echo = {"model": "fddm-asr-tpu", "exported": args.exported,
             "seq_len": meta["seq_len"], **sampling,
@@ -547,9 +556,14 @@ def build_server(args) -> ThreadingHTTPServer:
 
     cfg = load_config(args.config)
     tokenizer = load_tokenizer(args.tokenizer or cfg.data.tokenizer_path)
+    import jax.numpy as jnp
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
+        getattr(args, "dtype", "config"))  # None -> config's model.dtype
     pipeline = FDDMPipeline.from_config(
         cfg, ckpt_path=args.ckpt, tokenizer=tokenizer,
         use_condition_mask=True,  # bucket padding must not alter transcripts
+        dtype=dtype,
     )
     data_ways = 1
     if getattr(args, "mesh", ""):
@@ -577,6 +591,7 @@ def build_server(args) -> ThreadingHTTPServer:
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         bucket_seconds=args.bucket_seconds, max_seconds=args.max_seconds,
         batch_multiple=data_ways,
+        request_timeout_s=getattr(args, "request_timeout_s", 600.0),
     )
     echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
             "max_batch": args.max_batch}
@@ -659,6 +674,15 @@ def parse_args(argv=None):
                     help="with --mesh model=N>1: ring-attention sequence "
                          "parallelism in the encoder (see inference.py)")
     ap.add_argument("--device", default=None, help="cpu forces the CPU backend")
+    ap.add_argument("--dtype", choices=["config", "bfloat16", "float32"],
+                    default="config",
+                    help="model compute dtype (live serving); config honors "
+                         "the YAML's model.dtype — bfloat16 is the TPU "
+                         "production setting")
+    ap.add_argument("--request-timeout-s", type=float, default=600.0,
+                    help="per-request wait bound; raise for fresh flagship "
+                         "servers whose first request waits out the remote "
+                         "XLA compile (can exceed 10 min here)")
     ap.add_argument("--warmup-seconds", default=None,
                     help="comma-separated duration buckets (e.g. '5,10,20') "
                          "to pre-compile at startup (B=1 and B=max-batch "

@@ -162,3 +162,34 @@ def test_inference_cli_num_candidates(synth, pipeline, tmp_path):
         assert "error" not in row
         assert isinstance(row["text"], str)
         assert 0.0 <= row["confidence"] <= 1.0
+
+
+def test_model_dtype_knob(synth):
+    """model.dtype: bfloat16 flips the pipeline's COMPUTE dtype on every
+    inference surface (from_config resolves it; parity default stays f32)
+    and actually changes the numerics — a silent no-op cannot pass."""
+    import jax.numpy as jnp
+
+    from fddm_asr_tpu.config import load_config
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = load_config(f"{synth}/config.yaml")
+    p32 = FDDMPipeline.from_config(cfg)
+    assert p32.dtype == jnp.float32  # unset -> parity default
+    pbf = FDDMPipeline.from_config(cfg.updated({"model": {"dtype": "bfloat16"}}))
+    assert pbf.dtype == jnp.bfloat16
+    # explicit arg wins over the config
+    pex = FDDMPipeline.from_config(
+        cfg.updated({"model": {"dtype": "bfloat16"}}), dtype=jnp.float32)
+    assert pex.dtype == jnp.float32
+
+    wave = _wave(1, seed=4)
+    c32, _ = p32.encode_waveform(wave)
+    cbf, _ = pbf.encode_waveform(wave)
+    assert cbf.dtype == jnp.bfloat16 and c32.dtype == jnp.float32
+    assert not np.allclose(np.asarray(c32), np.asarray(cbf, np.float32),
+                           atol=1e-7)
+    # bf16 features stay close to f32 (same weights, lower precision)
+    rel = (np.linalg.norm(np.asarray(c32) - np.asarray(cbf, np.float32))
+           / np.linalg.norm(np.asarray(c32)))
+    assert rel < 0.1, rel

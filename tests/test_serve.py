@@ -437,3 +437,34 @@ def test_streaming_long_form(server):
         assert lines[1]["text"] == lines[0]["text"]
     finally:
         srv.engine.max_samples = int(30.0 * 16000)
+
+
+def test_request_timeout_configurable():
+    """request_timeout_s bounds submit()/submit_stream() waits (the first
+    request on a fresh flagship server waits out a >600 s remote compile —
+    --request-timeout-s raises the ceiling; this pins the plumbing with a
+    tiny value and a stalled pipeline)."""
+    import time
+
+    import numpy as np
+
+    import serve
+
+    class Stalled:
+        use_condition_mask = True
+
+        def transcribe_with_ids(self, *a, **k):
+            time.sleep(2.0)
+            return []
+
+    eng = serve.BatchingEngine(Stalled(), {}, 8, max_batch=2,
+                               max_wait_ms=1, request_timeout_s=0.2)
+    try:
+        t0 = time.perf_counter()
+        res = eng.submit(np.zeros(1600, np.float32), "x.wav")
+        assert "timed out" in res.get("error", ""), res
+        assert time.perf_counter() - t0 < 1.5
+        out = list(eng.submit_stream(np.zeros(1600, np.float32), "y.wav"))
+        assert len(out) == 1 and "timed out" in out[0]["error"]
+    finally:
+        eng.shutdown()
