@@ -23,7 +23,12 @@ Artifact layout (a directory)::
 Exported calling convention (fixed across buckets)::
 
     call(enc_params, dec_params, seed_u32, wave_f32[B,N], lengths_i32[B])
-        -> (ids_i32[B,seq_len], p_x0_f32[B,seq_len,K])
+        -> (ids_i32[B,seq_len], p_x0_f32[B,seq_len,K], conf_f32[B])
+
+conf is the decoded-span geometric-mean token probability, reduced INSIDE
+the program (eval.batch_confidence_device) so serving fetches ids+conf only
+and the p_x0 tensor never crosses to host.  Artifacts written before the
+`device_confidence` meta key returned (ids, p_x0); the loader handles both.
 
 `seed` feeds `jax.random.key` INSIDE the program, so a live
 `FDDMPipeline.transcribe(..., rng=jax.random.key(seed))` at the same padded
@@ -162,6 +167,11 @@ def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
     sample_fn = make_sample_fn(decoder_apply, pipeline.sched, scfg)
     use_cmask = bool(pipeline.use_condition_mask)
 
+    from fddm_asr_tpu.eval import batch_confidence_device
+
+    pad_id = pipeline.pad_id
+    special = dict(pipeline.special_ids)
+
     def transcribe_step(enc_params, dec_params, seed, wave, lengths):
         rng = jax.random.key(seed)
         feats, feat_mask, _ = pipeline.encoder.apply(
@@ -170,7 +180,11 @@ def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
         c_mask = feat_mask if use_cmask else None
         ids, p = sample_fn(dec_params, rng, feats, seq_len=seq_len,
                            c_mask=c_mask)
-        return ids, p
+        # [B] decoded-span confidence reduced inside the program: serving
+        # then fetches ids+conf only — the [B, L, K] p_x0 output stays on
+        # device (it remains an output for API continuity / inspection)
+        conf = batch_confidence_device(ids, p, pad_id, special)
+        return ids, p, conf
 
     return transcribe_step
 
@@ -283,6 +297,10 @@ def save_artifact(
         "special_ids": {k: (None if v is None else int(v))
                         for k, v in pipeline.special_ids.items()},
         "use_condition_mask": bool(pipeline.use_condition_mask),
+        # modules return (ids, p_x0, conf): per-utterance confidence is
+        # reduced inside the program (loaders of 2-output artifacts from
+        # before this key fall back to a host-side reduction)
+        "device_confidence": True,
         "tokenizer_file": tok_file,
     }
     with open(os.path.join(out_dir, _META), "w") as f:
@@ -406,13 +424,20 @@ class ExportedPipeline:
         floor = min(CONV_RECEPTIVE_FIELD, n)
         len_p = np.full((b,), floor, np.int32)
         len_p[:rows] = np.maximum(np.asarray(lengths, np.int32), floor)
-        ids, p = self._modules[(b, n)].call(
+        outs = self._modules[(b, n)].call(
             self.enc_params, self.dec_params, np.uint32(seed), wave_p, len_p)
+        conf = None
+        if self.meta.get("device_confidence"):
+            ids, p, conf_d = outs
+            if with_confidence:
+                # ids + [B] conf are the ONLY host transfers; the [B, L, K]
+                # p_x0 output stays on device
+                conf = np.asarray(conf_d)
+        else:  # legacy 2-output artifact: reduce confidence host-side
+            ids, p = outs
+            if with_confidence:
+                p = np.asarray(p)
         ids = np.asarray(ids)[:rows]
-        if with_confidence:
-            # one device->host pull for the whole batch; slicing the device
-            # array per row would pay a dispatch round-trip per utterance
-            p = np.asarray(p)
         out = []
         for i, row in enumerate(ids):
             entry = (ids_to_text(row, self.tokenizer, self.pad_id,
@@ -420,8 +445,10 @@ class ExportedPipeline:
                                  self.special_ids.get("eos_id")),
                      row.tolist())
             if with_confidence:
-                entry = entry + (utterance_confidence(
-                    row, np.asarray(p[i]), self.pad_id, self.special_ids),)
+                entry = entry + (
+                    float(conf[i]) if conf is not None else
+                    utterance_confidence(row, np.asarray(p[i]), self.pad_id,
+                                         self.special_ids),)
             out.append(entry)
         return out
 

@@ -140,7 +140,10 @@ def evaluate_cer_with_full_sampling(
         rng, step_rng = jax.random.split(rng)
         c, c_mask = pipeline.encode_waveform(batch.wave, batch.wave_lengths)
         L = batch.tokens.shape[1]
-        x_pred, _ = pipeline.sample(step_rng, c, seq_len=L, c_mask=c_mask, **sc)
+        # device sampling; only the token ids cross to host — p_x0 ([B,L,K],
+        # ~65 MB at flagship shapes) is not needed for CER/WER
+        x_pred = np.asarray(
+            pipeline._sample_raw(step_rng, c, L, c_mask, **sc)[0])
         hyps = [pipeline.ids_to_text(x_pred[i]) for i in range(x_pred.shape[0])]
         refs = [pipeline.ids_to_text(batch.tokens[i]) for i in range(batch.tokens.shape[0])]
         for ref, hyp in zip(refs, hyps):
@@ -195,6 +198,36 @@ def utterance_confidence(ids_row: np.ndarray, p_row: np.ndarray,
     if not valid.any():
         return 0.0
     return float(np.exp(np.log(np.maximum(tok_p[valid], 1e-12)).mean()))
+
+
+def batch_confidence_device(ids, p, pad_id: int,
+                            special_ids: Dict[str, Optional[int]]):
+    """jnp mirror of utterance_confidence over a batch: [B, L] ids +
+    [B, L, K] p_x0 -> [B] geometric-mean token probability over the
+    decoded span, computed ON DEVICE.
+
+    Serving calls this instead of pulling p_x0 to host: the [B, L, K]
+    tensor is ~65 MB per flagship B=16 batch and was transferred on every
+    served batch just to reduce to B floats.  Traceable/jittable; equality
+    with the numpy utterance_confidence is pinned in tests/test_nbest.py.
+    """
+    import jax.numpy as jnp
+
+    ids = jnp.asarray(ids)
+    tok_p = jnp.take_along_axis(jnp.asarray(p), ids[..., None], axis=-1)[..., 0]
+    eos = special_ids.get("eos_id")
+    if eos is not None:
+        valid = jnp.cumsum(ids == eos, axis=-1) == 0  # strictly before eos
+    else:
+        valid = jnp.ones(ids.shape, bool)
+    valid = valid & (ids != pad_id)
+    bos = special_ids.get("bos_id")
+    if bos is not None:
+        valid = valid & (ids != bos)
+    n = valid.sum(axis=-1)
+    logs = jnp.where(valid, jnp.log(jnp.maximum(tok_p, 1e-12)), 0.0)
+    mean = logs.sum(axis=-1) / jnp.maximum(n, 1)
+    return jnp.where(n > 0, jnp.exp(mean), 0.0)
 
 
 def _decoded_span_logprob_mean(ids_row: np.ndarray, tok_p: np.ndarray,

@@ -148,6 +148,7 @@ class FDDMPipeline:
         self._encode_jit = jax.jit(self._encode)
         self._decode_jit = jax.jit(self._decoder_fwd)
         self._samplers: Dict[tuple, Callable] = {}
+        self._conf_jit = None  # built lazily by _batch_confidence
 
     # ------------------------------------------------------------- builders
     @classmethod
@@ -393,6 +394,21 @@ class FDDMPipeline:
         # ref_compat=False runs the CORRECTED multi-step posterior instead of
         # reproducing the reference's tensor-aliasing recurrence (see
         # diffusion.multi_step_coeffs); default True = reference parity.
+        ids, p = self._sample_raw(
+            rng, cond, seq_len, c_mask, T_infer=T_infer, r=r, greedy=greedy,
+            posterior_mode=posterior_mode, sampling_mode=sampling_mode,
+            temperature=temperature, ref_compat=ref_compat)
+        return np.asarray(ids), np.asarray(p)
+
+    def _sample_raw(
+        self, rng, cond, seq_len, c_mask=None,
+        T_infer: int = 20, r: int = 5, greedy: bool = True,
+        posterior_mode: str = "map", sampling_mode: str = "exact",
+        temperature: float = 1.0, ref_compat: bool = True,
+    ):
+        """sample() without the host pull: returns DEVICE arrays so hot
+        paths (serving confidence, n-best selection) can reduce p_x0 on
+        device instead of transferring [B, L, K] to host per batch."""
         fn = self._sampler_for((T_infer, r, greedy, posterior_mode,
                                 sampling_mode, temperature, ref_compat))
         if not self.use_condition_mask:
@@ -401,8 +417,18 @@ class FDDMPipeline:
         # already placed; device_put on a correctly-sharded array is a no-op)
         cond = self._shard_batch(cond)
         c_mask = self._shard_batch(c_mask)
-        ids, p = fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
-        return np.asarray(ids), np.asarray(p)
+        return fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
+
+    def _batch_confidence(self, ids_dev, p_dev) -> np.ndarray:
+        """[B] decoded-span confidences, reduced ON DEVICE (the [B, L, K]
+        p_x0 never crosses to host — ~65 MB per flagship B=16 batch)."""
+        from fddm_asr_tpu.eval import batch_confidence_device
+
+        if self._conf_jit is None:
+            self._conf_jit = jax.jit(
+                lambda i, p: batch_confidence_device(
+                    i, p, self.pad_id, self.special_ids))
+        return np.asarray(self._conf_jit(ids_dev, p_dev))
 
     def sample_nbest(
         self,
@@ -457,15 +483,25 @@ class FDDMPipeline:
             wave = wave[None]
         c, c_mask = self.encode_waveform(wave, lengths)
         rng = rng if rng is not None else jax.random.key(0)
-        ids, p = self.sample_nbest(rng, c, seq_len, num_candidates,
-                                   c_mask=c_mask, **sampling)
+        n = int(num_candidates)
+        if n < 1:
+            raise ValueError(f"num_candidates must be >= 1, got {n}")
+        B = c.shape[0]
+        ids_d, p_d = self._sample_raw(
+            rng, jnp.repeat(c, n, axis=0), seq_len,
+            None if c_mask is None else jnp.repeat(c_mask, n, axis=0),
+            **sampling)
+        # confidences reduce on device; only ids [B*N, L] + conf [B*N]
+        # cross to host (p_x0 would be B*N x L x K)
+        confs = self._batch_confidence(ids_d, p_d)
+        ids = np.asarray(ids_d).reshape(B, n, -1)
+        confs = confs.reshape(B, n)
         out = []
-        for i in range(ids.shape[0]):
+        for i in range(B):
             cands = [
-                (self.ids_to_text(ids[i, j]),
-                 np.asarray(ids[i, j]).tolist(),
-                 self._utterance_confidence(ids[i, j], p[i, j]))
-                for j in range(ids.shape[1])
+                (self.ids_to_text(ids[i, j]), ids[i, j].tolist(),
+                 float(confs[i, j]))
+                for j in range(n)
             ]
             cands.sort(key=lambda c: c[2], reverse=True)
             out.append(cands)
@@ -522,12 +558,14 @@ class FDDMPipeline:
             wave = wave[None]
         c, c_mask = self.encode_waveform(wave, lengths)
         rng = rng if rng is not None else jax.random.key(0)
-        ids, p = self.sample(rng, c, seq_len=seq_len, c_mask=c_mask, **sampling)
+        ids_d, p_d = self._sample_raw(rng, c, seq_len, c_mask, **sampling)
+        confs = self._batch_confidence(ids_d, p_d) if with_confidence else None
+        ids = np.asarray(ids_d)  # p_x0 stays on device
         out = []
         for i in range(ids.shape[0]):
-            row = (self.ids_to_text(ids[i]), np.asarray(ids[i]).tolist())
+            row = (self.ids_to_text(ids[i]), ids[i].tolist())
             if with_confidence:
-                row = row + (self._utterance_confidence(ids[i], p[i]),)
+                row = row + (float(confs[i]),)
             out.append(row)
         return out
 

@@ -240,34 +240,43 @@ def infer_batch(
 def _transcribe(pipeline, batch, lengths, seq_len, args, rng):
     import numpy as np
 
+    import jax.numpy as jnp
+
     c, c_mask = pipeline.encode_waveform(batch, lengths)
     n_cand = max(1, int(getattr(args, "num_candidates", 1)))
+    want_conf = bool(getattr(args, "confidence", False))
     if n_cand > 1:
         # best-of-N: N trajectories per row in ONE device call, keep the
-        # highest-confidence candidate (pipeline.sample_nbest)
-        ids_n, p_n = pipeline.sample_nbest(
-            rng, c, seq_len, n_cand, c_mask=c_mask, **sampling_kwargs(args)
+        # highest-confidence candidate.  Confidence reduces ON DEVICE; the
+        # [B*N, L, K] p_x0 never crosses to host.
+        ids_d, p_d = pipeline._sample_raw(
+            rng, jnp.repeat(c, n_cand, axis=0), seq_len,
+            None if c_mask is None else jnp.repeat(c_mask, n_cand, axis=0),
+            **sampling_kwargs(args)
         )
+        B = c.shape[0]
+        confs = pipeline._batch_confidence(ids_d, p_d).reshape(B, n_cand)
+        ids_n = np.asarray(ids_d).reshape(B, n_cand, -1)
         results = []
-        for i in range(ids_n.shape[0]):
-            confs = [pipeline._utterance_confidence(ids_n[i, j], p_n[i, j])
-                     for j in range(n_cand)]
-            k = int(np.argmax(confs))
+        for i in range(B):
+            k = int(np.argmax(confs[i]))
             row = (pipeline.ids_to_text(ids_n[i, k]),
                    [int(x) for x in ids_n[i, k]])
-            if getattr(args, "confidence", False):
-                row = row + (confs[k],)
+            if want_conf:
+                row = row + (float(confs[i, k]),)
             results.append(row)
         return results
-    ids, p = pipeline.sample(
-        rng, c, seq_len=seq_len, c_mask=c_mask, **sampling_kwargs(args)
+    ids_d, p_d = pipeline._sample_raw(
+        rng, c, seq_len, c_mask, **sampling_kwargs(args)
     )
+    confs = pipeline._batch_confidence(ids_d, p_d) if want_conf else None
+    ids = np.asarray(ids_d)
     results = []
     for i in range(ids.shape[0]):
         id_list = [int(x) for x in ids[i]]
         row = (pipeline.ids_to_text(ids[i]), id_list)
-        if getattr(args, "confidence", False):
-            row = row + (pipeline._utterance_confidence(ids[i], p[i]),)
+        if want_conf:
+            row = row + (float(confs[i]),)
         results.append(row)
     return results
 

@@ -89,7 +89,9 @@ def test_evaluate_cer_hyp_vs_ref_wiring(tiny):
         def __getattr__(self, name):
             return getattr(pipeline, name)
 
-        def sample(self, rng, c, seq_len, c_mask=None, **sc):
+        def _sample_raw(self, rng, c, seq_len, c_mask=None, **sc):
+            # the evaluator's device-sampling seam (it pulls ids only;
+            # p_x0 stays on device in production)
             x = self._preds.pop(0)
             return x, None
 

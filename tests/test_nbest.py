@@ -193,3 +193,46 @@ def test_model_dtype_knob(synth):
     rel = (np.linalg.norm(np.asarray(c32) - np.asarray(cbf, np.float32))
            / np.linalg.norm(np.asarray(c32)))
     assert rel < 0.1, rel
+
+
+def test_batch_confidence_device_matches_numpy(pipeline):
+    """batch_confidence_device (the on-device [B] reduction serving uses —
+    p_x0 never crosses to host) must match the numpy utterance_confidence
+    row-for-row, including empty decoded spans."""
+    import jax
+
+    from fddm_asr_tpu.eval import batch_confidence_device, utterance_confidence
+
+    pad = pipeline.pad_id
+    eos = pipeline.special_ids.get("eos_id")
+    bos = pipeline.special_ids.get("bos_id")
+    K = pipeline.cfg.data.vocab_size
+    rng = np.random.default_rng(0)
+    L = 12
+    ids = rng.integers(0, K, size=(6, L)).astype(np.int32)
+    ids[1, 0] = eos            # eos first -> empty span -> 0.0
+    ids[2, :] = pad            # all pad -> 0.0
+    ids[3, 4] = eos            # mid-sequence eos
+    if bos is not None:
+        ids[4, 0] = bos        # bos excluded from the span
+    p = rng.random((6, L, K)).astype(np.float32)
+    p /= p.sum(-1, keepdims=True)
+
+    dev = np.asarray(batch_confidence_device(ids, p, pad, pipeline.special_ids))
+    for i in range(ids.shape[0]):
+        ref = utterance_confidence(ids[i], p[i], pad, pipeline.special_ids)
+        assert abs(float(dev[i]) - ref) < 1e-6, (i, float(dev[i]), ref)
+    assert dev[1] == 0.0 and dev[2] == 0.0
+
+    # and the real pipeline agrees between transcribe_with_ids (device
+    # reduction) and the per-row numpy helper
+    wave = _wave(2, seed=6)
+    got = pipeline.transcribe_with_ids(
+        wave, seq_len=SEQ_LEN, rng=jax.random.key(5), with_confidence=True,
+        **SAMPLING)
+    c, c_mask = pipeline.encode_waveform(wave)
+    ids2, p2 = pipeline.sample(jax.random.key(5), c, seq_len=SEQ_LEN,
+                               c_mask=c_mask, **SAMPLING)
+    for i, (_t, _ids, conf) in enumerate(got):
+        ref = utterance_confidence(ids2[i], p2[i], pad, pipeline.special_ids)
+        assert abs(conf - ref) < 1e-6

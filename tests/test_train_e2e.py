@@ -190,7 +190,9 @@ def test_csv_bucketing_stable_shapes(tmp_path):
             shapes.append(tuple(batch.shape))
             return np.zeros((batch.shape[0], 4, 8), np.float32), None
 
-        def sample(self, rng, c, seq_len, c_mask=None, **kw):
+        def _sample_raw(self, rng, c, seq_len, c_mask=None, **kw):
+            # inference._transcribe's device-sampling seam (ids pulled,
+            # p_x0 left on device in production)
             ids = np.zeros((c.shape[0], seq_len), np.int32)
             return ids, np.zeros((c.shape[0], seq_len), np.float32)
 
