@@ -489,3 +489,62 @@ def test_serve_exported_nonmultiple_buckets(synth, pipeline):
     finally:
         srv.server_close()
         srv.engine.shutdown()
+
+
+def test_legacy_two_output_artifact_fallback(synth, pipeline, artifact,
+                                              monkeypatch):
+    """Artifacts written BEFORE the device_confidence meta key returned
+    (ids, p_x0) only; the loader must fall back to the host-side
+    confidence reduction and produce the same scores."""
+    import jax
+
+    from fddm_asr_tpu import aot
+
+    def legacy_build(pl, seq_len, sampling):
+        from fddm_asr_tpu.sampler import SamplerConfig, make_sample_fn
+
+        s = aot.resolve_sampling(sampling)
+        scfg = SamplerConfig(
+            K=pl.cfg.data.vocab_size, T_train=pl.cfg.diffusion["T"],
+            T_infer=s["T_infer"], r=s["r"], greedy=s["greedy"],
+            posterior_mode=s["posterior_mode"],
+            sampling_mode=s["sampling_mode"], temperature=s["temperature"],
+            ref_compat=s["ref_compat"])
+
+        def decoder_apply(params, xt, t, cond, c_mask):
+            return pl.decoder.apply(params, xt, t, cond, None, c_mask,
+                                    deterministic=True)
+
+        sample_fn = make_sample_fn(decoder_apply, pl.sched, scfg)
+        use_cmask = bool(pl.use_condition_mask)
+
+        def step(enc_params, dec_params, seed, wave, lengths):
+            rng = jax.random.key(seed)
+            feats, feat_mask, _ = pl.encoder.apply(
+                enc_params, wave, lengths if use_cmask else None,
+                deterministic=True)
+            return sample_fn(dec_params, rng, feats, seq_len=seq_len,
+                             c_mask=feat_mask if use_cmask else None)
+
+        return step
+
+    monkeypatch.setattr(aot, "build_transcribe_fn", legacy_build)
+    art = os.path.join(synth, "artifact_legacy")
+    tok = pipeline.cfg.data.get("tokenizer_path")
+    aot.save_artifact(pipeline, art, [(2, N)], seq_len=SEQ_LEN,
+                      sampling=SAMPLING, tokenizer_path=tok)
+    # strip the meta key the way an old writer would never have set it
+    meta_path = os.path.join(art, "meta.json")
+    meta = json.load(open(meta_path))
+    meta.pop("device_confidence")
+    json.dump(meta, open(meta_path, "w"))
+
+    ep = aot.ExportedPipeline.load(art)
+    wave = _wave(2, seed=12)
+    got = ep.transcribe_with_ids(wave, seed=3, with_confidence=True)
+    # current-format artifact at the same shapes/seed must agree exactly
+    ep_new = aot.ExportedPipeline.load(artifact)
+    want = ep_new.transcribe_with_ids(wave, seed=3, with_confidence=True)
+    assert [g[1] for g in got] == [w[1] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 1e-6
