@@ -404,6 +404,19 @@ class ExportedPipeline:
         seed: int = 0,
         with_confidence: bool = False,
     ) -> List[Tuple]:
+        return self.transcribe_with_ids_async(
+            wave, lengths, seed=seed, with_confidence=with_confidence)()
+
+    def transcribe_with_ids_async(
+        self,
+        wave: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        seed: int = 0,
+        with_confidence: bool = False,
+    ):
+        """Two-phase variant: dispatches the exported .call and returns a
+        finalize() producing the same rows — the serving engine overlaps
+        batch N+1's device execution with batch N's host decode."""
         from fddm_asr_tpu.eval import ids_to_text, utterance_confidence
 
         wave = np.asarray(wave, np.float32)
@@ -426,31 +439,36 @@ class ExportedPipeline:
         len_p[:rows] = np.maximum(np.asarray(lengths, np.int32), floor)
         outs = self._modules[(b, n)].call(
             self.enc_params, self.dec_params, np.uint32(seed), wave_p, len_p)
-        conf = None
-        if self.meta.get("device_confidence"):
-            ids, p, conf_d = outs
-            if with_confidence:
-                # ids + [B] conf are the ONLY host transfers; the [B, L, K]
-                # p_x0 output stays on device
-                conf = np.asarray(conf_d)
-        else:  # legacy 2-output artifact: reduce confidence host-side
-            ids, p = outs
-            if with_confidence:
-                p = np.asarray(p)
-        ids = np.asarray(ids)[:rows]
-        out = []
-        for i, row in enumerate(ids):
-            entry = (ids_to_text(row, self.tokenizer, self.pad_id,
-                                 self.special_ids.get("bos_id"),
-                                 self.special_ids.get("eos_id")),
-                     row.tolist())
-            if with_confidence:
-                entry = entry + (
-                    float(conf[i]) if conf is not None else
-                    utterance_confidence(row, np.asarray(p[i]), self.pad_id,
-                                         self.special_ids),)
-            out.append(entry)
-        return out
+        device_conf = bool(self.meta.get("device_confidence"))
+
+        def finalize():
+            conf = None
+            if device_conf:
+                ids, p, conf_d = outs
+                if with_confidence:
+                    # ids + [B] conf are the ONLY host transfers; the
+                    # [B, L, K] p_x0 output stays on device
+                    conf = np.asarray(conf_d)
+            else:  # legacy 2-output artifact: reduce confidence host-side
+                ids, p = outs
+                if with_confidence:
+                    p = np.asarray(p)
+            ids_np = np.asarray(ids)[:rows]
+            out = []
+            for i, row in enumerate(ids_np):
+                entry = (ids_to_text(row, self.tokenizer, self.pad_id,
+                                     self.special_ids.get("bos_id"),
+                                     self.special_ids.get("eos_id")),
+                         row.tolist())
+                if with_confidence:
+                    entry = entry + (
+                        float(conf[i]) if conf is not None else
+                        utterance_confidence(row, np.asarray(p[i]),
+                                             self.pad_id, self.special_ids),)
+                out.append(entry)
+            return out
+
+        return finalize
 
     def transcribe(self, wave, lengths=None, seed: int = 0) -> List[str]:
         return [t for t, _ in

@@ -419,16 +419,20 @@ class FDDMPipeline:
         c_mask = self._shard_batch(c_mask)
         return fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
 
-    def _batch_confidence(self, ids_dev, p_dev) -> np.ndarray:
-        """[B] decoded-span confidences, reduced ON DEVICE (the [B, L, K]
-        p_x0 never crosses to host — ~65 MB per flagship B=16 batch)."""
+    def _conf_dev(self, ids_dev, p_dev):
+        """[B] decoded-span confidences as a DEVICE array (async dispatch);
+        the [B, L, K] p_x0 never crosses to host — ~65 MB per flagship
+        B=16 batch."""
         from fddm_asr_tpu.eval import batch_confidence_device
 
         if self._conf_jit is None:
             self._conf_jit = jax.jit(
                 lambda i, p: batch_confidence_device(
                     i, p, self.pad_id, self.special_ids))
-        return np.asarray(self._conf_jit(ids_dev, p_dev))
+        return self._conf_jit(ids_dev, p_dev)
+
+    def _batch_confidence(self, ids_dev, p_dev) -> np.ndarray:
+        return np.asarray(self._conf_dev(ids_dev, p_dev))
 
     def sample_nbest(
         self,
@@ -548,26 +552,68 @@ class FDDMPipeline:
         keeping the highest-confidence one.  See transcribe_nbest for the
         full candidate lists.
         """
-        if num_candidates > 1:
-            nbest = self.transcribe_nbest(
-                wave, lengths, seq_len=seq_len, rng=rng,
-                num_candidates=num_candidates, **sampling)
-            return [cands[0] if with_confidence else cands[0][:2]
-                    for cands in nbest]
+        return self.transcribe_with_ids_async(
+            wave, lengths, seq_len=seq_len, rng=rng,
+            with_confidence=with_confidence, num_candidates=num_candidates,
+            **sampling)()
+
+    def transcribe_with_ids_async(
+        self,
+        wave: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        seq_len: int = 64,
+        rng: Optional[jax.Array] = None,
+        with_confidence: bool = False,
+        num_candidates: int = 1,
+        **sampling,
+    ) -> Callable[[], list]:
+        """Two-phase transcribe_with_ids: dispatches encode + sample
+        (+ device confidence) and returns a finalize() producing the same
+        rows.  JAX async dispatch means this returns once the work is
+        ENQUEUED — the serving engine overlaps batch N+1's device execution
+        with batch N's host-side decode (double buffering)."""
         if wave.ndim == 1:
             wave = wave[None]
         c, c_mask = self.encode_waveform(wave, lengths)
         rng = rng if rng is not None else jax.random.key(0)
+        n = max(1, int(num_candidates))
+        B = c.shape[0]
+        if n > 1:
+            ids_d, p_d = self._sample_raw(
+                rng, jnp.repeat(c, n, axis=0), seq_len,
+                None if c_mask is None else jnp.repeat(c_mask, n, axis=0),
+                **sampling)
+            conf_d = self._conf_dev(ids_d, p_d)  # needed to pick the winner
+
+            def finalize():
+                confs = np.asarray(conf_d).reshape(B, n)
+                ids = np.asarray(ids_d).reshape(B, n, -1)
+                out = []
+                for i in range(B):
+                    k = int(np.argmax(confs[i]))
+                    row = (self.ids_to_text(ids[i, k]), ids[i, k].tolist())
+                    if with_confidence:
+                        row = row + (float(confs[i, k]),)
+                    out.append(row)
+                return out
+
+            return finalize
+
         ids_d, p_d = self._sample_raw(rng, c, seq_len, c_mask, **sampling)
-        confs = self._batch_confidence(ids_d, p_d) if with_confidence else None
-        ids = np.asarray(ids_d)  # p_x0 stays on device
-        out = []
-        for i in range(ids.shape[0]):
-            row = (self.ids_to_text(ids[i]), ids[i].tolist())
-            if with_confidence:
-                row = row + (float(confs[i]),)
-            out.append(row)
-        return out
+        conf_d = self._conf_dev(ids_d, p_d) if with_confidence else None
+
+        def finalize():
+            confs = None if conf_d is None else np.asarray(conf_d)
+            ids = np.asarray(ids_d)  # p_x0 stays on device
+            out = []
+            for i in range(ids.shape[0]):
+                row = (self.ids_to_text(ids[i]), ids[i].tolist())
+                if with_confidence:
+                    row = row + (float(confs[i]),)
+                out.append(row)
+            return out
+
+        return finalize
 
     def _utterance_confidence(self, ids_row, p_row) -> float:
         from fddm_asr_tpu.eval import utterance_confidence

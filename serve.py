@@ -54,6 +54,17 @@ import numpy as np
 from fddm_asr_tpu import CONV_RECEPTIVE_FIELD  # import-light (no jax)
 
 
+class FDDMHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for bursty clients.
+
+    socketserver's default request_queue_size is 5: a wave of N>5
+    simultaneous connects (exactly what a saturated batching client
+    produces) overflows the backlog and the kernel RESETS the excess
+    connections before accept() ever sees them."""
+
+    request_queue_size = 128
+
+
 class _Request:
     __slots__ = ("wave", "name", "done", "result", "t_enqueue")
 
@@ -222,9 +233,9 @@ class BatchingEngine:
             req.done.set()
 
     # ------------------------------------------------------------ internals
-    def _gather(self) -> List[_Request]:
+    def _gather(self, first_timeout: float = 0.2) -> List[_Request]:
         try:
-            first = self.q.get(timeout=0.2)
+            first = self.q.get(timeout=first_timeout)
         except queue.Empty:
             return []
         batch = [first]
@@ -239,87 +250,123 @@ class BatchingEngine:
                 break
         return batch
 
-    def _loop(self):
+    def _dispatch(self, batch: List[_Request]):
+        """Pad/bucket a gathered batch and ENQUEUE it on the device;
+        returns a finalize() that blocks on and decodes the results.
+
+        One duration bucket per batch: pad to the longest request's bucket
+        so co-batched shorter clips share the program.  The BATCH dim is
+        also bucketed (next power of two, capped at max_batch): without it
+        every distinct concurrency level compiles its own program — at this
+        environment's 30-60 s+ remote-compile latency that is a
+        first-request stall per level.  Pad rows carry 0.1 s of silence
+        (never all-masked) and are sliced off at finalize; rows are
+        independent on device."""
         import jax
 
+        longest = max(len(r.wave) for r in batch)
+        T = max(-(-max(longest, 1) // self.bucket) * self.bucket,
+                CONV_RECEPTIVE_FIELD)
+        # Rounding up to a bucket multiple can overshoot max_samples when
+        # max_samples is not itself a multiple of the bucket (e.g. exported
+        # buckets 5 s and 12 s: an 11 s request would round to 15 s and no
+        # exported module covers it).  Requests are already chunked to
+        # <= max_samples, so clamping keeps T >= longest while staying
+        # inside the largest program.
+        T = min(T, max(self.max_samples, CONV_RECEPTIVE_FIELD))
+        Bp = self._bucket_batch_size(len(batch))
+        wave = np.zeros((Bp, T), np.float32)
+        lengths = np.full((Bp,), min(1600, T), np.int64)
+        for i, r in enumerate(batch):
+            wave[i, : len(r.wave)] = r.wave
+            # Clamp to one conv-frame's receptive field: shorter lengths
+            # yield ZERO encoder frames, whose all-masked attention rows
+            # would reach the decoder (inference.py guards its rows
+            # identically).  Sub-frame uploads and long-form tail chunks
+            # hit this.
+            lengths[i] = max(len(r.wave), CONV_RECEPTIVE_FIELD)
+        self._rng_counter += 1
+        # AOT-exported pipelines seed jax.random.key INSIDE the compiled
+        # module — pass the raw counter (takes_seed)
+        rng = (self._rng_counter
+               if getattr(self.pipeline, "takes_seed", False)
+               else jax.random.key(self._rng_counter))
+        async_fn = getattr(self.pipeline, "transcribe_with_ids_async", None)
+        if async_fn is not None:
+            return async_fn(wave, lengths, seq_len=self.seq_len, rng=rng,
+                            with_confidence=True, **self.sampling)
+        return lambda: self.pipeline.transcribe_with_ids(
+            wave, lengths, seq_len=self.seq_len, rng=rng,
+            with_confidence=True, **self.sampling)
+
+    def _finalize(self, batch: List[_Request], fin, t0: float) -> None:
+        try:
+            texts_ids = fin()[: len(batch)]
+            device_s = time.perf_counter() - t0
+            now = time.perf_counter()
+            for r, (text, ids, conf) in zip(batch, texts_ids):
+                r.result = {
+                    "wav": r.name, "text": text,
+                    "ids": ids,
+                    "confidence": round(conf, 6),
+                    "T_infer": self.sampling.get("T_infer"),
+                    "r": self.sampling.get("r"),
+                    "greedy": self.sampling.get("greedy", True),
+                    "posterior_mode": self.sampling.get("posterior_mode", "average"),
+                }
+                if self.sampling.get("num_candidates", 1) > 1:
+                    r.result["num_candidates"] = self.sampling["num_candidates"]
+                r.done.set()
+            with self.stats_lock:
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                # actual request audio only (not batch-pad rows)
+                self.stats["audio_seconds"] += (
+                    sum(len(r.wave) for r in batch) / 16000.0)
+                # dispatch -> finalize wall; overlapped batches may
+                # double-count (diagnostic, not a throughput metric)
+                self.stats["device_seconds"] += device_s
+                self.stats["batch_size_sum"] += len(batch)
+                self.stats["latencies_ms"].extend(
+                    (now - r.t_enqueue) * 1e3 for r in batch
+                )
+        except Exception as e:  # noqa: BLE001 - per-batch fault isolation
+            self._fail(batch, e)
+
+    def _fail(self, batch: List[_Request], e: Exception) -> None:
+        for r in batch:
+            if not r.done.is_set():
+                r.result = {"wav": r.name, "error": str(e)}
+                r.done.set()
+        with self.stats_lock:
+            self.stats["errors"] += len(batch)
+
+    def _loop(self):
+        # DOUBLE BUFFERING: dispatch batch N+1 to the device (JAX async
+        # dispatch returns once the work is enqueued) BEFORE blocking on
+        # batch N's results, so device execution overlaps the host-side
+        # gather + pad + decode + HTTP work.  At most two batches are in
+        # flight; per-request result order is preserved (finalize in
+        # dispatch order).
+        pending = None  # (batch, finalize, t0)
         while not self._stop.is_set():
-            batch = self._gather()
-            if not batch:
-                continue
-            t0 = time.perf_counter()
-            try:
-                # one duration bucket per batch: pad to the longest request's
-                # bucket so co-batched shorter clips share the program.
-                # The BATCH dim is also bucketed (next power of two, capped
-                # at max_batch): without it every distinct concurrency level
-                # compiles its own program — at this environment's 30-60 s
-                # remote-compile latency that is a first-request stall per
-                # level.  Pad rows carry 0.1 s of silence (never all-masked)
-                # and are sliced off below; rows are independent on device.
-                longest = max(len(r.wave) for r in batch)
-                T = max(-(-max(longest, 1) // self.bucket) * self.bucket,
-                        CONV_RECEPTIVE_FIELD)
-                # Rounding up to a bucket multiple can overshoot max_samples
-                # when max_samples is not itself a multiple of the bucket
-                # (e.g. exported buckets 5 s and 12 s: an 11 s request would
-                # round to 15 s and no exported module covers it).  Requests
-                # are already chunked to <= max_samples, so clamping keeps
-                # T >= longest while staying inside the largest program.
-                T = min(T, max(self.max_samples, CONV_RECEPTIVE_FIELD))
-                Bp = self._bucket_batch_size(len(batch))
-                wave = np.zeros((Bp, T), np.float32)
-                lengths = np.full((Bp,), min(1600, T), np.int64)
-                for i, r in enumerate(batch):
-                    wave[i, : len(r.wave)] = r.wave
-                    # Clamp to one conv-frame's receptive field: shorter
-                    # lengths yield ZERO encoder frames, whose all-masked
-                    # attention rows would reach the decoder (inference.py
-                    # guards its rows identically).  Sub-frame uploads and
-                    # long-form tail chunks hit this.
-                    lengths[i] = max(len(r.wave), CONV_RECEPTIVE_FIELD)
-                self._rng_counter += 1
-                # AOT-exported pipelines seed jax.random.key INSIDE the
-                # compiled module — pass the raw counter (takes_seed)
-                rng = (self._rng_counter
-                       if getattr(self.pipeline, "takes_seed", False)
-                       else jax.random.key(self._rng_counter))
-                texts_ids = self.pipeline.transcribe_with_ids(
-                    wave, lengths, seq_len=self.seq_len,
-                    rng=rng, with_confidence=True, **self.sampling,
-                )[: len(batch)]
-                device_s = time.perf_counter() - t0
-                now = time.perf_counter()
-                for r, (text, ids, conf) in zip(batch, texts_ids):
-                    r.result = {
-                        "wav": r.name, "text": text,
-                        "ids": ids,
-                        "confidence": round(conf, 6),
-                        "T_infer": self.sampling.get("T_infer"),
-                        "r": self.sampling.get("r"),
-                        "greedy": self.sampling.get("greedy", True),
-                        "posterior_mode": self.sampling.get("posterior_mode", "average"),
-                    }
-                    if self.sampling.get("num_candidates", 1) > 1:
-                        r.result["num_candidates"] = self.sampling["num_candidates"]
-                    r.done.set()
-                with self.stats_lock:
-                    self.stats["requests"] += len(batch)
-                    self.stats["batches"] += 1
-                    # actual request audio only (not batch-pad rows)
-                    self.stats["audio_seconds"] += (
-                        sum(len(r.wave) for r in batch) / 16000.0)
-                    self.stats["device_seconds"] += device_s
-                    self.stats["batch_size_sum"] += len(batch)
-                    self.stats["latencies_ms"].extend(
-                        (now - r.t_enqueue) * 1e3 for r in batch
-                    )
-            except Exception as e:  # noqa: BLE001 - per-batch fault isolation
-                for r in batch:
-                    if not r.done.is_set():
-                        r.result = {"wav": r.name, "error": str(e)}
-                        r.done.set()
-                with self.stats_lock:
-                    self.stats["errors"] += len(batch)
+            # with a batch in flight, don't idle-wait long for new traffic —
+            # its finalize is the priority; the max_wait window still
+            # coalesces any queued requests while the device runs
+            batch = self._gather(
+                first_timeout=0.005 if pending is not None else 0.2)
+            nxt = None
+            if batch:
+                t0 = time.perf_counter()
+                try:
+                    nxt = (batch, self._dispatch(batch), t0)
+                except Exception as e:  # noqa: BLE001 - per-batch isolation
+                    self._fail(batch, e)
+            if pending is not None:
+                self._finalize(*pending)
+            pending = nxt
+        if pending is not None:
+            self._finalize(*pending)
 
     def stats_snapshot(self) -> dict:
         with self.stats_lock:
@@ -484,6 +531,11 @@ class ExportedEngineAdapter:
         return self.ep.transcribe_with_ids(
             wave, lengths, seed=int(rng), with_confidence=with_confidence)
 
+    def transcribe_with_ids_async(self, wave, lengths=None, seq_len=None,
+                                  rng=0, with_confidence=False, **_sampling):
+        return self.ep.transcribe_with_ids_async(
+            wave, lengths, seed=int(rng), with_confidence=with_confidence)
+
 
 def _build_exported_server(args) -> ThreadingHTTPServer:
     import warnings
@@ -535,7 +587,7 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
             "seq_len": meta["seq_len"], **sampling,
             "max_batch": max(batches)}
     loopback = args.host in ("127.0.0.1", "localhost", "::1")
-    server = ThreadingHTTPServer(
+    server = FDDMHTTPServer(
         (args.host, args.port),
         make_handler(engine, echo,
                      audio_root=getattr(args, "audio_root", None),
@@ -597,7 +649,7 @@ def build_server(args) -> ThreadingHTTPServer:
             "max_batch": args.max_batch}
     # '' binds INADDR_ANY (all interfaces) — that is NOT loopback.
     loopback = args.host in ("127.0.0.1", "localhost", "::1")
-    server = ThreadingHTTPServer(
+    server = FDDMHTTPServer(
         (args.host, args.port),
         make_handler(engine, echo, audio_root=getattr(args, "audio_root", None),
                      loopback_only_paths=not loopback))
