@@ -112,7 +112,11 @@ def main(argv=None):
           + (["--T-infer", str(args.T_infer)] if args.T_infer else [])
           + (["--r", str(args.r)] if args.r else [])
           + (["--mesh", args.mesh] if args.mesh else [])
-          + (["--seq-parallel"] if args.seq_parallel else []))
+          + (["--seq-parallel"] if args.seq_parallel else [])
+          # server-side warmup compiles EVERY batch-bucket level at this
+          # duration before traffic; without it the intermediate pow2
+          # buckets (B=2/4/8) compile mid-window and poison the numbers
+          + ["--warmup-seconds", str(args.audio_seconds)])
     else:
         ap.error("either --exported or both --config and --ckpt")
     srv_args = serve.parse_args(srv_argv)

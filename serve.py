@@ -663,18 +663,22 @@ def _warmup(engine: BatchingEngine, seconds_list: str, max_batch: int) -> None:
     """Pre-compile the hot programs before serving traffic.
 
     For each duration bucket in the comma-separated list, runs one silent
-    batch at the smallest batch bucket and one at B=max_batch (the two
-    levels real traffic hits first: a lone request and a saturated
-    batcher).  The smallest bucket is batch_multiple, not 1 — under a
-    data-sharded mesh a B=1 batch is both unshardable and a shape the
-    engine never produces.  With the persistent compile cache this costs
-    one remote compile per (B, T) ever; without warmup the first request
-    at each shape stalls 30-60 s."""
+    batch at EVERY batch-bucket level the engine can produce (pow2 rounded
+    to the mesh batch_multiple, up to max_batch) — sustained dynamic
+    batching hits all of them, and any level left cold stalls mid-traffic
+    for a full remote compile (this poisoned early live-serving
+    benchmarks: B=1 and B=16 were warm but B=2/4/8 compiled in-window).
+    The smallest bucket is batch_multiple, not 1 — under a data-sharded
+    mesh a B=1 batch is both unshardable and a shape the engine never
+    produces.  With the persistent compile cache this costs one remote
+    compile per (B, T) ever; without warmup the first request at each
+    shape stalls 30-60 s+."""
     import jax
 
     for sec in (float(s) for s in str(seconds_list).split(",") if s):
         T = -(-int(sec * 16000) // engine.bucket) * engine.bucket
-        for B in sorted({engine.batch_multiple, max_batch}):
+        for B in sorted({engine._bucket_batch_size(n)
+                         for n in range(1, max_batch + 1)}):
             t0 = time.perf_counter()
             wave = np.zeros((B, T), np.float32)
             lengths = np.full((B,), min(1600, T), np.int64)
