@@ -120,6 +120,13 @@ class BatchingEngine:
         }
         self._stop = threading.Event()
         self._rng_counter = 0
+        # (Bp, T) shapes dispatched at least once: dispatching a COLD shape
+        # blocks in trace + remote compile, so the loop answers any ready
+        # batch first (see _loop); warmup pre-populates this
+        self._warm_shapes: set = set()
+        # end of the last finalized window — device_seconds accounts the
+        # UNION of in-flight windows, not their (overlapping) sum
+        self._busy_until = 0.0
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
@@ -250,6 +257,22 @@ class BatchingEngine:
                 break
         return batch
 
+    def _plan_shape(self, batch: List[_Request]) -> tuple:
+        """Padded (Bp, T) for a gathered batch — the compiled-program key.
+
+        One duration bucket per batch: pad to the longest request's bucket.
+        Rounding up to a bucket multiple can overshoot max_samples when
+        max_samples is not itself a multiple of the bucket (e.g. exported
+        buckets 5 s and 12 s: an 11 s request would round to 15 s and no
+        exported module covers it).  Requests are already chunked to
+        <= max_samples, so clamping keeps T >= longest while staying
+        inside the largest program."""
+        longest = max(len(r.wave) for r in batch)
+        T = max(-(-max(longest, 1) // self.bucket) * self.bucket,
+                CONV_RECEPTIVE_FIELD)
+        T = min(T, max(self.max_samples, CONV_RECEPTIVE_FIELD))
+        return self._bucket_batch_size(len(batch)), T
+
     def _dispatch(self, batch: List[_Request]):
         """Pad/bucket a gathered batch and ENQUEUE it on the device;
         returns a finalize() that blocks on and decodes the results.
@@ -264,17 +287,7 @@ class BatchingEngine:
         independent on device."""
         import jax
 
-        longest = max(len(r.wave) for r in batch)
-        T = max(-(-max(longest, 1) // self.bucket) * self.bucket,
-                CONV_RECEPTIVE_FIELD)
-        # Rounding up to a bucket multiple can overshoot max_samples when
-        # max_samples is not itself a multiple of the bucket (e.g. exported
-        # buckets 5 s and 12 s: an 11 s request would round to 15 s and no
-        # exported module covers it).  Requests are already chunked to
-        # <= max_samples, so clamping keeps T >= longest while staying
-        # inside the largest program.
-        T = min(T, max(self.max_samples, CONV_RECEPTIVE_FIELD))
-        Bp = self._bucket_batch_size(len(batch))
+        Bp, T = self._plan_shape(batch)
         wave = np.zeros((Bp, T), np.float32)
         lengths = np.full((Bp,), min(1600, T), np.int64)
         for i, r in enumerate(batch):
@@ -302,8 +315,13 @@ class BatchingEngine:
     def _finalize(self, batch: List[_Request], fin, t0: float) -> None:
         try:
             texts_ids = fin()[: len(batch)]
-            device_s = time.perf_counter() - t0
             now = time.perf_counter()
+            # engine-busy time: union of in-flight windows (double-buffered
+            # batches overlap — summing raw dispatch->finalize walls would
+            # double-count and under-report /stats rtfx).  Single-threaded:
+            # only the loop thread finalizes.
+            device_s = now - max(t0, self._busy_until)
+            self._busy_until = now
             for r, (text, ids, conf) in zip(batch, texts_ids):
                 r.result = {
                     "wav": r.name, "text": text,
@@ -323,8 +341,6 @@ class BatchingEngine:
                 # actual request audio only (not batch-pad rows)
                 self.stats["audio_seconds"] += (
                     sum(len(r.wave) for r in batch) / 16000.0)
-                # dispatch -> finalize wall; overlapped batches may
-                # double-count (diagnostic, not a throughput metric)
                 self.stats["device_seconds"] += device_s
                 self.stats["batch_size_sum"] += len(batch)
                 self.stats["latencies_ms"].extend(
@@ -357,9 +373,17 @@ class BatchingEngine:
                 first_timeout=0.005 if pending is not None else 0.2)
             nxt = None
             if batch:
+                if pending is not None and self._plan_shape(batch) not in self._warm_shapes:
+                    # COLD shape: _dispatch would block in trace + remote
+                    # XLA compile (30 s .. minutes here) with batch N's
+                    # already-computed results head-of-line blocked behind
+                    # it — answer N before starting the compile
+                    self._finalize(*pending)
+                    pending = None
                 t0 = time.perf_counter()
                 try:
                     nxt = (batch, self._dispatch(batch), t0)
+                    self._warm_shapes.add(self._plan_shape(batch))
                 except Exception as e:  # noqa: BLE001 - per-batch isolation
                     self._fail(batch, e)
             if pending is not None:
@@ -593,6 +617,10 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
                      audio_root=getattr(args, "audio_root", None),
                      loopback_only_paths=not loopback))
     server.engine = engine
+    if getattr(args, "warmup_seconds", None):
+        # exported modules still compile at first .call on this relay —
+        # warmup matters just as much as for the live pipeline
+        _warmup(engine, args.warmup_seconds, max(batches))
     return server
 
 
@@ -675,16 +703,26 @@ def _warmup(engine: BatchingEngine, seconds_list: str, max_batch: int) -> None:
     shape stalls 30-60 s+."""
     import jax
 
+    # mirror _dispatch exactly — with_confidence=True (real traffic always
+    # sets it, and the device-confidence program is jitted separately from
+    # the sampler: warming only the sampler leaves a compile mid-traffic)
+    # and the raw-seed convention of AOT adapters.  rng counter untouched so
+    # warmed and unwarmed servers still produce identical transcripts at the
+    # same counter (CLAUDE.md serving invariant).
+    takes_seed = getattr(engine.pipeline, "takes_seed", False)
+    rng = 0 if takes_seed else jax.random.key(0)
     for sec in (float(s) for s in str(seconds_list).split(",") if s):
-        T = -(-int(sec * 16000) // engine.bucket) * engine.bucket
+        T = min(-(-int(sec * 16000) // engine.bucket) * engine.bucket,
+                max(engine.max_samples, CONV_RECEPTIVE_FIELD))
         for B in sorted({engine._bucket_batch_size(n)
                          for n in range(1, max_batch + 1)}):
             t0 = time.perf_counter()
             wave = np.zeros((B, T), np.float32)
             lengths = np.full((B,), min(1600, T), np.int64)
             engine.pipeline.transcribe_with_ids(
-                wave, lengths, seq_len=engine.seq_len,
-                rng=jax.random.key(0), **engine.sampling)
+                wave, lengths, seq_len=engine.seq_len, rng=rng,
+                with_confidence=True, **engine.sampling)
+            engine._warm_shapes.add((B, T))
             # print: serve.py runs with an unconfigured root logger
             print(f"warmup B={B} T={T / 16000:.0f}s: "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
@@ -741,9 +779,9 @@ def parse_args(argv=None):
                          "XLA compile (can exceed 10 min here)")
     ap.add_argument("--warmup-seconds", default=None,
                     help="comma-separated duration buckets (e.g. '5,10,20') "
-                         "to pre-compile at startup (B=1 and B=max-batch "
-                         "each) so first requests don't stall on the remote "
-                         "compile")
+                         "to pre-compile at startup (every batch bucket up "
+                         "to --max-batch each) so requests never stall on "
+                         "the remote compile mid-traffic")
     ap.add_argument("--audio-root", default=None,
                     help="allowlisted directory for JSON {'path': ...} "
                          "requests; without it path mode only works on a "

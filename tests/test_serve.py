@@ -468,3 +468,81 @@ def test_request_timeout_configurable():
         assert len(out) == 1 and "timed out" in out[0]["error"]
     finally:
         eng.shutdown()
+
+
+def test_warmup_warms_every_bucket_and_confidence_program():
+    """_warmup must mirror _dispatch: one call per batch-bucket level with
+    with_confidence=True (the device-confidence program is jitted separately
+    from the sampler — warming only the sampler leaves a remote compile
+    mid-traffic) and raw int seeds for takes_seed adapters (AOT exported
+    servers, which also run warmup now)."""
+    import numpy as np
+
+    import serve
+
+    calls = []
+
+    class Recorder:
+        use_condition_mask = True
+        takes_seed = True  # exported-adapter convention: raw int seeds
+
+        def transcribe_with_ids(self, wave, lengths=None, seq_len=None,
+                                rng=None, with_confidence=False, **_):
+            calls.append((wave.shape, with_confidence, rng))
+            return [("", [0], 0.0)] * wave.shape[0]
+
+    eng = serve.BatchingEngine(Recorder(), {}, 8, max_batch=8, max_wait_ms=1)
+    try:
+        serve._warmup(eng, "1", 8)
+    finally:
+        eng.shutdown()
+    assert [c[0][0] for c in calls] == [1, 2, 4, 8]  # every bucket level
+    assert all(c[1] is True for c in calls)          # confidence program too
+    assert all(isinstance(c[2], int) for c in calls)  # raw seed, not PRNG key
+    # warmed shapes registered: the loop must not treat them as cold
+    assert {(b, 16000) for b in (1, 2, 4, 8)} <= eng._warm_shapes
+    assert eng._rng_counter == 0  # transcripts comparable to unwarmed server
+
+
+def test_cold_shape_dispatch_does_not_block_ready_results():
+    """Dispatching a COLD (B, T) shape blocks in trace + remote compile —
+    the loop must answer a finished in-flight batch FIRST instead of
+    head-of-line blocking its clients behind the new shape's compile."""
+    import time
+
+    import numpy as np
+
+    import serve
+
+    seen = set()
+
+    class ColdCompilePipeline:
+        use_condition_mask = True
+
+        def transcribe_with_ids_async(self, wave, lengths=None, seq_len=None,
+                                      rng=None, with_confidence=False, **_):
+            if wave.shape not in seen:   # "remote XLA compile" per new shape
+                seen.add(wave.shape)
+                time.sleep(2.0)
+            rows = [("ok", [1], 1.0)] * wave.shape[0]
+            return lambda: rows
+
+    eng = serve.BatchingEngine(ColdCompilePipeline(), {}, 8, max_batch=2,
+                               max_wait_ms=1, bucket_seconds=1.0)
+    try:
+        r1 = eng._plan_requests(np.zeros(1600, np.float32), "a.wav")
+        eng._enqueue(r1)          # dispatch blocks ~2 s in the cold compile
+        time.sleep(0.3)
+        # arrives mid-compile; different duration bucket -> another cold shape
+        r2 = eng._plan_requests(np.zeros(17000, np.float32), "b.wav")
+        eng._enqueue(r2)
+        # r1's results are ready the moment its dispatch returns (t ~= 2.0 s);
+        # without the cold-shape check the loop would dispatch r2's shape
+        # first and r1 would wait out BOTH compiles (~4 s)
+        assert r1[0].done.wait(timeout=3.2), \
+            "ready batch head-of-line blocked behind a cold-shape compile"
+        assert r2[0].done.wait(timeout=5.0)
+        snap = eng.stats_snapshot()
+        assert snap["requests"] == 2 and snap["errors"] == 0
+    finally:
+        eng.shutdown()
