@@ -359,7 +359,7 @@ class FDDMPipeline:
     def _sampler_for(self, key: tuple) -> Callable:
         if key not in self._samplers:
             (T_infer, r, greedy, posterior_mode, sampling_mode, temperature,
-             ref_compat) = key
+             ref_compat, *variant) = key
             scfg = SamplerConfig(
                 K=self.cfg.data.vocab_size,
                 T_train=self.cfg.diffusion["T"],
@@ -371,10 +371,26 @@ class FDDMPipeline:
                 return self.decoder.apply(
                     params, xt, t, cond, None, c_mask, deterministic=True
                 )
-            self._samplers[key] = jax.jit(
-                make_sample_fn(decoder_apply, self.sched, scfg),
-                static_argnames=("seq_len",),
-            )
+            base = make_sample_fn(decoder_apply, self.sched, scfg)
+            if variant and variant[0] == "conf":
+                # sampler + decoded-span confidence fused into ONE program:
+                # (ids, conf) out, so the [B, L, K] p_x0 is neither a program
+                # output nor a second dispatch (each dispatch costs ~31 ms
+                # through this environment's relay) — the AOT export path
+                # fuses identically (aot.build_transcribe_fn)
+                from fddm_asr_tpu.eval import batch_confidence_device
+
+                def fused(params, rng, cond, seq_len, c_mask=None):
+                    ids, p = base(params, rng, cond, seq_len=seq_len,
+                                  c_mask=c_mask)
+                    return ids, batch_confidence_device(
+                        ids, p, self.pad_id, self.special_ids)
+
+                self._samplers[key] = jax.jit(
+                    fused, static_argnames=("seq_len",))
+            else:
+                self._samplers[key] = jax.jit(
+                    base, static_argnames=("seq_len",))
         return self._samplers[key]
 
     def sample(
@@ -415,6 +431,26 @@ class FDDMPipeline:
             c_mask = None
         # shard directly-supplied conditions too (encode_waveform outputs are
         # already placed; device_put on a correctly-sharded array is a no-op)
+        cond = self._shard_batch(cond)
+        c_mask = self._shard_batch(c_mask)
+        return fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
+
+    def _sample_conf_raw(
+        self, rng, cond, seq_len, c_mask=None,
+        T_infer: int = 20, r: int = 5, greedy: bool = True,
+        posterior_mode: str = "map", sampling_mode: str = "exact",
+        temperature: float = 1.0, ref_compat: bool = True,
+    ):
+        """_sample_raw fused with the decoded-span confidence reduction in
+        the SAME compiled program: returns DEVICE (ids [B, L], conf [B]).
+        The serving hot path — one dispatch per batch instead of sampler +
+        confidence back-to-back, and p_x0 never materializes as a program
+        output."""
+        fn = self._sampler_for((T_infer, r, greedy, posterior_mode,
+                                sampling_mode, temperature, ref_compat,
+                                "conf"))
+        if not self.use_condition_mask:
+            c_mask = None
         cond = self._shard_batch(cond)
         c_mask = self._shard_batch(c_mask)
         return fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
@@ -491,13 +527,13 @@ class FDDMPipeline:
         if n < 1:
             raise ValueError(f"num_candidates must be >= 1, got {n}")
         B = c.shape[0]
-        ids_d, p_d = self._sample_raw(
+        # sampler + confidence in ONE program; only ids [B*N, L] +
+        # conf [B*N] cross to host (p_x0 would be B*N x L x K)
+        ids_d, conf_d = self._sample_conf_raw(
             rng, jnp.repeat(c, n, axis=0), seq_len,
             None if c_mask is None else jnp.repeat(c_mask, n, axis=0),
             **sampling)
-        # confidences reduce on device; only ids [B*N, L] + conf [B*N]
-        # cross to host (p_x0 would be B*N x L x K)
-        confs = self._batch_confidence(ids_d, p_d)
+        confs = np.asarray(conf_d)
         ids = np.asarray(ids_d).reshape(B, n, -1)
         confs = confs.reshape(B, n)
         out = []
@@ -579,11 +615,12 @@ class FDDMPipeline:
         n = max(1, int(num_candidates))
         B = c.shape[0]
         if n > 1:
-            ids_d, p_d = self._sample_raw(
+            # confidence is fused into the sampler program (one dispatch) —
+            # needed regardless of with_confidence to pick the winner
+            ids_d, conf_d = self._sample_conf_raw(
                 rng, jnp.repeat(c, n, axis=0), seq_len,
                 None if c_mask is None else jnp.repeat(c_mask, n, axis=0),
                 **sampling)
-            conf_d = self._conf_dev(ids_d, p_d)  # needed to pick the winner
 
             def finalize():
                 confs = np.asarray(conf_d).reshape(B, n)
@@ -599,8 +636,12 @@ class FDDMPipeline:
 
             return finalize
 
-        ids_d, p_d = self._sample_raw(rng, c, seq_len, c_mask, **sampling)
-        conf_d = self._conf_dev(ids_d, p_d) if with_confidence else None
+        if with_confidence:
+            ids_d, conf_d = self._sample_conf_raw(rng, c, seq_len, c_mask,
+                                                  **sampling)
+        else:
+            ids_d, _ = self._sample_raw(rng, c, seq_len, c_mask, **sampling)
+            conf_d = None
 
         def finalize():
             confs = None if conf_d is None else np.asarray(conf_d)

@@ -238,47 +238,16 @@ def infer_batch(
 
 
 def _transcribe(pipeline, batch, lengths, seq_len, args, rng):
-    import numpy as np
-
-    import jax.numpy as jnp
-
-    c, c_mask = pipeline.encode_waveform(batch, lengths)
-    n_cand = max(1, int(getattr(args, "num_candidates", 1)))
-    want_conf = bool(getattr(args, "confidence", False))
-    if n_cand > 1:
-        # best-of-N: N trajectories per row in ONE device call, keep the
-        # highest-confidence candidate.  Confidence reduces ON DEVICE; the
-        # [B*N, L, K] p_x0 never crosses to host.
-        ids_d, p_d = pipeline._sample_raw(
-            rng, jnp.repeat(c, n_cand, axis=0), seq_len,
-            None if c_mask is None else jnp.repeat(c_mask, n_cand, axis=0),
-            **sampling_kwargs(args)
-        )
-        B = c.shape[0]
-        confs = pipeline._batch_confidence(ids_d, p_d).reshape(B, n_cand)
-        ids_n = np.asarray(ids_d).reshape(B, n_cand, -1)
-        results = []
-        for i in range(B):
-            k = int(np.argmax(confs[i]))
-            row = (pipeline.ids_to_text(ids_n[i, k]),
-                   [int(x) for x in ids_n[i, k]])
-            if want_conf:
-                row = row + (float(confs[i, k]),)
-            results.append(row)
-        return results
-    ids_d, p_d = pipeline._sample_raw(
-        rng, c, seq_len, c_mask, **sampling_kwargs(args)
+    """One public-API call: transcribe_with_ids handles best-of-N candidate
+    folding, device-side confidence (fused into the sampler program), and
+    winner selection — the CLI must not re-implement that logic (it drifted
+    once: review finding, round 2)."""
+    return pipeline.transcribe_with_ids(
+        batch, lengths, seq_len=seq_len, rng=rng,
+        with_confidence=bool(getattr(args, "confidence", False)),
+        num_candidates=max(1, int(getattr(args, "num_candidates", 1))),
+        **sampling_kwargs(args)
     )
-    confs = pipeline._batch_confidence(ids_d, p_d) if want_conf else None
-    ids = np.asarray(ids_d)
-    results = []
-    for i in range(ids.shape[0]):
-        id_list = [int(x) for x in ids[i]]
-        row = (pipeline.ids_to_text(ids[i]), id_list)
-        if want_conf:
-            row = row + (float(confs[i]),)
-        results.append(row)
-    return results
 
 
 def infer_long(pipeline, path: str, args, rng) -> Dict[str, Any]:

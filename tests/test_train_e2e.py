@@ -190,14 +190,14 @@ def test_csv_bucketing_stable_shapes(tmp_path):
             shapes.append(tuple(batch.shape))
             return np.zeros((batch.shape[0], 4, 8), np.float32), None
 
-        def _sample_raw(self, rng, c, seq_len, c_mask=None, **kw):
-            # inference._transcribe's device-sampling seam (ids pulled,
-            # p_x0 left on device in production)
-            ids = np.zeros((c.shape[0], seq_len), np.int32)
-            return ids, np.zeros((c.shape[0], seq_len), np.float32)
-
-        def ids_to_text(self, ids):
-            return ""
+        def transcribe_with_ids(self, batch, lengths=None, seq_len=8,
+                                rng=None, with_confidence=False,
+                                num_candidates=1, **kw):
+            # inference._transcribe's seam: the CLI delegates to the public
+            # pipeline API (which encodes, samples, and reduces confidence
+            # on device in production)
+            c, _ = self.encode_waveform(batch, lengths)
+            return [("", [0] * seq_len) for _ in range(c.shape[0])]
 
     from fddm_asr_tpu.data.audio_io import save_wav
 
