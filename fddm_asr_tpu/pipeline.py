@@ -148,7 +148,6 @@ class FDDMPipeline:
         self._encode_jit = jax.jit(self._encode)
         self._decode_jit = jax.jit(self._decoder_fwd)
         self._samplers: Dict[tuple, Callable] = {}
-        self._conf_jit = None  # built lazily by _batch_confidence
 
     # ------------------------------------------------------------- builders
     @classmethod
@@ -259,6 +258,14 @@ class FDDMPipeline:
                     LO.resolve_scale(rank, alpha))
             else:
                 pipeline.encoder_params = enc_loaded
+        # Place params on device ONCE.  Checkpoint loaders return HOST numpy
+        # trees, and jit re-transfers host arguments on EVERY dispatch — for
+        # wavlm-large (~1.2 GB f32) through this environment's relay that is
+        # seconds per call, which silently throttled live serving to ~19
+        # audio-s/s while the AOT path (which does this in aot.py:344) ran
+        # 397.  device_put on an already-placed array is a no-op.
+        pipeline.decoder_params = jax.device_put(pipeline.decoder_params)
+        pipeline.encoder_params = jax.device_put(pipeline.encoder_params)
         return pipeline
 
     # --------------------------------------------------------- multi-device
@@ -454,21 +461,6 @@ class FDDMPipeline:
         cond = self._shard_batch(cond)
         c_mask = self._shard_batch(c_mask)
         return fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
-
-    def _conf_dev(self, ids_dev, p_dev):
-        """[B] decoded-span confidences as a DEVICE array (async dispatch);
-        the [B, L, K] p_x0 never crosses to host — ~65 MB per flagship
-        B=16 batch."""
-        from fddm_asr_tpu.eval import batch_confidence_device
-
-        if self._conf_jit is None:
-            self._conf_jit = jax.jit(
-                lambda i, p: batch_confidence_device(
-                    i, p, self.pad_id, self.special_ids))
-        return self._conf_jit(ids_dev, p_dev)
-
-    def _batch_confidence(self, ids_dev, p_dev) -> np.ndarray:
-        return np.asarray(self._conf_dev(ids_dev, p_dev))
 
     def sample_nbest(
         self,
