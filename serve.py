@@ -24,6 +24,12 @@ Endpoints:
                         one line per long-form window as it completes
                         (chunk_index/chunk_count tags), then the aggregate
                         result as the final line.
+  POST /v1/transcribe/stream
+                        TRUE streaming: the client pushes raw pcm16/f32
+                        audio (Transfer-Encoding: chunked or fixed-length)
+                        and NDJSON partial transcripts flow back over the
+                        same response while later audio is still uploading.
+                        ?format=pcm16|f32, ?window-seconds=<float>.
   GET  /healthz         liveness + config echo
   GET  /stats           request counts, latency percentiles, batch sizes,
                         audio seconds served, running RTFx
@@ -418,6 +424,145 @@ class BatchingEngine:
             return snap
 
 
+class StreamingSession:
+    """Incremental (true streaming) recognition over the batching engine.
+
+    ``feed(samples)`` buffers 16 kHz float32 audio as it arrives from the
+    client; whenever more than one window of samples is buffered the session
+    commits a chunk cut at the quietest 25 ms frame near the window edge —
+    the SAME greedy left-to-right decision ``plan_silence_chunks`` makes
+    offline (each of its cuts needs only ``win`` samples of lookahead), so a
+    fully-fed session at the engine's default window produces byte-identical
+    chunks to ``engine.submit`` on the whole recording.  Committed chunks
+    are ordinary engine requests: they coalesce into the same dynamic device
+    batches as everyone else's traffic.
+
+    ``poll()`` yields completed window results in order without blocking
+    (partial transcripts flow while the client is still uploading);
+    ``finish()`` flushes the tail window, yields the remaining results, then
+    the exact aggregate ``submit`` would have returned.
+
+    ``window_seconds`` trades latency for context: smaller windows commit —
+    and therefore transcribe — sooner, at the cost of less audio per chunk.
+    It is clamped to the engine's max window so compiled-shape buckets are
+    unchanged.
+    """
+
+    _FRAME = 400  # 25 ms @ 16 kHz, matching plan_silence_chunks
+
+    def __init__(self, engine: BatchingEngine, name: str,
+                 window_seconds: Optional[float] = None,
+                 timeout_s: Optional[float] = None):
+        self.engine = engine
+        self.name = name
+        win = (engine.max_samples if window_seconds is None
+               else int(float(window_seconds) * 16000))
+        # >= 2 frames so the cut search has room; <= engine window so every
+        # committed chunk fits the existing duration buckets / programs
+        self.win = max(2 * self._FRAME, min(win, engine.max_samples))
+        self.timeout_s = (engine.request_timeout_s
+                          if timeout_s is None else timeout_s)
+        self._tail = np.zeros((0,), np.float32)
+        self._reqs: List[_Request] = []
+        self._emitted = 0       # windows already yielded by poll()
+        self._results: List[dict] = []
+        self._finished = False
+
+    # -------------------------------------------------------------- input
+    def feed(self, samples: np.ndarray) -> None:
+        """Append audio; commit every full window (leaving < win+1 samples
+        buffered).  Mirrors plan_silence_chunks' loop body exactly."""
+        if self._finished:
+            raise RuntimeError("feed() after finish()")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if samples.size:
+            self._tail = np.concatenate([self._tail, samples])
+        frame, win = self._FRAME, self.win
+        search = max(frame, min(16000, win // 4))
+        while len(self._tail) > win:
+            lo = max(frame, win - search)
+            seg = self._tail[lo:win]
+            nf = len(seg) // frame
+            if nf >= 1:
+                rms = np.sqrt(np.mean(
+                    seg[: nf * frame].reshape(nf, frame) ** 2, axis=1))
+                cut = lo + int(np.argmin(rms)) * frame + frame // 2
+            else:
+                cut = win
+            cut = max(frame, min(cut, win))
+            self._commit(self._tail[:cut].copy())
+            self._tail = self._tail[cut:]
+
+    def _commit(self, wave: np.ndarray) -> None:
+        # a cut implies at least one more chunk follows, so chunked naming
+        # is decided here exactly as _plan_requests does with full knowledge
+        req = _Request(wave, f"{self.name}#chunk{len(self._reqs)}")
+        self._reqs.append(req)
+        self.engine._enqueue([req])
+
+    # ------------------------------------------------------------- output
+    def poll(self):
+        """Yield results for consecutively completed windows (non-blocking)."""
+        while (self._emitted < len(self._reqs)
+               and self._reqs[self._emitted].done.is_set()):
+            req = self._reqs[self._emitted]
+            self._results.append(req.result)
+            out = {**req.result, "chunk_index": self._emitted}
+            self._emitted += 1
+            yield out
+
+    def finish(self):
+        """Flush the buffered tail, drain remaining windows in order, then
+        yield the aggregate result (identical to ``engine.submit``)."""
+        self._finished = True
+        if not self._reqs:
+            # sole chunk: plain name, matching _plan_requests' single-chunk
+            # naming (the tail may be empty — same silence-clamp path as an
+            # empty upload)
+            req = _Request(self._tail, self.name)
+            self._reqs.append(req)
+            self.engine._enqueue([req])
+        else:
+            self._commit(self._tail)
+        self._tail = np.zeros((0,), np.float32)
+        n = len(self._reqs)
+        while self._emitted < n:
+            req = self._reqs[self._emitted]
+            if not req.done.wait(timeout=self.timeout_s):
+                yield {"wav": self.name,
+                       "error": f"timed out after {self.timeout_s}s"}
+                return
+            self._results.append(req.result)
+            if "error" in req.result:
+                self._emitted += 1
+                break
+            yield {**req.result, "chunk_index": self._emitted,
+                   "chunk_count": n}
+            self._emitted += 1
+        yield self.engine._aggregate(self.name, self._results)
+
+
+class _PcmStreamDecoder:
+    """Incremental raw-PCM byte decoder (network chunks can split samples)."""
+
+    def __init__(self, fmt: str):
+        if fmt not in ("pcm16", "f32"):
+            raise ValueError(f"unsupported stream format {fmt!r} "
+                             "(use pcm16 or f32)")
+        self.fmt = fmt
+        self.width = 2 if fmt == "pcm16" else 4
+        self._carry = b""
+
+    def decode(self, data: bytes) -> np.ndarray:
+        data = self._carry + data
+        usable = len(data) - len(data) % self.width
+        self._carry = data[usable:]
+        buf = data[:usable]
+        if self.fmt == "pcm16":
+            return np.frombuffer(buf, "<i2").astype(np.float32) / 32768.0
+        return np.frombuffer(buf, "<f4").astype(np.float32)
+
+
 def _decode_wav_bytes(body: bytes, target_sr: int = 16000) -> np.ndarray:
     from fddm_asr_tpu.data.audio_io import load_wav, resample
 
@@ -461,6 +606,9 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path.startswith("/v1/transcribe/stream"):
+                self._ingest_stream_reply()
+                return
             if not self.path.startswith("/v1/transcribe"):
                 self._reply(404, {"error": "not found"})
                 return
@@ -530,6 +678,86 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
                 self.wfile.write(b"0\r\n\r\n")
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client went away mid-stream; device work completes
+
+        # ----------------------------------------------- incremental input
+        def _iter_request_body(self, blocksize: int = 32768):
+            """Yield the request body incrementally.  BaseHTTPRequestHandler
+            does NOT decode Transfer-Encoding: chunked (clients streaming
+            live audio can't know Content-Length upfront), so the chunk
+            framing is parsed here; fixed-length bodies stream in blocks."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" in te:
+                while True:
+                    line = self.rfile.readline(1024).split(b";")[0].strip()
+                    size = int(line or b"0", 16)
+                    if size == 0:
+                        while self.rfile.readline(1024).strip():
+                            pass  # trailers
+                        return
+                    remaining = size
+                    while remaining:
+                        data = self.rfile.read(min(blocksize, remaining))
+                        if not data:
+                            return
+                        remaining -= len(data)
+                        yield data
+                    self.rfile.read(2)  # CRLF after each chunk
+            else:
+                n = int(self.headers.get("Content-Length", "0"))
+                while n > 0:
+                    data = self.rfile.read(min(blocksize, n))
+                    if not data:
+                        return
+                    n -= len(data)
+                    yield data
+
+        def _ingest_stream_reply(self):
+            """POST /v1/transcribe/stream — TRUE streaming recognition:
+            the client pushes raw audio (chunked transfer encoding or a
+            fixed-length body) and NDJSON partial transcripts flow back
+            over the SAME response while later audio is still uploading.
+
+            Query params: format=pcm16|f32 (little-endian mono 16 kHz;
+            default pcm16), window-seconds=<float> (commit/latency window,
+            clamped to the server's --max-seconds).  Each line is one
+            committed window's result tagged chunk_index (chunk_count once
+            known); the final line is the aggregate the non-streaming
+            endpoint would return for the whole recording."""
+            from urllib.parse import parse_qs, urlsplit
+
+            query = parse_qs(urlsplit(self.path).query)
+            try:
+                dec = _PcmStreamDecoder(
+                    query.get("format", ["pcm16"])[-1].lower())
+                ws = query.get("window-seconds", [None])[-1]
+                ws = None if ws is None else float(ws)
+            except ValueError as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+            session = StreamingSession(
+                engine, f"<stream:{dec.fmt}>", window_seconds=ws)
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/x-ndjson; charset=utf-8")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_line(obj):
+                data = (json.dumps(obj, ensure_ascii=False) + "\n"
+                        ).encode("utf-8")
+                self.wfile.write(b"%X\r\n" % len(data) + data + b"\r\n")
+                self.wfile.flush()
+
+            try:
+                for data in self._iter_request_body():
+                    session.feed(dec.decode(data))
+                    for res in session.poll():
+                        write_line(res)
+                for res in session.finish():
+                    write_line(res)
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; committed windows complete anyway
 
     return Handler
 
@@ -800,7 +1028,8 @@ def main(argv=None):
     enable_compile_cache()
     server = build_server(args)
     print(json.dumps({"serving": f"http://{args.host}:{server.server_address[1]}",
-                      "endpoints": ["/v1/transcribe", "/healthz", "/stats"]}))
+                      "endpoints": ["/v1/transcribe", "/v1/transcribe/stream",
+                                    "/healthz", "/stats"]}))
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -439,6 +439,176 @@ def test_streaming_long_form(server):
         srv.engine.max_samples = int(30.0 * 16000)
 
 
+def test_pcm_stream_decoder():
+    """Incremental PCM decode must survive network chunks splitting samples
+    mid-byte and reject unknown formats."""
+    import numpy as np
+
+    import serve
+
+    rng = np.random.default_rng(0)
+    f = rng.uniform(-1, 1, 1001).astype(np.float32)
+
+    dec = serve._PcmStreamDecoder("f32")
+    raw = f.tobytes()
+    parts = [raw[:7], raw[7:7], raw[7:4000], raw[4000:]]  # odd splits + empty
+    out = np.concatenate([dec.decode(p) for p in parts])
+    assert out.shape == f.shape and np.array_equal(out, f)
+    assert dec._carry == b""
+
+    i = (f * 32767).astype("<i2")
+    dec = serve._PcmStreamDecoder("pcm16")
+    raw = i.tobytes()
+    out = np.concatenate([dec.decode(raw[:3]), dec.decode(raw[3:])])
+    assert np.array_equal(out, i.astype(np.float32) / 32768.0)
+
+    with pytest.raises(ValueError, match="unsupported stream format"):
+        serve._PcmStreamDecoder("mp3")
+
+
+def _fake_engine(serve, **kw):
+    """Engine over a no-device fake pipeline (echoes per-row markers)."""
+
+    class Fake:
+        use_condition_mask = True
+
+        def transcribe_with_ids(self, wave, lengths=None, seq_len=None,
+                                rng=None, with_confidence=False, **_):
+            return [("x", [1], 1.0)] * wave.shape[0]
+
+    kw.setdefault("max_wait_ms", 1)
+    return serve.BatchingEngine(Fake(), {"T_infer": 4, "r": 2}, 8,
+                                max_batch=4, **kw)
+
+
+def test_streaming_session_chunks_match_offline_plan():
+    """A fully-fed StreamingSession must commit byte-identical chunks to
+    the offline plan_silence_chunks cut of the whole recording, regardless
+    of how the audio was split across feed() calls — streaming and batch
+    ingestion then ride identical device requests."""
+    import numpy as np
+
+    import serve
+    from fddm_asr_tpu.data.audio_io import plan_silence_chunks
+
+    rng = np.random.default_rng(1)
+    wave = rng.uniform(-0.5, 0.5, 50_000).astype(np.float32)
+    # carve silent pauses so the cut search has real minima to find
+    for s in (9_000, 21_500, 34_000, 44_800):
+        wave[s:s + 700] *= 0.001
+
+    win = 16_000
+    eng = _fake_engine(serve, max_seconds=win / 16000.0)
+    try:
+        sess = serve.StreamingSession(eng, "live")
+        assert sess.win == win
+        # feed in awkward pieces (incl. empty) — cuts are stream-absolute
+        pieces = np.split(wave, [1, 3_333, 3_333, 17_000, 17_401, 40_007])
+        for p in pieces:
+            sess.feed(p)
+        outs = list(sess.finish())
+        spans = plan_silence_chunks(wave, win)
+        assert len(sess._reqs) == len(spans)
+        for req, (s, e) in zip(sess._reqs, spans):
+            assert np.array_equal(req.wave, wave[s:e])
+        # NDJSON contract: one tagged partial per window + the aggregate
+        assert len(outs) == len(spans) + 1
+        for i, p in enumerate(outs[:-1]):
+            assert p["chunk_index"] == i and p["chunk_count"] == len(spans)
+        final = outs[-1]
+        assert final["wav"] == "live" and "error" not in final
+        assert final["chunks"] == [p["text"] for p in outs[:-1]]
+        assert [r.name for r in sess._reqs] == \
+            [f"live#chunk{i}" for i in range(len(spans))]
+    finally:
+        eng.shutdown()
+
+
+def test_streaming_session_single_window_and_lifecycle():
+    """Short audio: one plain-named request, aggregate == its result;
+    feed() after finish() raises; window_seconds clamps to the engine's."""
+    import numpy as np
+
+    import serve
+
+    eng = _fake_engine(serve, max_seconds=1.0)
+    try:
+        sess = serve.StreamingSession(eng, "short")
+        sess.feed(np.zeros(3000, np.float32))
+        assert list(sess.poll()) == []  # nothing committed below one window
+        outs = list(sess.finish())
+        assert len(outs) == 2
+        assert outs[0]["chunk_index"] == 0 and outs[0]["chunk_count"] == 1
+        assert outs[1]["wav"] == "short" and "chunks" not in outs[1]
+        assert sess._reqs[0].name == "short"  # single chunk: plain name
+        with pytest.raises(RuntimeError, match="finish"):
+            sess.feed(np.zeros(10, np.float32))
+
+        # clamps: above the engine window, and to the 2-frame floor
+        assert serve.StreamingSession(eng, "a", window_seconds=99).win == \
+            eng.max_samples
+        assert serve.StreamingSession(eng, "b", window_seconds=0.001).win == 800
+    finally:
+        eng.shutdown()
+
+
+def test_stream_endpoint_chunked_pcm(server):
+    """POST /v1/transcribe/stream with Transfer-Encoding: chunked pcm16:
+    NDJSON partials stream back, final line is the aggregate; f32 fixed-
+    length bodies and bad formats are covered too."""
+    import http.client
+
+    import numpy as np
+
+    base, out, srv = server
+    host = base.split("//")[1]
+    srv.engine.max_samples = int(0.4 * 16000)  # 0.7 s upload -> 2 windows
+    try:
+        rng = np.random.default_rng(0)
+        wave = (rng.uniform(-0.2, 0.2, int(0.7 * 16000))).astype(np.float32)
+        pcm = (wave * 32767).astype("<i2").tobytes()
+
+        def blocks():
+            for i in range(0, len(pcm), 3001):  # odd size: splits samples
+                yield pcm[i:i + 3001]
+
+        conn = http.client.HTTPConnection(host, timeout=300)
+        conn.request("POST", "/v1/transcribe/stream?format=pcm16",
+                     body=blocks(), encode_chunked=True)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("application/x-ndjson")
+        lines = [json.loads(l) for l in
+                 resp.read().decode("utf-8").splitlines() if l.strip()]
+        conn.close()
+        assert len(lines) == 3, lines  # 2 window partials + aggregate
+        for i, p in enumerate(lines[:-1]):
+            assert p["chunk_index"] == i and isinstance(p["text"], str)
+        final = lines[-1]
+        assert "error" not in final, final
+        assert final["text"] == "".join(p["text"] for p in lines[:-1])
+
+        # fixed-length f32 body (Content-Length path of the same endpoint)
+        body = wave[:4000].tobytes()
+        conn = http.client.HTTPConnection(host, timeout=300)
+        conn.request("POST", "/v1/transcribe/stream?format=f32", body=body,
+                     headers={"Content-Length": str(len(body))})
+        resp = conn.getresponse()
+        lines = [json.loads(l) for l in
+                 resp.read().decode("utf-8").splitlines() if l.strip()]
+        conn.close()
+        assert resp.status == 200 and len(lines) == 2
+        assert lines[0]["chunk_count"] == 1
+        assert lines[1]["text"] == lines[0]["text"]
+
+        # unknown format: clean 400, no stream started
+        code, obj = _post(base + "/v1/transcribe/stream?format=mp3",
+                          b"\x00\x00", "application/octet-stream")
+        assert code == 400 and "unsupported stream format" in obj["error"]
+    finally:
+        srv.engine.max_samples = int(30.0 * 16000)
+
+
 def test_request_timeout_configurable():
     """request_timeout_s bounds submit()/submit_stream() waits (the first
     request on a fresh flagship server waits out a >600 s remote compile —
