@@ -143,6 +143,28 @@ def resample(samples: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     )
 
 
+def silence_cut(window: np.ndarray, win: int, search: int = 16000,
+                frame: int = 400) -> int:
+    """Cut offset (window-relative, in [frame, win]) for ONE window holding
+    >= ``win`` samples: the center of the quietest ``frame``-sample (25 ms)
+    RMS frame inside the trailing ``search`` samples (clamped to win/4 so
+    short windows don't fragment).  This is the single-window decision both
+    ``plan_silence_chunks`` (offline) and the serving ``StreamingSession``
+    (incremental) make — sharing it is what keeps streaming commits
+    byte-identical to the offline plan."""
+    search = max(frame, min(search, win // 4))
+    lo = max(frame, win - search)
+    seg = np.asarray(window[lo:win], np.float32)
+    nf = len(seg) // frame
+    if nf >= 1:
+        rms = np.sqrt(
+            np.mean(seg[: nf * frame].reshape(nf, frame) ** 2, axis=1))
+        cut = lo + int(np.argmin(rms)) * frame + frame // 2
+    else:
+        cut = win
+    return max(frame, min(cut, win))  # forward progress, span <= win
+
+
 def plan_silence_chunks(
     samples: np.ndarray,
     win: int,
@@ -167,23 +189,10 @@ def plan_silence_chunks(
     n = len(samples)
     if n <= win:
         return [(0, n)]
-    # only look near the boundary: a cut far inside the window would
-    # fragment short windows into confetti (search covers at most win/4)
-    search = max(frame, min(search, win // 4))
     bounds = [0]
     pos = 0
     while n - pos > win:
-        hi = pos + win
-        lo = max(pos + frame, hi - search)
-        seg = np.asarray(samples[lo:hi], np.float32)
-        nf = len(seg) // frame
-        if nf >= 1:
-            rms = np.sqrt(
-                np.mean(seg[: nf * frame].reshape(nf, frame) ** 2, axis=1))
-            cut = lo + int(np.argmin(rms)) * frame + frame // 2
-        else:
-            cut = hi
-        cut = max(pos + frame, min(cut, hi))  # forward progress, span <= win
+        cut = pos + silence_cut(samples[pos:pos + win], win, search, frame)
         bounds.append(cut)
         pos = cut
     bounds.append(n)

@@ -423,41 +423,37 @@ class FDDMPipeline:
             temperature=temperature, ref_compat=ref_compat)
         return np.asarray(ids), np.asarray(p)
 
-    def _sample_raw(
-        self, rng, cond, seq_len, c_mask=None,
-        T_infer: int = 20, r: int = 5, greedy: bool = True,
-        posterior_mode: str = "map", sampling_mode: str = "exact",
-        temperature: float = 1.0, ref_compat: bool = True,
-    ):
-        """sample() without the host pull: returns DEVICE arrays so hot
-        paths (serving confidence, n-best selection) can reduce p_x0 on
-        device instead of transferring [B, L, K] to host per batch."""
-        fn = self._sampler_for((T_infer, r, greedy, posterior_mode,
-                                sampling_mode, temperature, ref_compat))
-        if not self.use_condition_mask:
-            c_mask = None
-        # shard directly-supplied conditions too (encode_waveform outputs are
-        # already placed; device_put on a correctly-sharded array is a no-op)
-        cond = self._shard_batch(cond)
-        c_mask = self._shard_batch(c_mask)
-        return fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)
+    def _sample_raw(self, rng, cond, seq_len, c_mask=None, **sampling):
+        """sample() without the host pull: returns DEVICE (ids, p_x0) so hot
+        paths (n-best selection) can reduce p_x0 on device instead of
+        transferring [B, L, K] to host per batch."""
+        return self._dispatch_sampler(None, rng, cond, seq_len, c_mask,
+                                      **sampling)
 
-    def _sample_conf_raw(
-        self, rng, cond, seq_len, c_mask=None,
-        T_infer: int = 20, r: int = 5, greedy: bool = True,
-        posterior_mode: str = "map", sampling_mode: str = "exact",
-        temperature: float = 1.0, ref_compat: bool = True,
-    ):
+    def _sample_conf_raw(self, rng, cond, seq_len, c_mask=None, **sampling):
         """_sample_raw fused with the decoded-span confidence reduction in
         the SAME compiled program: returns DEVICE (ids [B, L], conf [B]).
         The serving hot path — one dispatch per batch instead of sampler +
         confidence back-to-back, and p_x0 never materializes as a program
         output."""
-        fn = self._sampler_for((T_infer, r, greedy, posterior_mode,
-                                sampling_mode, temperature, ref_compat,
-                                "conf"))
+        return self._dispatch_sampler(("conf",), rng, cond, seq_len, c_mask,
+                                      **sampling)
+
+    def _dispatch_sampler(
+        self, variant, rng, cond, seq_len, c_mask,
+        T_infer: int = 20, r: int = 5, greedy: bool = True,
+        posterior_mode: str = "map", sampling_mode: str = "exact",
+        temperature: float = 1.0, ref_compat: bool = True,
+    ):
+        """One home for sampling defaults + sharding: the confidence and
+        plain paths differ ONLY in the compiled program they select."""
+        key = (T_infer, r, greedy, posterior_mode, sampling_mode,
+               temperature, ref_compat) + (variant or ())
+        fn = self._sampler_for(key)
         if not self.use_condition_mask:
             c_mask = None
+        # shard directly-supplied conditions too (encode_waveform outputs are
+        # already placed; device_put on a correctly-sharded array is a no-op)
         cond = self._shard_batch(cond)
         c_mask = self._shard_batch(c_mask)
         return fn(self.decoder_params, rng, cond, seq_len=seq_len, c_mask=c_mask)

@@ -177,19 +177,24 @@ class BatchingEngine:
                     r.result = {"wav": r.name, "error": "server shutting down"}
                     r.done.set()
 
-    def _aggregate(self, name: str, results: List[dict]) -> dict:
+    def _aggregate(self, name: str, results: List[dict],
+                   window_samples: Optional[int] = None) -> dict:
         errs = [r for r in results if "error" in r]
         if errs:
             return {"wav": name, "error": errs[0]["error"]}
         if len(results) == 1:
             return results[0]
         first = results[0]
+        # the ACTUAL commit window: a StreamingSession may run a smaller
+        # window-seconds than the engine max — clients align partial
+        # transcripts to audio offsets with this
+        win = self.max_samples if window_samples is None else window_samples
         return {
             "wav": name,
             "text": "".join(r["text"] for r in results),
             "chunks": [r["text"] for r in results],
             "ids": [r["ids"] for r in results],
-            "chunk_seconds": self.max_samples / 16000.0,
+            "chunk_seconds": win / 16000.0,
             "T_infer": first["T_infer"], "r": first["r"],
             "greedy": first["greedy"],
             "posterior_mode": first["posterior_mode"],
@@ -467,29 +472,30 @@ class StreamingSession:
         self._emitted = 0       # windows already yielded by poll()
         self._results: List[dict] = []
         self._finished = False
+        self._errored = False   # first window error seen; surfaced once,
+        #                         as finish()'s aggregate (same contract as
+        #                         engine.submit_stream)
 
     # -------------------------------------------------------------- input
     def feed(self, samples: np.ndarray) -> None:
         """Append audio; commit every full window (leaving < win+1 samples
-        buffered).  Mirrors plan_silence_chunks' loop body exactly."""
+        buffered) at the cut plan_silence_chunks would pick (shared
+        ``silence_cut`` decision)."""
         if self._finished:
             raise RuntimeError("feed() after finish()")
+        if self._errored:
+            # the stream already failed; don't burn device time on windows
+            # whose results can never be aggregated
+            self._tail = np.zeros((0,), np.float32)
+            return
+        from fddm_asr_tpu.data.audio_io import silence_cut
+
         samples = np.asarray(samples, np.float32).reshape(-1)
         if samples.size:
             self._tail = np.concatenate([self._tail, samples])
-        frame, win = self._FRAME, self.win
-        search = max(frame, min(16000, win // 4))
+        win = self.win
         while len(self._tail) > win:
-            lo = max(frame, win - search)
-            seg = self._tail[lo:win]
-            nf = len(seg) // frame
-            if nf >= 1:
-                rms = np.sqrt(np.mean(
-                    seg[: nf * frame].reshape(nf, frame) ** 2, axis=1))
-                cut = lo + int(np.argmin(rms)) * frame + frame // 2
-            else:
-                cut = win
-            cut = max(frame, min(cut, win))
+            cut = silence_cut(self._tail[:win], win, frame=self._FRAME)
             self._commit(self._tail[:cut].copy())
             self._tail = self._tail[cut:]
 
@@ -502,19 +508,27 @@ class StreamingSession:
 
     # ------------------------------------------------------------- output
     def poll(self):
-        """Yield results for consecutively completed windows (non-blocking)."""
-        while (self._emitted < len(self._reqs)
+        """Yield results for consecutively completed windows (non-blocking).
+        A window error stops the partial stream — it surfaces exactly once,
+        as finish()'s aggregate, matching engine.submit_stream."""
+        while (not self._errored and self._emitted < len(self._reqs)
                and self._reqs[self._emitted].done.is_set()):
             req = self._reqs[self._emitted]
             self._results.append(req.result)
-            out = {**req.result, "chunk_index": self._emitted}
             self._emitted += 1
-            yield out
+            if "error" in req.result:
+                self._errored = True
+                return
+            yield {**req.result, "chunk_index": self._emitted - 1}
 
     def finish(self):
         """Flush the buffered tail, drain remaining windows in order, then
         yield the aggregate result (identical to ``engine.submit``)."""
         self._finished = True
+        if self._errored:
+            yield self.engine._aggregate(self.name, self._results,
+                                         window_samples=self.win)
+            return
         if not self._reqs:
             # sole chunk: plain name, matching _plan_requests' single-chunk
             # naming (the tail may be empty — same silence-clamp path as an
@@ -539,7 +553,8 @@ class StreamingSession:
             yield {**req.result, "chunk_index": self._emitted,
                    "chunk_count": n}
             self._emitted += 1
-        yield self.engine._aggregate(self.name, self._results)
+        yield self.engine._aggregate(self.name, self._results,
+                                     window_samples=self.win)
 
 
 class _PcmStreamDecoder:
@@ -590,12 +605,36 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
             pass
 
         def _reply(self, code: int, obj: dict):
+            if code >= 400:
+                # error replies may leave request-body bytes unread (e.g. a
+                # rejected streaming upload); on a keep-alive connection the
+                # next request line would then be parsed out of raw audio —
+                # drop the connection instead
+                self.close_connection = True
             payload = json.dumps(obj, ensure_ascii=False).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json; charset=utf-8")
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
+
+        # one chunked-NDJSON writer for BOTH streaming endpoints (?stream=1
+        # and /v1/transcribe/stream) so the wire format cannot diverge
+        def _ndjson_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/x-ndjson; charset=utf-8")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _ndjson_line(self, obj: dict):
+            data = (json.dumps(obj, ensure_ascii=False) + "\n"
+                    ).encode("utf-8")
+            self.wfile.write(b"%X\r\n" % len(data) + data + b"\r\n")
+            self.wfile.flush()
+
+        def _ndjson_end(self):
+            self.wfile.write(b"0\r\n\r\n")
 
         def do_GET(self):
             if self.path.startswith("/healthz"):
@@ -660,22 +699,11 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
             object the non-streaming path returns) as the last line.
             Partial transcripts reach the client while later windows are
             still on the device."""
-            self.send_response(200)
-            self.send_header("Content-Type",
-                             "application/x-ndjson; charset=utf-8")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
-
-            def write_line(obj):
-                data = (json.dumps(obj, ensure_ascii=False) + "\n"
-                        ).encode("utf-8")
-                self.wfile.write(b"%X\r\n" % len(data) + data + b"\r\n")
-                self.wfile.flush()
-
+            self._ndjson_start()
             try:
                 for res in engine.submit_stream(wave, name):
-                    write_line(res)
-                self.wfile.write(b"0\r\n\r\n")
+                    self._ndjson_line(res)
+                self._ndjson_end()
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client went away mid-stream; device work completes
 
@@ -689,7 +717,14 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
             if "chunked" in te:
                 while True:
                     line = self.rfile.readline(1024).split(b";")[0].strip()
-                    size = int(line or b"0", 16)
+                    try:
+                        size = int(line or b"0", 16)
+                    except ValueError:
+                        raise ValueError("malformed chunked encoding: "
+                                         f"bad chunk-size line {line!r}")
+                    if size < 0:
+                        raise ValueError("malformed chunked encoding: "
+                                         "negative chunk size")
                     if size == 0:
                         while self.rfile.readline(1024).strip():
                             pass  # trailers
@@ -736,28 +771,32 @@ def make_handler(engine: BatchingEngine, config_echo: dict,
                 return
             session = StreamingSession(
                 engine, f"<stream:{dec.fmt}>", window_seconds=ws)
-            self.send_response(200)
-            self.send_header("Content-Type",
-                             "application/x-ndjson; charset=utf-8")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
-
-            def write_line(obj):
-                data = (json.dumps(obj, ensure_ascii=False) + "\n"
-                        ).encode("utf-8")
-                self.wfile.write(b"%X\r\n" % len(data) + data + b"\r\n")
-                self.wfile.flush()
-
+            # bound every blocking body read: a client that stalls mid-chunk
+            # without closing would otherwise pin this handler thread (and
+            # the session's buffered audio) forever — classic slowloris
+            self.connection.settimeout(engine.request_timeout_s)
+            self._ndjson_start()
             try:
                 for data in self._iter_request_body():
                     session.feed(dec.decode(data))
                     for res in session.poll():
-                        write_line(res)
+                        self._ndjson_line(res)
                 for res in session.finish():
-                    write_line(res)
-                self.wfile.write(b"0\r\n\r\n")
+                    self._ndjson_line(res)
+                self._ndjson_end()
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client went away; committed windows complete anyway
+            except (ValueError, TimeoutError) as e:
+                # malformed chunk framing / stalled upload after the 200 was
+                # sent: surface the error in-band and drop the connection
+                # (the body is in an unknown state — it cannot be reused)
+                self.close_connection = True
+                try:
+                    self._ndjson_line({"wav": session.name,
+                                       "error": f"stream aborted: {e}"})
+                    self._ndjson_end()
+                except OSError:
+                    pass
 
     return Handler
 

@@ -552,6 +552,70 @@ def test_streaming_session_single_window_and_lifecycle():
         eng.shutdown()
 
 
+def test_streaming_session_error_and_window_contract():
+    """A window error surfaces exactly ONCE, as finish()'s aggregate (the
+    submit_stream contract): poll() yields no partials past it and feed()
+    stops committing.  The multi-chunk aggregate's chunk_seconds reflects
+    the SESSION window, not the engine max."""
+    import numpy as np
+
+    import serve
+
+    # engine max 30 s, session window 0.5 s: aggregate must say 0.5
+    eng = _fake_engine(serve, max_seconds=30.0)
+    try:
+        sess = serve.StreamingSession(eng, "w", window_seconds=0.5)
+        sess.feed(np.zeros(int(1.7 * 16000), np.float32))
+        outs = list(sess.finish())
+        assert len(outs) >= 3 and "chunks" in outs[-1]
+        assert outs[-1]["chunk_seconds"] == pytest.approx(0.5)
+    finally:
+        eng.shutdown()
+
+    # a shut-down engine fails requests at enqueue — deterministic errors
+    eng = _fake_engine(serve, max_seconds=0.5)
+    eng.shutdown()
+    sess = serve.StreamingSession(eng, "e")
+    sess.feed(np.zeros(3 * 8000 + 100, np.float32))
+    assert list(sess.poll()) == []          # error swallowed, not a partial
+    assert sess._errored
+    n_before = len(sess._reqs)
+    sess.feed(np.zeros(3 * 8000, np.float32))
+    assert len(sess._reqs) == n_before      # no new device work
+    outs = list(sess.finish())
+    assert len(outs) == 1 and outs[0]["error"]
+
+
+def test_stream_endpoint_malformed_chunk_framing(server):
+    """A garbage chunk-size line mid-upload must surface an in-band
+    'stream aborted' NDJSON error line with a terminated chunked response —
+    not a hung thread or a traceback-truncated stream."""
+    import socket as socket_mod
+
+    base, _, _ = server
+    host, port = base.split("//")[1].split(":")
+    s = socket_mod.create_connection((host, int(port)), timeout=120)
+    try:
+        s.sendall(
+            b"POST /v1/transcribe/stream?format=pcm16 HTTP/1.1\r\n"
+            b"Host: x\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"10\r\n" + b"\x00" * 16 + b"\r\n"
+            b"zz\r\n"  # malformed size line
+        )
+        buf = b""
+        while b"0\r\n\r\n" not in buf:
+            data = s.recv(65536)
+            if not data:
+                break
+            buf += data
+        text = buf.decode("utf-8", "replace")
+        assert " 200 " in text.splitlines()[0]
+        assert "stream aborted" in text and "chunk-size" in text
+        assert buf.endswith(b"0\r\n\r\n")  # properly terminated response
+    finally:
+        s.close()
+
+
 def test_stream_endpoint_chunked_pcm(server):
     """POST /v1/transcribe/stream with Transfer-Encoding: chunked pcm16:
     NDJSON partials stream back, final line is the aggregate; f32 fixed-
