@@ -14,9 +14,17 @@ Prints one JSON line:
    "latency_ms": {...}, "mean_batch_size": ..., "requests": ...,
    "offered_concurrency": ..., "platform": ...}
 
+`--stream` benches the TRUE-streaming endpoint (POST /v1/transcribe/stream)
+instead: each client pushes pcm16 over a chunked upload (optionally paced at
+`--pace` x real time) while reading NDJSON partials off the same socket, and
+the line reports the latencies that matter for live audio —
+time-to-first-partial from stream start and finalization latency after the
+last byte (p50/p95), plus the same saturated RTFx.
+
 Usage (defaults bench the flagship config on the default backend):
   python scripts/bench_serve.py --config <cfg> --ckpt <ckpt> \
-      [--concurrency 8] [--duration-s 30] [--audio-seconds 10] [--device cpu]
+      [--concurrency 8] [--duration-s 30] [--audio-seconds 10] [--device cpu] \
+      [--stream [--pace 1.0] [--window-seconds 2.0] [--chunk-ms 100]]
 
 The reference has no serving layer (SURVEY §2.1) — there is no reference
 number to compare against; bench_train/bench.py carry the model-level
@@ -53,6 +61,104 @@ def _wav_bytes(seconds: float, seed: int, sr: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def _percentiles(vals, pts=(50, 95)):
+    import numpy as np
+
+    if not vals:
+        return {f"p{p}": None for p in pts}
+    return {f"p{p}": round(float(np.percentile(vals, p)), 1) for p in pts}
+
+
+def stream_post(host: str, port: int, pcm: bytes, *,
+                window_seconds=None, pace: float = 0.0,
+                chunk_ms: float = 100.0, timeout_s: float = 300.0) -> dict:
+    """One POST /v1/transcribe/stream over a raw socket, reading NDJSON
+    partials CONCURRENTLY with the chunked upload (http.client cannot read a
+    response before the request body ends, so the duplex path is hand-rolled
+    here exactly as a live-audio client would).
+
+    pcm is little-endian int16 mono 16 kHz.  ``pace`` throttles the upload
+    to ``pace`` x real time (0 = firehose).  Returns per-request timings:
+    time-to-first-partial from the first byte sent, finalization latency
+    after the last byte, partial count, and the final aggregate object.
+    """
+    import socket
+
+    path = "/v1/transcribe/stream?format=pcm16"
+    if window_seconds is not None:
+        path += f"&window-seconds={window_seconds}"
+    sock = socket.create_connection((host, port), timeout=timeout_s)
+    try:
+        sock.sendall((
+            f"POST {path} HTTP/1.1\r\n"
+            f"Host: {host}\r\n"
+            "Transfer-Encoding: chunked\r\n"
+            "Content-Type: application/octet-stream\r\n\r\n"
+        ).encode())
+
+        rec = {"lines": [], "t_lines": [], "status": None}
+
+        def reader():
+            f = sock.makefile("rb")
+            status = f.readline()
+            rec["status"] = int(status.split()[1]) if status else None
+            while f.readline().strip():
+                pass  # response headers
+            # server frames one NDJSON line per chunk (_ndjson_line)
+            buf = b""
+            while True:
+                size_line = f.readline()
+                if not size_line:
+                    break
+                size = int(size_line.split(b";")[0].strip() or b"0", 16)
+                if size == 0:
+                    break
+                buf += f.read(size)
+                f.read(2)  # CRLF
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if line.strip():
+                        rec["t_lines"].append(time.perf_counter())
+                        rec["lines"].append(json.loads(line))
+
+        rt = threading.Thread(target=reader, daemon=True)
+        t0 = time.perf_counter()
+        rt.start()
+        # upload in chunk_ms slices of audio; 32000 B = 1 s of pcm16@16k
+        step = max(2, int(32000 * chunk_ms / 1000.0) & ~1)
+        for i in range(0, len(pcm), step):
+            blk = pcm[i:i + step]
+            sock.sendall(b"%X\r\n" % len(blk) + blk + b"\r\n")
+            if pace > 0:
+                # sleep off whatever real-time budget this slice has left
+                due = t0 + (i + len(blk)) / 32000.0 / pace
+                delay = due - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+        sock.sendall(b"0\r\n\r\n")
+        t_eos = time.perf_counter()
+        rt.join(timeout=timeout_s)
+        if rt.is_alive():
+            raise TimeoutError("streaming response did not finish")
+        if rec["status"] != 200 or not rec["lines"]:
+            raise RuntimeError(f"stream failed: status={rec['status']} "
+                               f"lines={rec['lines'][-1:]}")
+        final = rec["lines"][-1]
+        if "error" in final:
+            raise RuntimeError(f"stream error: {final['error']}")
+        partials = rec["lines"][:-1]
+        return {
+            "first_partial_ms": ((rec["t_lines"][0] - t0) * 1e3
+                                 if partials else None),
+            "final_after_eos_ms": (rec["t_lines"][-1] - t_eos) * 1e3,
+            "upload_s": t_eos - t0,
+            "partials": len(partials),
+            "final": final,
+        }
+    finally:
+        sock.close()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
@@ -76,6 +182,20 @@ def main(argv=None):
     ap.add_argument("--mesh", default="")
     ap.add_argument("--seq-parallel", action="store_true")
     ap.add_argument("--device", default=None)
+    ap.add_argument("--stream", action="store_true",
+                    help="bench POST /v1/transcribe/stream (duplex chunked "
+                         "upload + NDJSON partials) instead of the batch "
+                         "endpoint")
+    ap.add_argument("--pace", type=float, default=0.0,
+                    help="throttle each upload to PACE x real time "
+                         "(0 = as fast as possible); 1.0 emulates live "
+                         "microphone audio")
+    ap.add_argument("--window-seconds", type=float, default=None,
+                    help="streaming commit window; must be < --audio-seconds "
+                         "for partials to exist (defaults to the server's "
+                         "max window)")
+    ap.add_argument("--chunk-ms", type=float, default=100.0,
+                    help="upload slice size in audio milliseconds")
     args = ap.parse_args(argv)
     if args.exported and (args.config or args.ckpt):
         ap.error("--exported and --config/--ckpt are mutually exclusive "
@@ -125,6 +245,9 @@ def main(argv=None):
     build_s = time.perf_counter() - t_boot
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
+    if args.stream:
+        _bench_stream(args, srv, t_boot, build_s, timeout_s)
+        return
     body = _wav_bytes(args.audio_seconds, seed=0)
 
     def post():
@@ -189,6 +312,90 @@ def main(argv=None):
         "serving": "exported" if args.exported else "live",
         "platform": jax.devices()[0].platform,
     }
+    print(json.dumps(result))
+    srv.shutdown()
+    srv.engine.shutdown()
+
+
+def _bench_stream(args, srv, t_boot, build_s, timeout_s):
+    """Closed-loop streaming load: each client repeatedly streams one
+    utterance through /v1/transcribe/stream, reading partials while
+    uploading.  Reports saturated RTFx + the live-audio latencies."""
+    import numpy as np
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(int(args.audio_seconds * 16000))
+           * 3000).astype("<i2").tobytes()
+    host, port = "127.0.0.1", srv.server_address[1]
+    kw = dict(window_seconds=args.window_seconds, pace=args.pace,
+              chunk_ms=args.chunk_ms, timeout_s=timeout_s)
+
+    # cold start: the first stream compiles/deserializes its duration
+    # bucket; then one full-concurrency wave warms every batch bucket
+    stream_post(host, port, pcm, **kw)
+    first_request_s = time.perf_counter() - t_boot
+    warm = [threading.Thread(target=stream_post, args=(host, port, pcm),
+                             kwargs=kw) for _ in range(args.concurrency)]
+    for t in warm:
+        t.start()
+    for t in warm:
+        t.join()
+    baseline = srv.engine.stats_snapshot()
+
+    stop = time.time() + args.duration_s
+    records, errors = [], []
+    lock = threading.Lock()
+
+    def client():
+        while time.time() < stop:
+            try:
+                r = stream_post(host, port, pcm, **kw)
+                with lock:
+                    records.append(r)
+            except Exception as e:  # keep the window honest: count, go on
+                with lock:
+                    errors.append(str(e))
+
+    clients = [threading.Thread(target=client)
+               for _ in range(args.concurrency)]
+    t0 = time.time()
+    for t in clients:
+        t.start()
+    for t in clients:
+        t.join()
+    wall = time.time() - t0
+
+    snap = srv.engine.stats_snapshot()
+    audio_s = snap["audio_seconds"] - baseline["audio_seconds"]
+    first = [r["first_partial_ms"] for r in records
+             if r["first_partial_ms"] is not None]
+    result = {
+        "metric": "serve_stream_rtfx",
+        "value": round(audio_s / wall, 1) if wall > 0 else 0.0,
+        "unit": "audio_s/s",
+        # what a live-audio user feels: first partial after stream start,
+        # and the wait for the final transcript once the mic closes
+        "first_partial_ms": _percentiles(first),
+        "final_after_eos_ms": _percentiles(
+            [r["final_after_eos_ms"] for r in records]),
+        "partials_per_stream": (round(float(np.mean(
+            [r["partials"] for r in records])), 2) if records else None),
+        "streams": len(records),
+        "errors": len(errors) + (snap["errors"] - baseline["errors"]),
+        "mean_batch_size": snap.get("mean_batch_size"),
+        "offered_concurrency": args.concurrency,
+        "audio_seconds_per_request": args.audio_seconds,
+        "pace": args.pace,
+        "window_seconds": args.window_seconds,
+        "cold_start_s": {"build": round(build_s, 2),
+                         "first_request": round(first_request_s, 2)},
+        "serving": "exported" if args.exported else "live",
+        "platform": jax.devices()[0].platform,
+    }
+    if errors:
+        result["first_error"] = errors[0]
     print(json.dumps(result))
     srv.shutdown()
     srv.engine.shutdown()

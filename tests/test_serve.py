@@ -351,6 +351,29 @@ def test_bench_serve_script(server, capsys):
     assert res["latency_ms"]["p95"] > 0
 
 
+def test_bench_serve_stream(server, capsys):
+    """scripts/bench_serve.py --stream: the duplex streaming bench reports
+    RTFx plus the live-audio latencies (first partial, post-EOS final)."""
+    from scripts.bench_serve import main as bench_main
+
+    _, out, _ = server
+    bench_main([
+        "--config", f"{out}/config.yaml",
+        "--ckpt", f"{out}/ckpts/best_model.orbax",
+        "--concurrency", "2", "--duration-s", "4", "--audio-seconds", "1.0",
+        "--stream", "--window-seconds", "0.4", "--chunk-ms", "50",
+        "--T-infer", "4", "--r", "2", "--seq-len", "8",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["metric"] == "serve_stream_rtfx" and res["value"] > 0
+    assert res["errors"] == 0, res
+    assert res["streams"] > 0
+    # 1.0 s at a 0.4 s window must commit >= 1 partial before the tail
+    assert res["partials_per_stream"] >= 1
+    assert res["first_partial_ms"]["p50"] > 0
+    assert res["final_after_eos_ms"]["p95"] > 0
+
+
 def test_serve_num_candidates(server):
     """--num-candidates on the live server: best-of-N per request, the
     result echoes num_candidates, and exported serving rejects the flag."""
