@@ -71,7 +71,8 @@ def _percentiles(vals, pts=(50, 95)):
 
 def stream_post(host: str, port: int, pcm: bytes, *,
                 window_seconds=None, pace: float = 0.0,
-                chunk_ms: float = 100.0, timeout_s: float = 300.0) -> dict:
+                chunk_ms: float = 100.0, timeout_s: float = 300.0,
+                fmt: str = "pcm16", on_line=None) -> dict:
     """One POST /v1/transcribe/stream over a raw socket, reading NDJSON
     partials CONCURRENTLY with the chunked upload (http.client cannot read a
     response before the request body ends, so the duplex path is hand-rolled
@@ -84,9 +85,10 @@ def stream_post(host: str, port: int, pcm: bytes, *,
     """
     import socket
 
-    path = "/v1/transcribe/stream?format=pcm16"
+    path = f"/v1/transcribe/stream?format={fmt}"
     if window_seconds is not None:
         path += f"&window-seconds={window_seconds}"
+    byte_rate = 32000 if fmt == "pcm16" else 64000  # 16 kHz mono
     sock = socket.create_connection((host, port), timeout=timeout_s)
     try:
         sock.sendall((
@@ -119,19 +121,24 @@ def stream_post(host: str, port: int, pcm: bytes, *,
                     line, buf = buf.split(b"\n", 1)
                     if line.strip():
                         rec["t_lines"].append(time.perf_counter())
-                        rec["lines"].append(json.loads(line))
+                        obj = json.loads(line)
+                        rec["lines"].append(obj)
+                        if on_line is not None:
+                            on_line(obj)
 
         rt = threading.Thread(target=reader, daemon=True)
         t0 = time.perf_counter()
         rt.start()
-        # upload in chunk_ms slices of audio; 32000 B = 1 s of pcm16@16k
-        step = max(2, int(32000 * chunk_ms / 1000.0) & ~1)
+        # upload in chunk_ms slices of audio
+        width = 2 if fmt == "pcm16" else 4
+        step = max(width,
+                   int(byte_rate * chunk_ms / 1000.0) // width * width)
         for i in range(0, len(pcm), step):
             blk = pcm[i:i + step]
             sock.sendall(b"%X\r\n" % len(blk) + blk + b"\r\n")
             if pace > 0:
                 # sleep off whatever real-time budget this slice has left
-                due = t0 + (i + len(blk)) / 32000.0 / pace
+                due = t0 + (i + len(blk)) / byte_rate / pace
                 delay = due - time.perf_counter()
                 if delay > 0:
                     time.sleep(delay)
