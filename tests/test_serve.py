@@ -374,6 +374,30 @@ def test_bench_serve_stream(server, capsys):
     assert res["final_after_eos_ms"]["p95"] > 0
 
 
+def test_stream_client_cli(server, capsys):
+    """scripts/stream_client.py: paced duplex upload against a live server,
+    partials printed as NDJSON lines, final aggregate returned."""
+    from scripts.stream_client import main as client_main
+
+    base, out, srv = server
+    wav = f"{out}/data/processed/clips/test_000.wav"
+    srv.engine.max_samples = int(0.3 * 16000)  # 0.5 s clip -> 2 windows
+    try:
+        final = client_main(["--url", base, "--wav", wav,
+                             "--pace", "0", "--chunk-ms", "50"])
+    finally:
+        srv.engine.max_samples = int(30.0 * 16000)
+    captured = capsys.readouterr()
+    lines = [json.loads(l) for l in captured.out.splitlines() if l.strip()]
+    assert lines, "no NDJSON lines printed"
+    assert "error" not in final, final
+    assert lines[-1] == final  # last printed line IS the aggregate
+    assert final["text"] == "".join(final["chunks"])
+    summary = json.loads(captured.err.strip().splitlines()[-1])
+    assert summary["partials"] >= 1
+    assert summary["final_after_eos_ms"] > 0
+
+
 def test_serve_num_candidates(server):
     """--num-candidates on the live server: best-of-N per request, the
     result echoes num_candidates, and exported serving rejects the flag."""
