@@ -39,13 +39,25 @@ inference — SURVEY hard part #4) but is always part of the signature so
 callers never branch.
 
 Multi-platform notes: pass `platforms=("cpu", "tpu")` to lower one artifact
-for both.  Pallas kernels do NOT survive the export round-trip on current
-TPU toolchains: the serialized Mosaic fused-attention kernel fails to
-RECOMPILE at load ("Invalid relayout ... vector<1x1024xi1>", measured on
+for both.  Pallas kernels do NOT survive the StableHLO export round-trip on
+current TPU toolchains: the serialized Mosaic fused-attention kernel fails
+to RECOMPILE at load ("Invalid relayout ... vector<1x1024xi1>", measured on
 v5e) even though the live pipeline — which lowers the kernel fresh per
 trace — runs it fine.  scripts/export_model.py therefore builds export
 pipelines with the portable XLA attention by default (--fused-attention
 auto|on|off); pass `on` only on toolchains where the round-trip works.
+
+NATIVE EXECUTABLE modules close that gap: `save_native_modules` compiles
+the FUSED pipeline ahead of time on the deployment backend and serializes
+the finished PjRt executable (jax.experimental.serialize_executable) as
+`native_b{B}_n{N}.jaxexec` next to the portable StableHLO modules.  Mosaic
+kernels survive — the executable is the post-compile machine program, no
+re-lowering happens at load (round-trip measured bit-exact on v5e).  The
+cost is portability: a native module only loads on the same platform +
+device kind (+ jax version) it was compiled on, so the loader checks the
+recorded fingerprint and silently falls back to the StableHLO module when
+it does not match.  Same calling convention and token-identical outputs —
+which module family served a bucket is visible in ExportedPipeline.native.
 """
 from __future__ import annotations
 
@@ -196,24 +208,9 @@ def _tree_specs(tree: Any):
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
 
 
-def export_transcribe(
-    pipeline,
-    batch: int,
-    num_samples: int,
-    seq_len: int,
-    sampling: Dict[str, Any],
-    platforms: Optional[Sequence[str]] = None,
-) -> jax_export.Exported:
-    """Lower ONE (batch, num_samples) bucket to a jax.export.Exported.
-
-    If the pipeline has a device mesh applied (FDDMPipeline.apply_mesh),
-    the exported module is SHARDED: param shardings are captured from the
-    placed arrays, the batch rides the "data" axis, and the artifact
-    requires mesh-size devices at load time (multi-chip serving without
-    model code).  Token-exact vs the single-device export — pinned in
-    tests/test_aot_export.py.
-    """
-    fn = build_transcribe_fn(pipeline, seq_len, sampling)
+def _bucket_specs(pipeline, batch: int, num_samples: int):
+    """(enc, dec, seed, wave, lengths) ShapeDtypeStructs for one bucket —
+    sharding-annotated when the pipeline has a mesh applied."""
     mesh = getattr(pipeline, "mesh", None)
     if mesh is None:
         enc_specs = _tree_specs(pipeline.encoder_params)
@@ -239,14 +236,99 @@ def export_transcribe(
             sharding=NamedSharding(mesh, P("data", None)))
         len_spec = jax.ShapeDtypeStruct(
             (batch,), np.int32, sharding=NamedSharding(mesh, P("data")))
+    return (enc_specs, dec_specs, jax.ShapeDtypeStruct((), np.uint32),
+            wave_spec, len_spec)
+
+
+def export_transcribe(
+    pipeline,
+    batch: int,
+    num_samples: int,
+    seq_len: int,
+    sampling: Dict[str, Any],
+    platforms: Optional[Sequence[str]] = None,
+) -> jax_export.Exported:
+    """Lower ONE (batch, num_samples) bucket to a jax.export.Exported.
+
+    If the pipeline has a device mesh applied (FDDMPipeline.apply_mesh),
+    the exported module is SHARDED: param shardings are captured from the
+    placed arrays, the batch rides the "data" axis, and the artifact
+    requires mesh-size devices at load time (multi-chip serving without
+    model code).  Token-exact vs the single-device export — pinned in
+    tests/test_aot_export.py.
+    """
+    fn = build_transcribe_fn(pipeline, seq_len, sampling)
+    specs = _bucket_specs(pipeline, batch, num_samples)
     exp = jax_export.export(
         jax.jit(fn),
         platforms=tuple(platforms) if platforms else None,
-    )(
-        enc_specs, dec_specs, jax.ShapeDtypeStruct((), np.uint32),
-        wave_spec, len_spec,
-    )
+    )(*specs)
     return exp
+
+
+# --------------------------------------------------------------------------
+# native executable modules (post-compile serialization; kernels survive)
+# --------------------------------------------------------------------------
+def native_fingerprint() -> Dict[str, str]:
+    """Compatibility key a serialized executable is valid under: the PjRt
+    machine program is backend-specific, unlike StableHLO."""
+    d = jax.devices()[0]
+    return {"platform": d.platform, "device_kind": d.device_kind,
+            "jax_version": jax.__version__}
+
+
+def compile_transcribe(pipeline, batch: int, num_samples: int, seq_len: int,
+                       sampling: Dict[str, Any]):
+    """AOT-compile ONE bucket on the CURRENT backend (jit → lower →
+    compile).  Unlike export_transcribe this keeps whatever kernels the
+    live pipeline uses — Pallas fused attention included."""
+    fn = build_transcribe_fn(pipeline, seq_len, sampling)
+    specs = _bucket_specs(pipeline, batch, num_samples)
+    return jax.jit(fn).lower(*specs).compile()
+
+
+def save_native_modules(
+    pipeline,
+    out_dir: str,
+    buckets: Sequence[Tuple[int, int]],
+    seq_len: int,
+    sampling: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Compile + serialize native executables for `buckets` into an EXISTING
+    artifact directory (written by save_artifact) and record them in the
+    meta.  The pipeline passed here is typically the FUSED one (live
+    defaults) while save_artifact received the portable-attention build —
+    same params, token-identical outputs, different lowering.
+
+    Returns the updated meta dict."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    meta_path = os.path.join(out_dir, _META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    baked = resolve_sampling(sampling)
+    if meta.get("sampling") != baked:
+        raise ValueError(
+            "native modules must bake the same sampling as the StableHLO "
+            f"modules: artifact has {meta.get('sampling')}, got {baked}")
+    if int(seq_len) != int(meta["seq_len"]):
+        raise ValueError(
+            f"native seq_len {seq_len} != artifact seq_len {meta['seq_len']}")
+    for b, n in buckets:
+        comp = compile_transcribe(pipeline, b, n, seq_len, sampling)
+        payload, in_tree, out_tree = se.serialize(comp)
+        with open(os.path.join(out_dir, f"native_b{b}_n{n}.jaxexec"),
+                  "wb") as f:
+            f.write(pickle.dumps((payload, in_tree, out_tree)))
+    meta["native"] = {
+        "buckets": sorted([int(b), int(n)] for b, n in buckets),
+        **native_fingerprint(),
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
 
 
 def save_artifact(
@@ -343,6 +425,36 @@ class ExportedPipeline:
             # (hundreds of MB for the flagship) per served batch
             self.enc_params = jax.device_put(self.enc_params)
             self.dec_params = jax.device_put(self.dec_params)
+        # native executables (fused kernels survive; backend-specific):
+        # loaded only when the recorded fingerprint matches this process's
+        # backend — otherwise the portable StableHLO modules serve alone.
+        # After mesh placement: a deserialized executable must be pinned to
+        # exactly its device assignment (mesh devices, or the one default)
+        self.native: Dict[Tuple[int, int], Any] = {}
+        nat = self.meta.get("native")
+        if nat and all(nat.get(k) == v
+                       for k, v in native_fingerprint().items()):
+            import pickle
+
+            from jax.experimental import serialize_executable as se
+
+            exec_devices = (list(self.mesh.devices.flatten())
+                            if self.mesh is not None else [jax.devices()[0]])
+            for b, n in nat["buckets"]:
+                fn = os.path.join(path, f"native_b{b}_n{n}.jaxexec")
+                try:
+                    with open(fn, "rb") as f:
+                        payload, in_tree, out_tree = pickle.loads(f.read())
+                    self.native[(int(b), int(n))] = se.deserialize_and_load(
+                        payload, in_tree, out_tree,
+                        execution_devices=exec_devices)
+                except Exception as e:  # noqa: BLE001 — per-module fallback
+                    import warnings
+
+                    warnings.warn(
+                        f"native module {os.path.basename(fn)} failed to "
+                        f"load ({e}); this bucket serves via its StableHLO "
+                        "module", stacklevel=2)
         from fddm_asr_tpu.tokenizer import load_tokenizer
 
         self.tokenizer = load_tokenizer(
@@ -388,12 +500,14 @@ class ExportedPipeline:
 
     # ------------------------------------------------------------- buckets
     def pick_bucket(self, rows: int, samples: int) -> Tuple[int, int]:
-        fits = [(b, n) for b, n in self._modules
-                if b >= rows and n >= samples]
+        # native-only buckets (e.g. a large serving batch compiled only as
+        # an executable) count too — the union is what the artifact serves
+        avail = set(self._modules) | set(self.native)
+        fits = [(b, n) for b, n in avail if b >= rows and n >= samples]
         if not fits:
             raise ValueError(
                 f"no exported bucket fits batch={rows} samples={samples}; "
-                f"available: {sorted(self._modules)}")
+                f"available: {sorted(avail)}")
         return min(fits, key=lambda bn: (bn[1], bn[0]))
 
     # ----------------------------------------------------------------- api
@@ -437,8 +551,14 @@ class ExportedPipeline:
         floor = min(CONV_RECEPTIVE_FIELD, n)
         len_p = np.full((b,), floor, np.int32)
         len_p[:rows] = np.maximum(np.asarray(lengths, np.int32), floor)
-        outs = self._modules[(b, n)].call(
-            self.enc_params, self.dec_params, np.uint32(seed), wave_p, len_p)
+        native = self.native.get((b, n))
+        if native is not None:  # fused-kernel executable — preferred
+            outs = native(self.enc_params, self.dec_params,
+                          np.uint32(seed), wave_p, len_p)
+        else:
+            outs = self._modules[(b, n)].call(
+                self.enc_params, self.dec_params, np.uint32(seed),
+                wave_p, len_p)
         device_conf = bool(self.meta.get("device_confidence"))
 
         def finalize():

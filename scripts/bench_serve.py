@@ -98,22 +98,38 @@ def stream_post(host: str, port: int, pcm: bytes, *,
             "Content-Type: application/octet-stream\r\n\r\n"
         ).encode())
 
-        rec = {"lines": [], "t_lines": [], "status": None}
+        rec = {"lines": [], "t_lines": [], "status": None, "complete": False,
+               "error_body": None}
 
         def reader():
             f = sock.makefile("rb")
             status = f.readline()
             rec["status"] = int(status.split()[1]) if status else None
-            while f.readline().strip():
-                pass  # response headers
+            headers = {}
+            while True:
+                h = f.readline().strip()
+                if not h:
+                    break
+                k, _, v = h.partition(b":")
+                headers[k.strip().lower()] = v.strip()
+            chunked = (headers.get(b"transfer-encoding", b"").lower()
+                       == b"chunked")
+            if rec["status"] != 200 or not chunked:
+                # error replies come with Content-Length, not chunking —
+                # read the body so the caller can surface the server's
+                # JSON error instead of a chunk-parse crash
+                n = int(headers.get(b"content-length", b"0") or b"0")
+                rec["error_body"] = f.read(n).decode("utf-8", "replace")
+                return
             # server frames one NDJSON line per chunk (_ndjson_line)
             buf = b""
             while True:
                 size_line = f.readline()
                 if not size_line:
-                    break
+                    break  # EOF without terminal chunk: incomplete
                 size = int(size_line.split(b";")[0].strip() or b"0", 16)
                 if size == 0:
+                    rec["complete"] = True
                     break
                 buf += f.read(size)
                 f.read(2)  # CRLF
@@ -133,23 +149,39 @@ def stream_post(host: str, port: int, pcm: bytes, *,
         width = 2 if fmt == "pcm16" else 4
         step = max(width,
                    int(byte_rate * chunk_ms / 1000.0) // width * width)
-        for i in range(0, len(pcm), step):
-            blk = pcm[i:i + step]
-            sock.sendall(b"%X\r\n" % len(blk) + blk + b"\r\n")
-            if pace > 0:
-                # sleep off whatever real-time budget this slice has left
-                due = t0 + (i + len(blk)) / byte_rate / pace
-                delay = due - time.perf_counter()
-                if delay > 0:
-                    time.sleep(delay)
-        sock.sendall(b"0\r\n\r\n")
+        try:
+            for i in range(0, len(pcm), step):
+                blk = pcm[i:i + step]
+                sock.sendall(b"%X\r\n" % len(blk) + blk + b"\r\n")
+                if pace > 0:
+                    # sleep off whatever real-time budget this slice has left
+                    due = t0 + (i + len(blk)) / byte_rate / pace
+                    delay = due - time.perf_counter()
+                    if delay > 0:
+                        time.sleep(delay)
+            sock.sendall(b"0\r\n\r\n")
+        except OSError:
+            # server rejected mid-upload (early error response closes the
+            # socket) — let the reader's captured reply explain, not the pipe
+            rt.join(timeout=10.0)
+            raise RuntimeError(
+                f"server closed stream: status={rec['status']} "
+                f"body={rec['error_body'] or rec['lines'][-1:]}") from None
         t_eos = time.perf_counter()
         rt.join(timeout=timeout_s)
         if rt.is_alive():
             raise TimeoutError("streaming response did not finish")
-        if rec["status"] != 200 or not rec["lines"]:
+        if rec["status"] != 200 or rec["error_body"] is not None:
             raise RuntimeError(f"stream failed: status={rec['status']} "
-                               f"lines={rec['lines'][-1:]}")
+                               f"body={rec['error_body']!r}")
+        if not rec["complete"]:
+            # EOF before the terminal 0-chunk: the last partial must NOT be
+            # mistaken for the final aggregate
+            raise RuntimeError(
+                "stream ended without terminal chunk (connection dropped); "
+                f"got {len(rec['lines'])} lines")
+        if not rec["lines"]:
+            raise RuntimeError("stream failed: no response lines")
         final = rec["lines"][-1]
         if "error" in final:
             raise RuntimeError(f"stream error: {final['error']}")
@@ -183,6 +215,10 @@ def main(argv=None):
     ap.add_argument("--audio-seconds", type=float, default=10.0)
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="engine batches in flight at once (serve.py "
+                         "--pipeline-depth); sweep this with --max-batch "
+                         "and --concurrency to find the throughput knee")
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--T-infer", type=int, default=None)
     ap.add_argument("--r", type=int, default=None)
@@ -227,12 +263,14 @@ def main(argv=None):
     if args.exported:
         srv_argv = ["--exported", args.exported, "--port", "0",
                     "--max-wait-ms", str(args.max_wait_ms),
+                    "--pipeline-depth", str(args.pipeline_depth),
                     "--request-timeout-s", str(timeout_s)]
     elif args.config and args.ckpt:
         srv_argv = ([
             "--config", args.config, "--ckpt", args.ckpt,
             "--port", "0", "--max-batch", str(args.max_batch),
             "--max-wait-ms", str(args.max_wait_ms),
+            "--pipeline-depth", str(args.pipeline_depth),
             "--request-timeout-s", str(timeout_s),
         ] + (["--tokenizer", args.tokenizer] if args.tokenizer else [])
           + (["--seq-len", str(args.seq_len)] if args.seq_len else [])
@@ -277,11 +315,23 @@ def main(argv=None):
     # deserialize, a live pipeline pays trace + (remote) compile.
     post()
     first_request_s = time.perf_counter() - t_boot
-    warm = [threading.Thread(target=post) for _ in range(args.concurrency)]
+    warm_errors = []
+
+    def _warm():
+        try:
+            post()
+        except Exception as e:
+            warm_errors.append(str(e))
+
+    warm = [threading.Thread(target=_warm) for _ in range(args.concurrency)]
     for t in warm:
         t.start()
     for t in warm:
         t.join()
+    if warm_errors:
+        raise RuntimeError(
+            f"{len(warm_errors)} warm-phase request(s) failed — buckets are "
+            f"cold, aborting before the measured window: {warm_errors[0]}")
     baseline = srv.engine.stats_snapshot()
 
     stop = time.time() + args.duration_s
@@ -343,12 +393,23 @@ def _bench_stream(args, srv, t_boot, build_s, timeout_s):
     # bucket; then one full-concurrency wave warms every batch bucket
     stream_post(host, port, pcm, **kw)
     first_request_s = time.perf_counter() - t_boot
-    warm = [threading.Thread(target=stream_post, args=(host, port, pcm),
-                             kwargs=kw) for _ in range(args.concurrency)]
+    warm_errors = []
+
+    def _warm():
+        try:
+            stream_post(host, port, pcm, **kw)
+        except Exception as e:  # a cold bucket would poison the window
+            warm_errors.append(str(e))
+
+    warm = [threading.Thread(target=_warm) for _ in range(args.concurrency)]
     for t in warm:
         t.start()
     for t in warm:
         t.join()
+    if warm_errors:
+        raise RuntimeError(
+            f"{len(warm_errors)} warm-phase stream(s) failed — buckets are "
+            f"cold, aborting before the measured window: {warm_errors[0]}")
     baseline = srv.engine.stats_snapshot()
 
     stop = time.time() + args.duration_s

@@ -73,6 +73,19 @@ def parse_args(argv=None):
                         "i1 gate vectors; the live pipeline, which lowers "
                         "the kernel fresh per trace, is unaffected).  on: "
                         "keep the kernel, for toolchains where it works")
+    p.add_argument("--native", choices=["on", "off"], default="off",
+                   help="on: ALSO AOT-compile each bucket on the current "
+                        "backend with the live pipeline's fused Pallas "
+                        "kernels and serialize the finished executable "
+                        "(native_*.jaxexec) next to the portable StableHLO "
+                        "modules.  Native modules only load on the same "
+                        "platform/device-kind/jax-version (the loader "
+                        "checks and falls back), but keep the kernels the "
+                        "StableHLO round-trip loses")
+    p.add_argument("--native-batch-sizes", type=str, default="",
+                   help="extra batch buckets compiled ONLY as native "
+                        "executables (e.g. '32' for a large serving batch "
+                        "not worth a portable module)")
     p.add_argument("--mesh", type=str, default="",
                    help="export SHARDED modules over a device mesh, e.g. "
                         "data=4,model=2 — the artifact then requires that "
@@ -131,10 +144,37 @@ def main(argv=None):
         sampling=sampling, tokenizer_path=args.tokenizer,
         platforms=platforms,
     )
+    if args.native == "on":
+        # native executables carry the LIVE pipeline's kernels: rebuild
+        # without the portable-attention override (fused attention et al.
+        # come from the config exactly as serve.py --config would run)
+        if args.fused_attention != "on":
+            args.config_overrides = {}
+            native_pipeline = infer_cli.build_pipeline(args)
+            native_pipeline.use_condition_mask = args.condition_mask == "on"
+            if args.mesh:
+                from train import parse_mesh
+                from fddm_asr_tpu.parallel import make_mesh
+
+                native_pipeline.apply_mesh(
+                    make_mesh(parse_mesh(args.mesh)),
+                    seq_parallel=args.seq_parallel)
+        else:
+            native_pipeline = pipeline  # already fused
+        native_buckets = sorted(set(buckets) | set(parse_buckets(
+            args.native_batch_sizes, args.seconds))
+        ) if args.native_batch_sizes else buckets
+        meta = aot.save_native_modules(
+            native_pipeline, args.out, native_buckets,
+            seq_len=args.seq_len, sampling=sampling)
+    elif args.native_batch_sizes:
+        raise SystemExit("--native-batch-sizes requires --native on")
     size = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(args.out) for f in files)
     print(json.dumps({"out": args.out, "buckets": meta["buckets"],
+                      "native_buckets": (meta.get("native") or {}).get(
+                          "buckets"),
                       "seq_len": meta["seq_len"],
                       "platforms": meta["platforms"],
                       "fused_attention": args.fused_attention == "on",

@@ -94,7 +94,8 @@ class BatchingEngine:
                  max_batch: int = 16, max_wait_ms: float = 20.0,
                  bucket_seconds: float = 1.0, max_seconds: float = 30.0,
                  batch_multiple: int = 1,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 pipeline_depth: int = 2):
         self.pipeline = pipeline
         # per-request wait bound; the FIRST request on a fresh server also
         # waits out param placement + the remote XLA compile, which can
@@ -113,6 +114,13 @@ class BatchingEngine:
                 f"--max-batch {max_batch} must be a multiple of the mesh "
                 f"data-axis size {self.batch_multiple}")
         self.max_wait_s = max_wait_ms / 1e3
+        # batches concurrently in flight on the device (>= 1): while the
+        # oldest batch's results are pulled + decoded + answered, up to
+        # depth-1 younger batches keep the device busy.  2 = classic double
+        # buffering; the serve bench sweep (docs/bench_serve_r03.json)
+        # measures the knee — deeper only helps while host-side work per
+        # batch exceeds device time per batch
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.bucket = int(bucket_seconds * 16000)
         self.max_samples = int(max_seconds * 16000)
         self.q: "queue.Queue[_Request]" = queue.Queue()
@@ -369,39 +377,41 @@ class BatchingEngine:
             self.stats["errors"] += len(batch)
 
     def _loop(self):
-        # DOUBLE BUFFERING: dispatch batch N+1 to the device (JAX async
-        # dispatch returns once the work is enqueued) BEFORE blocking on
-        # batch N's results, so device execution overlaps the host-side
-        # gather + pad + decode + HTTP work.  At most two batches are in
-        # flight; per-request result order is preserved (finalize in
-        # dispatch order).
-        pending = None  # (batch, finalize, t0)
+        # PIPELINED DISPATCH: enqueue up to pipeline_depth batches on the
+        # device (JAX async dispatch returns once the work is enqueued)
+        # before blocking on the OLDEST batch's results, so device execution
+        # overlaps the host-side gather + pad + decode + HTTP work of the
+        # batches behind it.  depth=2 is classic double buffering; deeper
+        # keeps the device saturated when per-batch host work (tokenizer
+        # decode, response writing) rivals per-batch device time.
+        # Per-request result order is preserved (finalize in dispatch order).
+        inflight = collections.deque()  # of (batch, finalize, t0)
         while not self._stop.is_set():
-            # with a batch in flight, don't idle-wait long for new traffic —
-            # its finalize is the priority; the max_wait window still
+            # with batches in flight, don't idle-wait long for new traffic —
+            # their finalize is the priority; the max_wait window still
             # coalesces any queued requests while the device runs
-            batch = self._gather(
-                first_timeout=0.005 if pending is not None else 0.2)
-            nxt = None
+            batch = self._gather(first_timeout=0.005 if inflight else 0.2)
             if batch:
-                if pending is not None and self._plan_shape(batch) not in self._warm_shapes:
+                if inflight and self._plan_shape(batch) not in self._warm_shapes:
                     # COLD shape: _dispatch would block in trace + remote
-                    # XLA compile (30 s .. minutes here) with batch N's
-                    # already-computed results head-of-line blocked behind
-                    # it — answer N before starting the compile
-                    self._finalize(*pending)
-                    pending = None
+                    # XLA compile (30 s .. minutes here) with already-
+                    # computed results head-of-line blocked behind it —
+                    # answer everything in flight before starting the compile
+                    while inflight:
+                        self._finalize(*inflight.popleft())
                 t0 = time.perf_counter()
                 try:
-                    nxt = (batch, self._dispatch(batch), t0)
+                    inflight.append((batch, self._dispatch(batch), t0))
                     self._warm_shapes.add(self._plan_shape(batch))
                 except Exception as e:  # noqa: BLE001 - per-batch isolation
                     self._fail(batch, e)
-            if pending is not None:
-                self._finalize(*pending)
-            pending = nxt
-        if pending is not None:
-            self._finalize(*pending)
+            # drain ONE batch per iteration: when the pipe is full, or no
+            # new traffic arrived (answer waiting clients — their next
+            # requests re-fill the queue while younger batches still run)
+            if len(inflight) >= self.pipeline_depth or (inflight and not batch):
+                self._finalize(*inflight.popleft())
+        while inflight:
+            self._finalize(*inflight.popleft())
 
     def stats_snapshot(self) -> dict:
         with self.stats_lock:
@@ -847,7 +857,10 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
             "artifact was exported with --condition-mask off: co-batched "
             "padding can alter transcripts (export serving artifacts with "
             "--condition-mask on)", stacklevel=2)
-    buckets = [tuple(bn) for bn in meta["buckets"]]
+    # union with LOADED native executables: an artifact may carry e.g. a
+    # B=32 serving bucket only as a fused-kernel native module
+    buckets = sorted({tuple(bn) for bn in meta["buckets"]}
+                     | set(getattr(ep, "native", {})))
     batches = sorted({b for b, _ in buckets})
     samples = sorted({n for _, n in buckets})
     # fallbacks mirror aot.resolve_sampling (what the module actually baked
@@ -873,10 +886,14 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
         max_seconds=max(samples) / 16000.0,
         batch_multiple=data_ways,
         request_timeout_s=getattr(args, "request_timeout_s", 600.0),
+        pipeline_depth=getattr(args, "pipeline_depth", 2),
     )
     echo = {"model": "fddm-asr-tpu", "exported": args.exported,
             "seq_len": meta["seq_len"], **sampling,
-            "max_batch": max(batches)}
+            "max_batch": max(batches),
+            # buckets served by a deserialized fused-kernel executable
+            # (vs recompiled StableHLO) — perf-relevant, so surfaced
+            "native_buckets": sorted(list(bn) for bn in ep.native)}
     loopback = args.host in ("127.0.0.1", "localhost", "::1")
     server = FDDMHTTPServer(
         (args.host, args.port),
@@ -939,6 +956,7 @@ def build_server(args) -> ThreadingHTTPServer:
         bucket_seconds=args.bucket_seconds, max_seconds=args.max_seconds,
         batch_multiple=data_ways,
         request_timeout_s=getattr(args, "request_timeout_s", 600.0),
+        pipeline_depth=getattr(args, "pipeline_depth", 2),
     )
     echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
             "max_batch": args.max_batch}
@@ -1010,6 +1028,11 @@ def parse_args(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="device batches in flight at once (1 = no "
+                         "overlap, 2 = double buffering); deeper keeps the "
+                         "device busy while older batches are decoded and "
+                         "answered, at a small latency cost")
     ap.add_argument("--bucket-seconds", type=float, default=1.0)
     ap.add_argument("--max-seconds", type=float, default=30.0,
                     help="chunk window for long-form audio: longer uploads "

@@ -548,3 +548,51 @@ def test_legacy_two_output_artifact_fallback(synth, pipeline, artifact,
     assert [g[1] for g in got] == [w[1] for w in want]
     for g, w in zip(got, want):
         assert abs(g[2] - w[2]) < 1e-6
+
+
+def test_native_executable_modules(synth, pipeline, artifact, tmp_path):
+    """Native (serialize_executable) modules: token-identical to the
+    StableHLO path, native-only buckets extend pick_bucket, and a
+    fingerprint mismatch falls back to StableHLO silently."""
+    import shutil
+
+    from fddm_asr_tpu import aot
+
+    art = str(tmp_path / "native_art")
+    shutil.copytree(artifact, art)
+    # baseline: StableHLO-only transcripts
+    wave = _wave(2)
+    hlo = aot.ExportedPipeline.load(art).transcribe_with_ids(wave, seed=7)
+
+    # (2, N) native over the same bucket + (4, N) native-ONLY bucket
+    meta = aot.save_native_modules(pipeline, art, [(2, N), (4, N)],
+                                   seq_len=SEQ_LEN, sampling=SAMPLING)
+    assert meta["native"]["buckets"] == [[2, N], [4, N]]
+    ep = aot.ExportedPipeline.load(art)
+    assert set(ep.native) == {(2, N), (4, N)}
+    got = ep.transcribe_with_ids(wave, seed=7)
+    assert [g[1] for g in got] == [h[1] for h in hlo]
+    assert [g[0] for g in got] == [h[0] for h in hlo]
+    # native-only bucket serves rows the StableHLO set cannot
+    assert ep.pick_bucket(3, N) == (4, N)
+    out3 = ep.transcribe_with_ids(_wave(3, seed=2), seed=9,
+                                  with_confidence=True)
+    assert len(out3) == 3 and all(len(e) == 3 for e in out3)
+
+    # mismatched fingerprint -> native modules ignored, StableHLO serves
+    with open(os.path.join(art, "meta.json")) as f:
+        m = json.load(f)
+    m["native"]["device_kind"] = "some-other-accelerator"
+    with open(os.path.join(art, "meta.json"), "w") as f:
+        json.dump(m, f)
+    ep2 = aot.ExportedPipeline.load(art)
+    assert ep2.native == {}
+    got2 = ep2.transcribe_with_ids(wave, seed=7)
+    assert [g[1] for g in got2] == [h[1] for h in hlo]
+    with pytest.raises(ValueError):
+        ep2.pick_bucket(3, N)  # native-only bucket gone with the mismatch
+
+    # guard: sampling drift between module families must be rejected
+    with pytest.raises(ValueError, match="same sampling"):
+        aot.save_native_modules(pipeline, art, [(2, N)], seq_len=SEQ_LEN,
+                                sampling={**SAMPLING, "T_infer": 9})

@@ -827,3 +827,67 @@ def test_cold_shape_dispatch_does_not_block_ready_results():
         assert snap["requests"] == 2 and snap["errors"] == 0
     finally:
         eng.shutdown()
+
+
+def test_pipeline_depth_overlaps_and_preserves_results():
+    """pipeline_depth=3: up to 3 batches ride the device at once (dispatch
+    overlap observed), every request still gets its own correct result, and
+    finalize order follows dispatch order."""
+    import threading
+    import time
+
+    import numpy as np
+
+    import serve
+
+    inflight = {"now": 0, "max": 0}
+    lock = threading.Lock()
+
+    class SlowPipeline:
+        use_condition_mask = True
+
+        def transcribe_with_ids_async(self, wave, lengths=None, seq_len=None,
+                                      rng=None, with_confidence=False, **_):
+            # device work simulated by the ASYNC window: dispatch returns
+            # immediately, finalize blocks 80 ms later
+            with lock:
+                inflight["now"] += 1
+                inflight["max"] = max(inflight["max"], inflight["now"])
+            marks = [float(wave[i].sum()) for i in range(wave.shape[0])]
+            t_done = time.perf_counter() + 0.08
+
+            def fin():
+                delay = t_done - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+                with lock:
+                    inflight["now"] -= 1
+                return [(f"m{m:.0f}", [int(m)], 1.0) for m in marks]
+
+            return fin
+
+    eng = serve.BatchingEngine(SlowPipeline(), {"T_infer": 4, "r": 2}, 8,
+                               max_batch=1, max_wait_ms=1, pipeline_depth=3)
+    try:
+        results = {}
+
+        def client(i):
+            wave = np.full(1600, 1.0, np.float32) * i
+            results[i] = eng.submit(wave, f"u{i}.wav", timeout_s=20)
+
+        # max_batch=1 forces one batch per request -> the loop must pipeline
+        # across batches to overlap the 80 ms "device" windows
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(1, 13)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(1, 13):
+            assert results[i]["text"] == f"m{1600 * i}", results[i]
+        assert inflight["max"] >= 3, \
+            f"expected >=3 overlapping batches, saw {inflight['max']}"
+        snap = eng.stats_snapshot()
+        assert snap["requests"] == 12 and snap["errors"] == 0
+    finally:
+        eng.shutdown()
