@@ -203,22 +203,25 @@ _FFMPEG = shutil.which("ffmpeg")
 
 
 def load_audio(path: str, target_sr: Optional[int] = None, mono: bool = True) -> Tuple[np.ndarray, int]:
-    """Load WAV natively; other formats via ffmpeg when available."""
+    """Load WAV natively, MP3 via the in-process libmpg123 binding
+    (data/mp3.py — covers the raw Common Voice dumps, no ffmpeg needed),
+    anything else via ffmpeg when available."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         data, sr = load_wav(path)
+    elif ext in (".mp3", ".mp2", ".mpga"):
+        from fddm_asr_tpu.data.mp3 import decode_mp3, mpg123_available
+
+        if mpg123_available():
+            data, sr = decode_mp3(path)
+        elif _FFMPEG:
+            return _load_via_ffmpeg(path, target_sr, mono)
+        else:
+            raise RuntimeError(
+                f"cannot decode {ext}: neither libmpg123 nor ffmpeg is "
+                f"available; convert {path} to WAV first")
     elif _FFMPEG:
-        out_sr = target_sr or 16000
-        cmd = [
-            _FFMPEG, "-v", "error", "-i", path, "-f", "f32le",
-            "-ac", "1" if mono else "2", "-ar", str(out_sr), "-",
-        ]
-        raw = subprocess.run(cmd, capture_output=True, check=True).stdout
-        data = np.frombuffer(raw, np.float32).copy()
-        if not mono:
-            # f32le is interleaved; return [C, T] like the WAV branch does
-            data = data.reshape(-1, 2).T
-        return data, out_sr
+        return _load_via_ffmpeg(path, target_sr, mono)
     else:
         raise RuntimeError(
             f"cannot decode {ext} without ffmpeg; convert {path} to WAV first"
@@ -229,6 +232,21 @@ def load_audio(path: str, target_sr: Optional[int] = None, mono: bool = True) ->
         data = resample(data, sr, target_sr)
         sr = target_sr
     return data, sr
+
+
+def _load_via_ffmpeg(path: str, target_sr: Optional[int],
+                     mono: bool) -> Tuple[np.ndarray, int]:
+    out_sr = target_sr or 16000
+    cmd = [
+        _FFMPEG, "-v", "error", "-i", path, "-f", "f32le",
+        "-ac", "1" if mono else "2", "-ar", str(out_sr), "-",
+    ]
+    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+    data = np.frombuffer(raw, np.float32).copy()
+    if not mono:
+        # f32le is interleaved; return [C, T] like the WAV branch does
+        data = data.reshape(-1, 2).T
+    return data, out_sr
 
 
 def to_wav_16k_mono(src: str, dst: str) -> float:

@@ -213,7 +213,9 @@ def main(argv=None):
     ap.add_argument("--duration-s", type=float, default=30.0,
                     help="measurement window after warmup")
     ap.add_argument("--audio-seconds", type=float, default=10.0)
-    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-batch", type=int, default=None,
+                    help="serve.py --max-batch (default: 16 live, the "
+                         "artifact's largest bucket for --exported)")
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="engine batches in flight at once (serve.py "
@@ -261,14 +263,16 @@ def main(argv=None):
     # compile — give it the same generous bound serve.py users would set
     timeout_s = 1800.0
     if args.exported:
-        srv_argv = ["--exported", args.exported, "--port", "0",
+        srv_argv = (["--exported", args.exported, "--port", "0",
                     "--max-wait-ms", str(args.max_wait_ms),
                     "--pipeline-depth", str(args.pipeline_depth),
                     "--request-timeout-s", str(timeout_s)]
+                    + (["--max-batch", str(args.max_batch)]
+                       if args.max_batch else []))
     elif args.config and args.ckpt:
         srv_argv = ([
             "--config", args.config, "--ckpt", args.ckpt,
-            "--port", "0", "--max-batch", str(args.max_batch),
+            "--port", "0", "--max-batch", str(args.max_batch or 16),
             "--max-wait-ms", str(args.max_wait_ms),
             "--pipeline-depth", str(args.pipeline_depth),
             "--request-timeout-s", str(timeout_s),

@@ -879,9 +879,16 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
     if mesh_meta:
         axes = dict(zip(mesh_meta["axis_names"], mesh_meta["shape"]))
         data_ways = int(axes.get("data", 1))
+    max_batch = max(batches)
+    if getattr(args, "max_batch", None):
+        if args.max_batch not in batches:
+            raise SystemExit(
+                f"--max-batch {args.max_batch} is not an exported batch "
+                f"bucket (artifact has {batches})")
+        max_batch = args.max_batch
     engine = BatchingEngine(
         ExportedEngineAdapter(ep), sampling, meta["seq_len"],
-        max_batch=max(batches), max_wait_ms=args.max_wait_ms,
+        max_batch=max_batch, max_wait_ms=args.max_wait_ms,
         bucket_seconds=min(samples) / 16000.0,
         max_seconds=max(samples) / 16000.0,
         batch_multiple=data_ways,
@@ -890,7 +897,7 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
     )
     echo = {"model": "fddm-asr-tpu", "exported": args.exported,
             "seq_len": meta["seq_len"], **sampling,
-            "max_batch": max(batches),
+            "max_batch": max_batch,
             # buckets served by a deserialized fused-kernel executable
             # (vs recompiled StableHLO) — perf-relevant, so surfaced
             "native_buckets": sorted(list(bn) for bn in ep.native)}
@@ -904,7 +911,7 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
     if getattr(args, "warmup_seconds", None):
         # exported modules still compile at first .call on this relay —
         # warmup matters just as much as for the live pipeline
-        _warmup(engine, args.warmup_seconds, max(batches))
+        _warmup(engine, args.warmup_seconds, max_batch)
     return server
 
 
@@ -952,14 +959,14 @@ def build_server(args) -> ThreadingHTTPServer:
     seq_len = args.seq_len or cfg.data.get("max_len", 64)
     engine = BatchingEngine(
         pipeline, sampling, seq_len,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_batch=args.max_batch or 16, max_wait_ms=args.max_wait_ms,
         bucket_seconds=args.bucket_seconds, max_seconds=args.max_seconds,
         batch_multiple=data_ways,
         request_timeout_s=getattr(args, "request_timeout_s", 600.0),
         pipeline_depth=getattr(args, "pipeline_depth", 2),
     )
     echo = {"model": "fddm-asr-tpu", "seq_len": seq_len, **sampling,
-            "max_batch": args.max_batch}
+            "max_batch": args.max_batch or 16}
     # '' binds INADDR_ANY (all interfaces) — that is NOT loopback.
     loopback = args.host in ("127.0.0.1", "localhost", "::1")
     server = FDDMHTTPServer(
@@ -968,7 +975,7 @@ def build_server(args) -> ThreadingHTTPServer:
                      loopback_only_paths=not loopback))
     server.engine = engine  # for tests / shutdown
     if getattr(args, "warmup_seconds", None):
-        _warmup(engine, args.warmup_seconds, args.max_batch)
+        _warmup(engine, args.warmup_seconds, args.max_batch or 16)
     return server
 
 
@@ -1026,7 +1033,12 @@ def parse_args(argv=None):
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-batch", type=int, default=None,
+                    help="largest device batch (default 16 for live "
+                         "serving; for --exported artifacts the default is "
+                         "the artifact's largest bucket — pass a smaller "
+                         "value to cap it, e.g. for latency or a "
+                         "throughput-vs-batch sweep)")
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="device batches in flight at once (1 = no "
