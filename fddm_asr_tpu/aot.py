@@ -150,12 +150,21 @@ def resolve_sampling(sampling: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
-def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
+def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any],
+                        input_encoding: str = "f32"):
     """Fused encode+sample step with the fixed AOT calling convention.
 
     `pipeline` is a live FDDMPipeline; `sampling` takes the same keys as
     FDDMPipeline.sample (T_infer/r/greedy/posterior_mode/sampling_mode/
     temperature/ref_compat).
+
+    input_encoding="pcm16": the wave argument is int16 PCM, expanded to
+    float32/32768 as the program's first op.  Exists because host->device
+    bandwidth is the serving bottleneck in relay-attached environments
+    (measured 40 MB/s round 3: a B=32 x 20 s f32 batch costs ~1.0 s to
+    upload vs 0.25 s to compute) — int16 halves the bytes and is LOSSLESS
+    for audio that arrived as 16-bit PCM (every WAV upload and pcm16
+    stream; float sources quantize at ~96 dB SNR).
     """
     from fddm_asr_tpu.sampler import SamplerConfig, make_sample_fn
 
@@ -184,8 +193,14 @@ def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any]):
     pad_id = pipeline.pad_id
     special = dict(pipeline.special_ids)
 
+    if input_encoding not in ("f32", "pcm16"):
+        raise ValueError(f"unknown input_encoding {input_encoding!r}")
+    pcm16 = input_encoding == "pcm16"
+
     def transcribe_step(enc_params, dec_params, seed, wave, lengths):
         rng = jax.random.key(seed)
+        if pcm16:  # wire dtype int16 -> model dtype, on device
+            wave = wave.astype(jnp.float32) / 32768.0
         feats, feat_mask, _ = pipeline.encoder.apply(
             enc_params, wave, lengths if use_cmask else None,
             deterministic=True)
@@ -208,14 +223,16 @@ def _tree_specs(tree: Any):
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
 
 
-def _bucket_specs(pipeline, batch: int, num_samples: int):
+def _bucket_specs(pipeline, batch: int, num_samples: int,
+                  input_encoding: str = "f32"):
     """(enc, dec, seed, wave, lengths) ShapeDtypeStructs for one bucket —
     sharding-annotated when the pipeline has a mesh applied."""
+    wave_dtype = np.int16 if input_encoding == "pcm16" else np.float32
     mesh = getattr(pipeline, "mesh", None)
     if mesh is None:
         enc_specs = _tree_specs(pipeline.encoder_params)
         dec_specs = _tree_specs(pipeline.decoder_params)
-        wave_spec = jax.ShapeDtypeStruct((batch, num_samples), np.float32)
+        wave_spec = jax.ShapeDtypeStruct((batch, num_samples), wave_dtype)
         len_spec = jax.ShapeDtypeStruct((batch,), np.int32)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -232,7 +249,7 @@ def _bucket_specs(pipeline, batch: int, num_samples: int):
         enc_specs = jax.tree.map(placed_spec, pipeline.encoder_params)
         dec_specs = jax.tree.map(placed_spec, pipeline.decoder_params)
         wave_spec = jax.ShapeDtypeStruct(
-            (batch, num_samples), np.float32,
+            (batch, num_samples), wave_dtype,
             sharding=NamedSharding(mesh, P("data", None)))
         len_spec = jax.ShapeDtypeStruct(
             (batch,), np.int32, sharding=NamedSharding(mesh, P("data")))
@@ -247,6 +264,7 @@ def export_transcribe(
     seq_len: int,
     sampling: Dict[str, Any],
     platforms: Optional[Sequence[str]] = None,
+    input_encoding: str = "f32",
 ) -> jax_export.Exported:
     """Lower ONE (batch, num_samples) bucket to a jax.export.Exported.
 
@@ -257,8 +275,8 @@ def export_transcribe(
     model code).  Token-exact vs the single-device export — pinned in
     tests/test_aot_export.py.
     """
-    fn = build_transcribe_fn(pipeline, seq_len, sampling)
-    specs = _bucket_specs(pipeline, batch, num_samples)
+    fn = build_transcribe_fn(pipeline, seq_len, sampling, input_encoding)
+    specs = _bucket_specs(pipeline, batch, num_samples, input_encoding)
     exp = jax_export.export(
         jax.jit(fn),
         platforms=tuple(platforms) if platforms else None,
@@ -278,12 +296,13 @@ def native_fingerprint() -> Dict[str, str]:
 
 
 def compile_transcribe(pipeline, batch: int, num_samples: int, seq_len: int,
-                       sampling: Dict[str, Any]):
+                       sampling: Dict[str, Any],
+                       input_encoding: str = "f32"):
     """AOT-compile ONE bucket on the CURRENT backend (jit → lower →
     compile).  Unlike export_transcribe this keeps whatever kernels the
     live pipeline uses — Pallas fused attention included."""
-    fn = build_transcribe_fn(pipeline, seq_len, sampling)
-    specs = _bucket_specs(pipeline, batch, num_samples)
+    fn = build_transcribe_fn(pipeline, seq_len, sampling, input_encoding)
+    specs = _bucket_specs(pipeline, batch, num_samples, input_encoding)
     return jax.jit(fn).lower(*specs).compile()
 
 
@@ -316,8 +335,9 @@ def save_native_modules(
     if int(seq_len) != int(meta["seq_len"]):
         raise ValueError(
             f"native seq_len {seq_len} != artifact seq_len {meta['seq_len']}")
+    enc = meta.get("input_encoding", "f32")
     for b, n in buckets:
-        comp = compile_transcribe(pipeline, b, n, seq_len, sampling)
+        comp = compile_transcribe(pipeline, b, n, seq_len, sampling, enc)
         payload, in_tree, out_tree = se.serialize(comp)
         with open(os.path.join(out_dir, f"native_b{b}_n{n}.jaxexec"),
                   "wb") as f:
@@ -339,12 +359,14 @@ def save_artifact(
     sampling: Dict[str, Any],
     tokenizer_path: str,
     platforms: Optional[Sequence[str]] = None,
+    input_encoding: str = "f32",
 ) -> Dict[str, Any]:
     """Export every bucket + params + tokenizer into `out_dir`; returns the
     meta dict.  `buckets` is a list of (batch, num_samples)."""
     os.makedirs(out_dir, exist_ok=True)
     for b, n in buckets:
-        exp = export_transcribe(pipeline, b, n, seq_len, sampling, platforms)
+        exp = export_transcribe(pipeline, b, n, seq_len, sampling, platforms,
+                                input_encoding)
         with open(os.path.join(out_dir, f"module_b{b}_n{n}.jaxexport"),
                   "wb") as f:
             f.write(exp.serialize())
@@ -383,6 +405,9 @@ def save_artifact(
         # reduced inside the program (loaders of 2-output artifacts from
         # before this key fall back to a host-side reduction)
         "device_confidence": True,
+        # wire dtype of the wave argument: "pcm16" halves H2D bytes and is
+        # lossless for 16-bit-PCM sources (absent == "f32", pre-round-3)
+        "input_encoding": input_encoding,
         "tokenizer_file": tok_file,
     }
     with open(os.path.join(out_dir, _META), "w") as f:
@@ -461,6 +486,9 @@ class ExportedPipeline:
             os.path.join(path, _TOKDIR, self.meta["tokenizer_file"]))
         self.special_ids = self.meta["special_ids"]
         self.pad_id = self.special_ids["pad_id"]
+        # wire dtype of the wave input ("pcm16" halves H2D bytes); the
+        # serving engine reads this to build int16 batch buffers directly
+        self.input_encoding = self.meta.get("input_encoding", "f32")
 
     @classmethod
     def load(cls, path: str) -> "ExportedPipeline":
@@ -497,6 +525,10 @@ class ExportedPipeline:
         self.dec_params = jax.tree.unflatten(dec_td, [
             jax.device_put(l, s)
             for l, s in zip(dec_leaves, flat_sh[ne:ne + nd])])
+        # per-call input placement (transcribe_with_ids_async device_puts
+        # wave/lengths explicitly): the module's recorded shardings
+        self._wave_sharding = flat_sh[-2]
+        self._len_sharding = flat_sh[-1]
 
     # ------------------------------------------------------------- buckets
     def pick_bucket(self, rows: int, samples: int) -> Tuple[int, int]:
@@ -533,14 +565,23 @@ class ExportedPipeline:
         batch N+1's device execution with batch N's host decode."""
         from fddm_asr_tpu.eval import ids_to_text, utterance_confidence
 
-        wave = np.asarray(wave, np.float32)
+        pcm16 = self.meta.get("input_encoding", "f32") == "pcm16"
+        if pcm16 and np.asarray(wave).dtype == np.int16:
+            wave = np.asarray(wave)  # already wire-ready (engine fast path)
+        else:
+            wave = np.asarray(wave, np.float32)
+            if pcm16:
+                # quantize to the wire dtype: exact inverse of the
+                # program's /32768 for audio that came from 16-bit PCM
+                wave = np.clip(np.round(wave * 32768.0),
+                               -32768, 32767).astype(np.int16)
         if wave.ndim == 1:
             wave = wave[None]
         rows, samples = wave.shape
         if lengths is None:
             lengths = np.full((rows,), samples, np.int32)
         b, n = self.pick_bucket(rows, samples)
-        wave_p = np.zeros((b, n), np.float32)
+        wave_p = np.zeros((b, n), np.int16 if pcm16 else np.float32)
         wave_p[:rows, :samples] = wave
         # clamp to one conv-frame's receptive field: shorter lengths yield
         # ZERO encoder frames whose all-masked attention rows would reach
@@ -551,6 +592,17 @@ class ExportedPipeline:
         floor = min(CONV_RECEPTIVE_FIELD, n)
         len_p = np.full((b,), floor, np.int32)
         len_p[:rows] = np.maximum(np.asarray(lengths, np.int32), floor)
+        # EXPLICIT input placement: handing numpy straight to the module
+        # call moves audio at ~10 MB/s through this environment's relay
+        # (3.7-6.0 s for a B=32 wave) vs ~1 GB/s for a device_put (0.04 s)
+        # — measured round 3; the device-resident call then runs at the
+        # offline bench's 0.26 s/step
+        if self.mesh is not None:
+            wave_p = jax.device_put(wave_p, self._wave_sharding)
+            len_p = jax.device_put(len_p, self._len_sharding)
+        else:
+            wave_p = jax.device_put(wave_p)
+            len_p = jax.device_put(len_p)
         native = self.native.get((b, n))
         if native is not None:  # fused-kernel executable — preferred
             outs = native(self.enc_params, self.dec_params,

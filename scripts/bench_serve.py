@@ -227,6 +227,10 @@ def main(argv=None):
     ap.add_argument("--mesh", default="")
     ap.add_argument("--seq-parallel", action="store_true")
     ap.add_argument("--device", default=None)
+    ap.add_argument("--direct", action="store_true",
+                    help="drive BatchingEngine.submit directly (no HTTP, "
+                         "no WAV decode): isolates engine+device capacity "
+                         "from the Python HTTP stack on 1-core hosts")
     ap.add_argument("--stream", action="store_true",
                     help="bench POST /v1/transcribe/stream (duplex chunked "
                          "upload + NDJSON partials) instead of the batch "
@@ -297,6 +301,9 @@ def main(argv=None):
     if args.stream:
         _bench_stream(args, srv, t_boot, build_s, timeout_s)
         return
+    if args.direct:
+        _bench_direct(args, srv, t_boot, build_s)
+        return
     body = _wav_bytes(args.audio_seconds, seed=0)
 
     def post():
@@ -362,6 +369,7 @@ def main(argv=None):
         "value": round(audio_s / wall, 1) if wall > 0 else 0.0,
         "unit": "audio_s/s",
         "engine_rtfx_device": snap.get("rtfx"),
+        "stage_ms": snap.get("stage_ms"),
         "latency_ms": snap.get("latency_ms"),
         "mean_batch_size": snap.get("mean_batch_size"),
         "requests": requests,
@@ -471,6 +479,81 @@ def _bench_stream(args, srv, t_boot, build_s, timeout_s):
     print(json.dumps(result))
     srv.shutdown()
     srv.engine.shutdown()
+
+
+
+
+def _bench_direct(args, srv, t_boot, build_s):
+    """Engine-level load: concurrency threads call engine.submit with
+    pre-decoded float32 audio.  No sockets, no WAV parse, no JSON — the
+    number is what the batching engine + device deliver; the delta vs the
+    default (HTTP) mode is the Python web-stack cost on this host."""
+    import numpy as np
+
+    import jax
+
+    eng = srv.engine
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal(int(args.audio_seconds * 16000)) * 0.1
+            ).astype(np.float32)
+
+    eng.submit(wave, "warm0.wav")
+    first_request_s = time.perf_counter() - t_boot
+    warm_errors = []
+
+    def _warm():
+        r = eng.submit(wave, "warm.wav")
+        if "error" in r:
+            warm_errors.append(r["error"])
+
+    warm = [threading.Thread(target=_warm) for _ in range(args.concurrency)]
+    for t in warm:
+        t.start()
+    for t in warm:
+        t.join()
+    if warm_errors:
+        raise RuntimeError(f"warm-phase failed: {warm_errors[0]}")
+    baseline = eng.stats_snapshot()
+
+    stop = time.time() + args.duration_s
+
+    def client(i):
+        while time.time() < stop:
+            r = eng.submit(wave, f"c{i}.wav")
+            if "error" in r:
+                raise RuntimeError(r["error"])
+
+    clients = [threading.Thread(target=client, args=(i,))
+               for i in range(args.concurrency)]
+    t0 = time.time()
+    for t in clients:
+        t.start()
+    for t in clients:
+        t.join()
+    wall = time.time() - t0
+
+    snap = eng.stats_snapshot()
+    audio_s = snap["audio_seconds"] - baseline["audio_seconds"]
+    print(json.dumps({
+        "metric": "serve_direct_rtfx",
+        "value": round(audio_s / wall, 1) if wall > 0 else 0.0,
+        "unit": "audio_s/s",
+        "stage_ms": snap.get("stage_ms"),
+        "latency_ms": snap.get("latency_ms"),
+        "mean_batch_size": snap.get("mean_batch_size"),
+        "requests": snap["requests"] - baseline["requests"],
+        "errors": snap["errors"] - baseline["errors"],
+        "offered_concurrency": args.concurrency,
+        "audio_seconds_per_request": args.audio_seconds,
+        "pipeline_depth": args.pipeline_depth,
+        "max_batch": args.max_batch,
+        "cold_start_s": {"build": round(build_s, 2),
+                         "first_request": round(first_request_s, 2)},
+        "serving": ("exported" if args.exported else "live") + "+direct",
+        "platform": jax.devices()[0].platform,
+    }))
+    srv.shutdown()
+    eng.shutdown()
 
 
 if __name__ == "__main__":

@@ -62,7 +62,15 @@ def main(argv=None):
                          "dots=save projection/FFN matmul outputs and "
                          "recompute only attention+elementwise in backprop "
                          "(more HBM, faster backward scan)")
+    ap.add_argument("--device", default=None,
+                    help="cpu forces the CPU backend (env var alone is not "
+                         "enough — sitecustomize bakes the TPU platform "
+                         "into jax.config)")
     args = ap.parse_args(argv)
+    if args.device and args.device.startswith("cpu"):
+        from fddm_asr_tpu.runtime import force_cpu
+
+        force_cpu()
     if args.finetune and (args.cached or args.quant != "none"):
         ap.error("--finetune excludes --cached and --quant (grads flow "
                  "through the encoder)")
@@ -190,6 +198,27 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     step_s = min(times)
 
+    # MFU: compiled-program FLOPs (XLA cost analysis) / wall step time /
+    # peak.  v5e bf16 peak is 197 TFLOP/s (not 394 — that's int8); override
+    # with BENCH_PEAK_TFLOPS for other parts.  Counts executed FLOPs, so a
+    # remat'd step reports the recompute it actually runs.
+    tflops_per_s = mfu_pct = None
+    try:
+        cost = jax.jit(step).lower(state, jax.random.key(0)).compile(
+        ).cost_analysis()
+        fl = float((cost or {}).get("flops", 0.0))
+        if fl > 0:
+            tflops_per_s = fl / step_s / 1e12
+            peaks = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
+            peak = float(os.environ.get(
+                "BENCH_PEAK_TFLOPS",
+                peaks.get(jax.devices()[0].device_kind, 0)) or 0)
+            if peak:
+                mfu_pct = round(100.0 * tflops_per_s / peak, 2)
+            tflops_per_s = round(tflops_per_s, 2)
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+
     print(json.dumps({
         "metric": "train_step_examples_per_s",
         "value": round(B / step_s, 2),
@@ -197,6 +226,8 @@ def main(argv=None):
         "batch": B,
         "audio_seconds": args.seconds,
         "step_seconds": round(step_s, 4),
+        "tflops_per_s": tflops_per_s,
+        "mfu_pct": mfu_pct,
         "compile_seconds": round(compile_s, 1),
         "lfd": args.lfd,
         "cached_features": args.cached,

@@ -73,6 +73,13 @@ def parse_args(argv=None):
                         "i1 gate vectors; the live pipeline, which lowers "
                         "the kernel fresh per trace, is unaffected).  on: "
                         "keep the kernel, for toolchains where it works")
+    p.add_argument("--input-encoding", choices=["f32", "pcm16"],
+                   default="f32",
+                   help="wire dtype of the wave input baked into the "
+                        "modules.  pcm16 halves host->device bytes (the "
+                        "measured serving bottleneck on relay-attached "
+                        "hosts) and is lossless for 16-bit-PCM sources; "
+                        "f32 is the historical default")
     p.add_argument("--native", choices=["on", "off"], default="off",
                    help="on: ALSO AOT-compile each bucket on the current "
                         "backend with the live pipeline's fused Pallas "
@@ -117,6 +124,10 @@ def main(argv=None):
     if args.device and args.device.startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
 
+    from fddm_asr_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()  # native bucket compiles are remote + expensive
+
     import inference as infer_cli
     from fddm_asr_tpu import aot
 
@@ -142,7 +153,7 @@ def main(argv=None):
     meta = aot.save_artifact(
         pipeline, args.out, buckets, seq_len=args.seq_len,
         sampling=sampling, tokenizer_path=args.tokenizer,
-        platforms=platforms,
+        platforms=platforms, input_encoding=args.input_encoding,
     )
     if args.native == "on":
         # native executables carry the LIVE pipeline's kernels: rebuild

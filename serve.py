@@ -129,6 +129,11 @@ class BatchingEngine:
             "requests": 0, "errors": 0, "batches": 0,
             "audio_seconds": 0.0, "device_seconds": 0.0,
             "batch_size_sum": 0,
+            # per-batch stage time sums (seconds): pad+build host work,
+            # async dispatch call, blocked-on-results wait, decode+respond
+            # — /stats exposes per-batch means so engine overhead is
+            # measurable in production, not guessed at
+            "t_pad": 0.0, "t_dispatch": 0.0, "t_wait": 0.0, "t_respond": 0.0,
             # bounded: percentiles over the most RECENT window only
             "latencies_ms": collections.deque(maxlen=1000),
         }
@@ -306,11 +311,20 @@ class BatchingEngine:
         independent on device."""
         import jax
 
+        t_start = time.perf_counter()
         Bp, T = self._plan_shape(batch)
-        wave = np.zeros((Bp, T), np.float32)
+        # pcm16 wire dtype: halve the host->device bytes (the measured
+        # serving bottleneck through the relay); exact for 16-bit-PCM
+        # sources — the padded int16 buffer is what the program expands
+        pcm16 = getattr(self.pipeline, "input_encoding", "f32") == "pcm16"
+        wave = np.zeros((Bp, T), np.int16 if pcm16 else np.float32)
         lengths = np.full((Bp,), min(1600, T), np.int64)
         for i, r in enumerate(batch):
-            wave[i, : len(r.wave)] = r.wave
+            if pcm16:
+                wave[i, : len(r.wave)] = np.clip(
+                    np.round(r.wave * 32768.0), -32768, 32767)
+            else:
+                wave[i, : len(r.wave)] = r.wave
             # Clamp to one conv-frame's receptive field: shorter lengths
             # yield ZERO encoder frames, whose all-masked attention rows
             # would reach the decoder (inference.py guards its rows
@@ -324,17 +338,26 @@ class BatchingEngine:
                if getattr(self.pipeline, "takes_seed", False)
                else jax.random.key(self._rng_counter))
         async_fn = getattr(self.pipeline, "transcribe_with_ids_async", None)
+        t_pad = time.perf_counter()
         if async_fn is not None:
-            return async_fn(wave, lengths, seq_len=self.seq_len, rng=rng,
-                            with_confidence=True, **self.sampling)
-        return lambda: self.pipeline.transcribe_with_ids(
-            wave, lengths, seq_len=self.seq_len, rng=rng,
-            with_confidence=True, **self.sampling)
+            fin = async_fn(wave, lengths, seq_len=self.seq_len, rng=rng,
+                           with_confidence=True, **self.sampling)
+        else:
+            fin = lambda: self.pipeline.transcribe_with_ids(  # noqa: E731
+                wave, lengths, seq_len=self.seq_len, rng=rng,
+                with_confidence=True, **self.sampling)
+        t_disp = time.perf_counter()
+        with self.stats_lock:
+            self.stats["t_pad"] += t_pad - t_start
+            self.stats["t_dispatch"] += t_disp - t_pad
+        return fin
 
     def _finalize(self, batch: List[_Request], fin, t0: float) -> None:
         try:
+            t_call = time.perf_counter()
             texts_ids = fin()[: len(batch)]
             now = time.perf_counter()
+            t_wait = now - t_call
             # engine-busy time: union of in-flight windows (double-buffered
             # batches overlap — summing raw dispatch->finalize walls would
             # double-count and under-report /stats rtfx).  Single-threaded:
@@ -362,6 +385,8 @@ class BatchingEngine:
                     sum(len(r.wave) for r in batch) / 16000.0)
                 self.stats["device_seconds"] += device_s
                 self.stats["batch_size_sum"] += len(batch)
+                self.stats["t_wait"] += t_wait
+                self.stats["t_respond"] += time.perf_counter() - now
                 self.stats["latencies_ms"].extend(
                     (now - r.t_enqueue) * 1e3 for r in batch
                 )
@@ -428,6 +453,13 @@ class BatchingEngine:
                 "rtfx": (
                     round(self.stats["audio_seconds"] / self.stats["device_seconds"], 1)
                     if self.stats["device_seconds"] > 0 else None
+                ),
+                # mean per-batch stage times: where an engine cycle goes
+                "stage_ms": (
+                    {k: round(1e3 * self.stats["t_" + k]
+                              / self.stats["batches"], 1)
+                     for k in ("pad", "dispatch", "wait", "respond")}
+                    if self.stats["batches"] else None
                 ),
             }
             if lat:
@@ -826,6 +858,7 @@ class ExportedEngineAdapter:
 
     def __init__(self, exported):
         self.ep = exported
+        self.input_encoding = getattr(exported, "input_encoding", "f32")
 
     def transcribe_with_ids(self, wave, lengths=None, seq_len=None,
                             rng=0, with_confidence=False, **_sampling):

@@ -500,7 +500,7 @@ def test_legacy_two_output_artifact_fallback(synth, pipeline, artifact,
 
     from fddm_asr_tpu import aot
 
-    def legacy_build(pl, seq_len, sampling):
+    def legacy_build(pl, seq_len, sampling, input_encoding="f32"):
         from fddm_asr_tpu.sampler import SamplerConfig, make_sample_fn
 
         s = aot.resolve_sampling(sampling)
@@ -596,3 +596,38 @@ def test_native_executable_modules(synth, pipeline, artifact, tmp_path):
     with pytest.raises(ValueError, match="same sampling"):
         aot.save_native_modules(pipeline, art, [(2, N)], seq_len=SEQ_LEN,
                                 sampling={**SAMPLING, "T_infer": 9})
+
+
+def test_pcm16_input_encoding_artifact(synth, pipeline, tmp_path):
+    """input_encoding=pcm16: wave travels as int16 (half the H2D bytes —
+    the measured serving bottleneck) and the program expands /32768.
+    Token-identical to the live pipeline fed the same quantized values;
+    int16 input is accepted directly (engine fast path)."""
+    import jax
+
+    from fddm_asr_tpu import aot
+
+    art = str(tmp_path / "pcm16_art")
+    tok = pipeline.cfg.data.get("tokenizer_path")
+    aot.save_artifact(pipeline, art, [(2, N)], seq_len=SEQ_LEN,
+                      sampling=SAMPLING, tokenizer_path=tok,
+                      input_encoding="pcm16")
+    ep = aot.ExportedPipeline.load(art)
+    assert ep.input_encoding == "pcm16"
+    wave = _wave(2) * 0.1  # keep inside [-1, 1] so quantization is linear
+    i16 = np.clip(np.round(wave * 32768.0), -32768, 32767).astype(np.int16)
+    got = ep.transcribe_with_ids(wave, seed=7)
+    ref = pipeline.transcribe_with_ids(
+        i16.astype(np.float32) / 32768.0, seq_len=SEQ_LEN,
+        rng=jax.random.key(np.uint32(7)), **SAMPLING)
+    assert [g[1] for g in got] == [r[1] for r in ref]
+    got2 = ep.transcribe_with_ids(i16, seed=7)
+    assert [g[1] for g in got2] == [g[1] for g in got]
+
+    # native modules inherit the artifact's encoding
+    aot.save_native_modules(pipeline, art, [(2, N)], seq_len=SEQ_LEN,
+                            sampling=SAMPLING)
+    ep2 = aot.ExportedPipeline.load(art)
+    assert set(ep2.native) == {(2, N)}
+    got3 = ep2.transcribe_with_ids(wave, seed=7)
+    assert [g[1] for g in got3] == [g[1] for g in got]
