@@ -193,14 +193,13 @@ def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any],
     pad_id = pipeline.pad_id
     special = dict(pipeline.special_ids)
 
-    if input_encoding not in ("f32", "pcm16"):
-        raise ValueError(f"unknown input_encoding {input_encoding!r}")
-    pcm16 = input_encoding == "pcm16"
+    from fddm_asr_tpu.data.wire import decode_wire_jnp, wire_dtype
+
+    wire_dtype(input_encoding)  # validate
 
     def transcribe_step(enc_params, dec_params, seed, wave, lengths):
         rng = jax.random.key(seed)
-        if pcm16:  # wire dtype int16 -> model dtype, on device
-            wave = wave.astype(jnp.float32) / 32768.0
+        wave = decode_wire_jnp(wave, input_encoding)  # wire -> f32 on device
         feats, feat_mask, _ = pipeline.encoder.apply(
             enc_params, wave, lengths if use_cmask else None,
             deterministic=True)
@@ -227,7 +226,9 @@ def _bucket_specs(pipeline, batch: int, num_samples: int,
                   input_encoding: str = "f32"):
     """(enc, dec, seed, wave, lengths) ShapeDtypeStructs for one bucket —
     sharding-annotated when the pipeline has a mesh applied."""
-    wave_dtype = np.int16 if input_encoding == "pcm16" else np.float32
+    from fddm_asr_tpu.data.wire import wire_dtype
+
+    wave_dtype = wire_dtype(input_encoding)
     mesh = getattr(pipeline, "mesh", None)
     if mesh is None:
         enc_specs = _tree_specs(pipeline.encoder_params)
@@ -565,23 +566,23 @@ class ExportedPipeline:
         batch N+1's device execution with batch N's host decode."""
         from fddm_asr_tpu.eval import ids_to_text, utterance_confidence
 
-        pcm16 = self.meta.get("input_encoding", "f32") == "pcm16"
-        if pcm16 and np.asarray(wave).dtype == np.int16:
+        from fddm_asr_tpu.data.wire import encode_wire, wire_dtype
+
+        enc = self.meta.get("input_encoding", "f32")
+        wdt = wire_dtype(enc)
+        if np.asarray(wave).dtype == wdt:
             wave = np.asarray(wave)  # already wire-ready (engine fast path)
         else:
-            wave = np.asarray(wave, np.float32)
-            if pcm16:
-                # quantize to the wire dtype: exact inverse of the
-                # program's /32768 for audio that came from 16-bit PCM
-                wave = np.clip(np.round(wave * 32768.0),
-                               -32768, 32767).astype(np.int16)
+            # encode floats to the wire dtype here (lossless for 16-bit-PCM
+            # sources under pcm16; companded under mulaw8 — see data/wire)
+            wave = encode_wire(np.asarray(wave, np.float32), enc)
         if wave.ndim == 1:
             wave = wave[None]
         rows, samples = wave.shape
         if lengths is None:
             lengths = np.full((rows,), samples, np.int32)
         b, n = self.pick_bucket(rows, samples)
-        wave_p = np.zeros((b, n), np.int16 if pcm16 else np.float32)
+        wave_p = np.zeros((b, n), wdt)
         wave_p[:rows, :samples] = wave
         # clamp to one conv-frame's receptive field: shorter lengths yield
         # ZERO encoder frames whose all-masked attention rows would reach

@@ -73,13 +73,16 @@ def parse_args(argv=None):
                         "i1 gate vectors; the live pipeline, which lowers "
                         "the kernel fresh per trace, is unaffected).  on: "
                         "keep the kernel, for toolchains where it works")
-    p.add_argument("--input-encoding", choices=["f32", "pcm16"],
+    p.add_argument("--input-encoding", choices=["f32", "pcm16", "mulaw8"],
                    default="f32",
                    help="wire dtype of the wave input baked into the "
-                        "modules.  pcm16 halves host->device bytes (the "
-                        "measured serving bottleneck on relay-attached "
-                        "hosts) and is lossless for 16-bit-PCM sources; "
-                        "f32 is the historical default")
+                        "modules (fddm_asr_tpu/data/wire.py).  pcm16 "
+                        "halves host->device bytes (the measured serving "
+                        "bottleneck on relay-attached hosts) and is "
+                        "lossless for 16-bit-PCM sources; mulaw8 quarters "
+                        "them at ~telephone-grade companding (max "
+                        "throughput, opt-in); f32 is the historical "
+                        "default")
     p.add_argument("--native", choices=["on", "off"], default="off",
                    help="on: ALSO AOT-compile each bucket on the current "
                         "backend with the live pipeline's fused Pallas "

@@ -631,3 +631,54 @@ def test_pcm16_input_encoding_artifact(synth, pipeline, tmp_path):
     assert set(ep2.native) == {(2, N)}
     got3 = ep2.transcribe_with_ids(wave, seed=7)
     assert [g[1] for g in got3] == [g[1] for g in got]
+
+
+def test_mulaw8_input_encoding_artifact(synth, pipeline, tmp_path):
+    """mulaw8 wire encoding: uint8 companded upload (quarter of f32),
+    expanded on device; token-identical to the live pipeline fed the
+    companded-then-expanded float wave."""
+    import jax
+
+    from fddm_asr_tpu import aot
+    from fddm_asr_tpu.data.wire import mulaw_decode_np, mulaw_encode
+
+    art = str(tmp_path / "mulaw_art")
+    tok = pipeline.cfg.data.get("tokenizer_path")
+    aot.save_artifact(pipeline, art, [(2, N)], seq_len=SEQ_LEN,
+                      sampling=SAMPLING, tokenizer_path=tok,
+                      input_encoding="mulaw8")
+    ep = aot.ExportedPipeline.load(art)
+    assert ep.input_encoding == "mulaw8"
+    wave = _wave(2) * 0.1
+    got = ep.transcribe_with_ids(wave, seed=7)
+    ref = pipeline.transcribe_with_ids(
+        mulaw_decode_np(mulaw_encode(wave)), seq_len=SEQ_LEN,
+        rng=jax.random.key(np.uint32(7)), **SAMPLING)
+    assert [g[1] for g in got] == [r[1] for r in ref]
+
+
+def test_wire_codec_roundtrip():
+    from fddm_asr_tpu.data.wire import (
+        decode_wire_jnp, encode_wire, mulaw_decode_np, mulaw_encode,
+        wire_dtype,
+    )
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(16000) * 0.2).clip(-1, 1).astype(np.float32)
+    # mulaw8: companded SNR on speech-level signals is ~35+ dB
+    y = mulaw_decode_np(mulaw_encode(x))
+    snr = 10 * np.log10((x ** 2).mean() / ((x - y) ** 2).mean())
+    assert snr > 30, snr
+    # pcm16 round-trip is exact for 16-bit-PCM-representable values
+    i16 = (x * 32768.0).round().clip(-32768, 32767)
+    x16 = (i16 / 32768.0).astype(np.float32)
+    w = encode_wire(x16, "pcm16")
+    assert w.dtype == np.int16
+    assert np.array_equal(np.asarray(decode_wire_jnp(w, "pcm16")), x16)
+    # jnp and np mulaw decoders agree bit-for-bit on all 256 codes
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.allclose(np.asarray(decode_wire_jnp(codes, "mulaw8")),
+                       mulaw_decode_np(codes), atol=1e-7)
+    assert wire_dtype("mulaw8") == np.uint8
+    with pytest.raises((ValueError, KeyError)):
+        wire_dtype("pcm24")
