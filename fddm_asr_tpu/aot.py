@@ -566,7 +566,9 @@ class ExportedPipeline:
         batch N+1's device execution with batch N's host decode."""
         from fddm_asr_tpu.eval import ids_to_text, utterance_confidence
 
-        from fddm_asr_tpu.data.wire import encode_wire, wire_dtype
+        from fddm_asr_tpu.data.wire import (
+            encode_wire, silence_value, wire_dtype,
+        )
 
         enc = self.meta.get("input_encoding", "f32")
         wdt = wire_dtype(enc)
@@ -582,7 +584,7 @@ class ExportedPipeline:
         if lengths is None:
             lengths = np.full((rows,), samples, np.int32)
         b, n = self.pick_bucket(rows, samples)
-        wave_p = np.zeros((b, n), wdt)
+        wave_p = np.full((b, n), silence_value(enc), wdt)
         wave_p[:rows, :samples] = wave
         # clamp to one conv-frame's receptive field: shorter lengths yield
         # ZERO encoder frames whose all-masked attention rows would reach

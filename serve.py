@@ -175,9 +175,21 @@ class BatchingEngine:
             chunks = [wave[s:e]
                       for s, e in plan_silence_chunks(wave, self.max_samples)]
         return [
-            _Request(c, name if len(chunks) == 1 else f"{name}#chunk{i}")
+            _Request(self._to_wire(c),
+                     name if len(chunks) == 1 else f"{name}#chunk{i}")
             for i, c in enumerate(chunks)
         ]
+
+    def _to_wire(self, wave: np.ndarray) -> np.ndarray:
+        """Convert float audio to the pipeline wire dtype AT INGESTION so
+        the cost lands in HTTP/client threads, not the serial engine loop
+        (mulaw companding measured ~335 ms/batch in-loop)."""
+        enc = getattr(self.pipeline, "input_encoding", "f32")
+        if enc == "f32":
+            return wave
+        from fddm_asr_tpu.data.wire import encode_wire
+
+        return encode_wire(wave, enc)
 
     def _enqueue(self, reqs: List[_Request]) -> None:
         for r in reqs:
@@ -319,14 +331,14 @@ class BatchingEngine:
         enc = getattr(self.pipeline, "input_encoding", "f32")
         if enc == "f32":
             wave = np.zeros((Bp, T), np.float32)
-            for i, r in enumerate(batch):
-                wave[i, : len(r.wave)] = r.wave
         else:
-            from fddm_asr_tpu.data.wire import encode_wire, wire_dtype
+            from fddm_asr_tpu.data.wire import silence_value, wire_dtype
 
-            wave = np.zeros((Bp, T), wire_dtype(enc))
-            for i, r in enumerate(batch):
-                wave[i, : len(r.wave)] = encode_wire(r.wave, enc)
+            # NOT zeros: a zero mulaw byte is -1.0 full-scale DC
+            wave = np.full((Bp, T), silence_value(enc), wire_dtype(enc))
+        for i, r in enumerate(batch):
+            # rows were wire-encoded at ingestion (_to_wire)
+            wave[i, : len(r.wave)] = r.wave
         lengths = np.full((Bp,), min(1600, T), np.int64)
         for i, r in enumerate(batch):
             # Clamp to one conv-frame's receptive field: shorter lengths
@@ -548,7 +560,8 @@ class StreamingSession:
     def _commit(self, wave: np.ndarray) -> None:
         # a cut implies at least one more chunk follows, so chunked naming
         # is decided here exactly as _plan_requests does with full knowledge
-        req = _Request(wave, f"{self.name}#chunk{len(self._reqs)}")
+        req = _Request(self.engine._to_wire(wave),
+                       f"{self.name}#chunk{len(self._reqs)}")
         self._reqs.append(req)
         self.engine._enqueue([req])
 
@@ -579,7 +592,7 @@ class StreamingSession:
             # sole chunk: plain name, matching _plan_requests' single-chunk
             # naming (the tail may be empty — same silence-clamp path as an
             # empty upload)
-            req = _Request(self._tail, self.name)
+            req = _Request(self.engine._to_wire(self._tail), self.name)
             self._reqs.append(req)
             self.engine._enqueue([req])
         else:
