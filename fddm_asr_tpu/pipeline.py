@@ -346,6 +346,16 @@ class FDDMPipeline:
     # weights into the compiled program as constants (rejected by the TPU
     # remote-compile service for large models).
     def _encode(self, params, wave, lengths):
+        # wire dtypes expand to float INSIDE the program so batch audio can
+        # ship compact (int16 halves, mulaw uint8 quarters the H2D bytes —
+        # the measured serving bottleneck); jit retraces per input dtype,
+        # one compiled program each
+        from fddm_asr_tpu.data.wire import decode_wire_jnp
+
+        if wave.dtype == jnp.int16:
+            wave = decode_wire_jnp(wave, "pcm16")
+        elif wave.dtype == jnp.uint8:
+            wave = decode_wire_jnp(wave, "mulaw8")
         return self.encoder.apply(params, wave, lengths, deterministic=True)
 
     def _decoder_fwd(self, params, xt, t, c, x_mask, c_mask):
@@ -355,8 +365,13 @@ class FDDMPipeline:
     def encode_waveform(
         self, wave: np.ndarray, lengths: Optional[np.ndarray] = None
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        # f32 cast on host, then ONE explicit device_put (see _shard_batch)
-        wave = self._shard_batch(np.asarray(wave, np.float32))
+        # compact wire dtypes (int16 pcm / uint8 mulaw) pass through to the
+        # device untouched — _encode expands them in-program; anything else
+        # is cast to f32 on host.  ONE explicit device_put (see _shard_batch)
+        wave = np.asarray(wave)
+        if wave.dtype not in (np.int16, np.uint8):
+            wave = wave.astype(np.float32)
+        wave = self._shard_batch(wave)
         if not self.use_condition_mask:
             lengths = None  # reference parity: encoder called without lengths
         feats, feat_mask, _ = self._encode_jit(

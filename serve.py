@@ -986,6 +986,8 @@ def build_server(args) -> ThreadingHTTPServer:
         use_condition_mask=True,  # bucket padding must not alter transcripts
         dtype=dtype,
     )
+    # engine wire-encodes at ingestion; _encode expands in-program
+    pipeline.input_encoding = getattr(args, "wire_dtype", "f32")
     data_ways = 1
     if getattr(args, "mesh", ""):
         from train import parse_mesh
@@ -1120,6 +1122,14 @@ def parse_args(argv=None):
                     help="with --mesh model=N>1: ring-attention sequence "
                          "parallelism in the encoder (see inference.py)")
     ap.add_argument("--device", default=None, help="cpu forces the CPU backend")
+    ap.add_argument("--wire-dtype", choices=["f32", "pcm16", "mulaw8"],
+                    default="f32",
+                    help="wire dtype for batch audio uploads on the LIVE "
+                         "serving path (exported artifacts bake theirs at "
+                         "export --input-encoding): pcm16 halves, mulaw8 "
+                         "quarters host->device bytes; pcm16 is lossless "
+                         "for 16-bit-PCM sources, mulaw8 is telephone-"
+                         "grade (see fddm_asr_tpu/data/wire.py)")
     ap.add_argument("--dtype", choices=["config", "bfloat16", "float32"],
                     default="config",
                     help="model compute dtype (live serving); config honors "

@@ -155,3 +155,31 @@ def test_transcribe_api(tiny):
     wave = np.random.default_rng(1).standard_normal((2, 1600)).astype(np.float32)
     texts = pipeline.transcribe(wave, seq_len=6, T_infer=4, r=2, greedy=True)
     assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+
+def test_pipeline_accepts_wire_dtypes(tiny):
+    """Live pipeline input robustness: int16 (pcm16) and uint8 (mulaw8)
+    waves expand INSIDE the encode program (data/wire.py) — transcripts
+    must equal feeding the expanded float wave directly.  This is the live
+    serving upload-bound fast path (serve.py --wire-dtype)."""
+    import jax
+
+    from fddm_asr_tpu.data.wire import mulaw_decode_np, mulaw_encode
+
+    _, pipeline, _ = tiny
+    rng = np.random.default_rng(3)
+    wave16 = np.clip(np.round(
+        rng.standard_normal((2, 1600)) * 0.1 * 32768), -32768, 32767
+    ).astype(np.int16)
+    f32 = wave16.astype(np.float32) / 32768.0
+    kw = dict(seq_len=8, T_infer=4, r=2, greedy=True)
+
+    a = pipeline.transcribe_with_ids(f32, rng=jax.random.key(5), **kw)
+    b = pipeline.transcribe_with_ids(wave16, rng=jax.random.key(5), **kw)
+    assert [x[1] for x in a] == [x[1] for x in b]
+
+    u8 = mulaw_encode(f32)
+    c = pipeline.transcribe_with_ids(mulaw_decode_np(u8),
+                                     rng=jax.random.key(5), **kw)
+    d = pipeline.transcribe_with_ids(u8, rng=jax.random.key(5), **kw)
+    assert [x[1] for x in c] == [x[1] for x in d]
