@@ -732,6 +732,7 @@ def _run_training_impl(
                 "(model.encoder.freeze: true) — a fine-tuned encoder "
                 "changes its features every step"
             )
+        feats_dev = gather_feats = None
         if cache_dir:
             feat_cache = _ensure_feature_cache(
                 pipeline, train_ds, cache_dir, "train", batch_size,
@@ -739,6 +740,31 @@ def _run_training_impl(
             cached_step = make_train_step(
                 pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg,
                 cached_features=True)
+            # DEVICE-RESIDENT cache: park the whole feature tensor in HBM
+            # once and gather batches on device — per-step host traffic
+            # drops to indices + tokens.  Matters wherever host->device
+            # bandwidth is scarce (the relay moves 40 MB/s; a B=16 x 20 s
+            # feature batch is ~25-50 MB = the whole step budget).  auto:
+            # on for single-device meshes when the tensor fits comfortably;
+            # multi-host/mesh training keeps per-host streaming (each host
+            # feeds only its slice there).
+            cache_device = data_cfg.get("cache_device", "auto")
+            n_rows = feat_cache.shape[0]
+            cache_bytes = int(np.prod(feat_cache.shape)) * (
+                2 if feat_cache.dtype_token == "bfloat16" else 4)
+            if cache_device is True or (
+                    cache_device == "auto" and mesh.size == 1
+                    and jax.process_count() == 1
+                    and cache_bytes <= 2 * 1024**3):
+                feats_dev = jax.device_put(
+                    feat_cache.rows(np.arange(n_rows)), batch_shard)
+                gather_feats = jax.jit(
+                    lambda f, i: jnp.take(f, i, axis=0),
+                    in_shardings=(batch_shard, None),
+                    out_shardings=batch_shard)
+                logging.info(
+                    f"feature cache device-resident: {n_rows} rows, "
+                    f"{cache_bytes / 1e6:.0f} MB in HBM")
 
         # the step functions always take the ORIGINAL frozen/base encoder
         # params — in LoRA mode eval overwrites pipeline.encoder_params with
@@ -768,8 +794,13 @@ def _run_training_impl(
                 step_rng = jax.random.key(host_rng.integers(2**63))
                 if feat_cache is not None:
                     with annotate("host_to_device"):
-                        c = dist.put_global_batch(
-                            feat_cache.rows(batch.indices), batch_shard)
+                        if feats_dev is not None:  # gather rows in HBM
+                            c = gather_feats(
+                                feats_dev,
+                                jnp.asarray(batch.indices, jnp.int32))
+                        else:
+                            c = dist.put_global_batch(
+                                feat_cache.rows(batch.indices), batch_shard)
                         x0 = dist.put_global_batch(
                             batch.tokens.astype(np.int32), batch_shard)
                     state, metrics = cached_step(state, c, x0, step_rng, apply_lfd)

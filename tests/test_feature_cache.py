@@ -206,3 +206,33 @@ def test_precompute_script_then_train(tmp_path):
     s = run_training(Config(raw), raw_cfg=raw, export_pt=False)
     assert np.isfinite(s["train_loss"])
     assert feats.stat().st_mtime == mtime  # accepted, not rebuilt
+
+
+def test_device_resident_cache_matches_host_streaming(tmp_path):
+    """data.cache_device: true parks the feature tensor in device memory
+    and gathers batches on device (zero per-step feature upload — the
+    host->device path is the relay bottleneck).  Losses must match the
+    host-streaming cache path bit-for-bit."""
+    from scripts.make_synth_data import main as synth_main
+    from fddm_asr_tpu.config import load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+    raw = load_yaml(os.path.join(out, "config.yaml"))
+    raw["optim"]["num_epochs"] = 2
+    raw["optim"]["batch_size"] = 8
+    raw["data"]["val_json"] = raw["data"]["test_json"] = "/nonexistent"
+    raw["data"]["cache_features"] = str(tmp_path / "feats")
+
+    def run(device_cache, tag):
+        r = json.loads(json.dumps(raw))
+        r["log"]["ckpt_dir"] = str(tmp_path / f"ck_{tag}")
+        r["data"]["cache_device"] = device_cache
+        cfg = Config(r)
+        return run_training(cfg, raw_cfg=r, export_pt=False)
+
+    host = run(False, "host")
+    dev = run(True, "dev")
+    np.testing.assert_allclose(dev["train_loss"], host["train_loss"],
+                               rtol=1e-6)
