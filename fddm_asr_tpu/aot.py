@@ -606,17 +606,26 @@ class ExportedPipeline:
         else:
             wave_p = jax.device_put(wave_p)
             len_p = jax.device_put(len_p)
+        call_args = (self.enc_params, self.dec_params, np.uint32(seed),
+                     wave_p, len_p)
+        # native modules are BEST-EFFORT: a deserialized executable can
+        # fail at call or result-pull time (e.g. XLA:CPU AOT loads on a
+        # host whose machine features differ from the compile machine) —
+        # demote the bucket to its StableHLO module and retry, so a bad
+        # native module degrades performance, never availability
         native = self.native.get((b, n))
+        outs = None
         if native is not None:  # fused-kernel executable — preferred
-            outs = native(self.enc_params, self.dec_params,
-                          np.uint32(seed), wave_p, len_p)
-        else:
-            outs = self._modules[(b, n)].call(
-                self.enc_params, self.dec_params, np.uint32(seed),
-                wave_p, len_p)
+            try:
+                outs = native(*call_args)
+            except Exception as e:  # noqa: BLE001 — fallback below
+                self._demote_native((b, n), e)
+                native = None
+        if outs is None:
+            outs = self._modules[(b, n)].call(*call_args)
         device_conf = bool(self.meta.get("device_confidence"))
 
-        def finalize():
+        def pull(outs):
             conf = None
             if device_conf:
                 ids, p, conf_d = outs
@@ -643,7 +652,28 @@ class ExportedPipeline:
                 out.append(entry)
             return out
 
+        def finalize():
+            try:
+                return pull(outs)
+            except Exception as e:  # noqa: BLE001 — native-result fallback
+                if native is None or (b, n) not in self._modules:
+                    raise
+                self._demote_native((b, n), e)
+                return pull(self._modules[(b, n)].call(*call_args))
+
         return finalize
+
+    def _demote_native(self, bucket: Tuple[int, int], err: Exception) -> None:
+        import warnings
+
+        self.native.pop(bucket, None)
+        if bucket not in self._modules:
+            raise RuntimeError(
+                f"native-only bucket {bucket} failed with no StableHLO "
+                f"fallback module") from err
+        warnings.warn(
+            f"native module for bucket {bucket} failed ({err}); bucket "
+            "demoted to its StableHLO module", stacklevel=3)
 
     def transcribe(self, wave, lengths=None, seed: int = 0) -> List[str]:
         return [t for t, _ in

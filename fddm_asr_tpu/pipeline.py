@@ -143,6 +143,7 @@ class FDDMPipeline:
         )
         self.decoder_params = decoder_params
         self.encoder_params = encoder_params
+        self.wavlm_config = wavlm_config  # kept for clone_with_wavlm_config
         self.mesh = None  # set by apply_mesh() for multi-chip inference
 
         self._encode_jit = jax.jit(self._encode)
@@ -269,6 +270,20 @@ class FDDMPipeline:
         return pipeline
 
     # --------------------------------------------------------- multi-device
+    def clone_with_wavlm_config(self, **overrides) -> "FDDMPipeline":
+        """A pipeline over the SAME params with encoder-config overrides
+        (e.g. fused_attention) — avoids re-loading a multi-GB checkpoint
+        just to change lowering choices (scripts/export_model.py builds the
+        portable-attention StableHLO modules and the fused native
+        executables from one load this way)."""
+        return FDDMPipeline(
+            cfg=self.cfg, decoder_params=self.decoder_params,
+            encoder_params=self.encoder_params, sched=self.sched,
+            tokenizer=self.tokenizer, special_ids=self.special_ids,
+            wavlm_config=dataclasses.replace(self.wavlm_config, **overrides),
+            use_condition_mask=self.use_condition_mask, dtype=self.dtype,
+        )
+
     def apply_mesh(self, mesh, seq_parallel: bool = False) -> "FDDMPipeline":
         """Shard the pipeline over a jax Mesh for multi-chip inference.
 

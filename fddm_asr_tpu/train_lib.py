@@ -749,6 +749,11 @@ def _run_training_impl(
             # multi-host/mesh training keeps per-host streaming (each host
             # feeds only its slice there).
             cache_device = data_cfg.get("cache_device", "auto")
+            if cache_device is True and jax.process_count() > 1:
+                raise ValueError(
+                    "data.cache_device: true is single-process only (each "
+                    "host streams its own batch slice in multi-host runs); "
+                    "use 'auto' or false")
             n_rows = feat_cache.shape[0]
             cache_bytes = int(np.prod(feat_cache.shape)) * (
                 2 if feat_cache.dtype_token == "bfloat16" else 4)

@@ -204,8 +204,19 @@ def main(argv=None):
     # remat'd step reports the recompute it actually runs.
     tflops_per_s = mfu_pct = None
     try:
-        cost = jax.jit(step).lower(state, jax.random.key(0)).compile(
-        ).cost_analysis()
+        # lower the ALREADY-JITTED step with params threaded as arguments:
+        # jit of the `step` closure would embed the encoder params (and
+        # batch) as HLO constants — a second multi-GB program the remote
+        # compile service rejects with HTTP 413 (CLAUDE.md)
+        key0 = jax.random.key(0)
+        if args.cached:
+            lowered = train_step.lower(state, c, x0, key0, args.lfd)
+        elif args.finetune and not args.lora:
+            lowered = train_step.lower(state, wave, x0, key0, args.lfd)
+        else:
+            lowered = train_step.lower(state, pipeline.encoder_params, wave,
+                                       x0, key0, args.lfd)
+        cost = lowered.compile().cost_analysis()
         fl = float((cost or {}).get("flops", 0.0))
         if fl > 0:
             tflops_per_s = fl / step_s / 1e12

@@ -159,20 +159,15 @@ def main(argv=None):
         platforms=platforms, input_encoding=args.input_encoding,
     )
     if args.native == "on":
-        # native executables carry the LIVE pipeline's kernels: rebuild
-        # without the portable-attention override (fused attention et al.
-        # come from the config exactly as serve.py --config would run)
+        # native executables carry the LIVE pipeline's kernels: clone the
+        # loaded pipeline (same params — no second checkpoint load) without
+        # the portable-attention override
         if args.fused_attention != "on":
-            args.config_overrides = {}
-            native_pipeline = infer_cli.build_pipeline(args)
-            native_pipeline.use_condition_mask = args.condition_mask == "on"
-            if args.mesh:
-                from train import parse_mesh
-                from fddm_asr_tpu.parallel import make_mesh
-
-                native_pipeline.apply_mesh(
-                    make_mesh(parse_mesh(args.mesh)),
-                    seq_parallel=args.seq_parallel)
+            native_pipeline = pipeline.clone_with_wavlm_config(
+                fused_attention=True)
+            if pipeline.mesh is not None:
+                native_pipeline.apply_mesh(pipeline.mesh,
+                                           seq_parallel=args.seq_parallel)
         else:
             native_pipeline = pipeline  # already fused
         native_buckets = sorted(set(buckets) | set(parse_buckets(

@@ -248,15 +248,22 @@ def _main_words(args):
                     vocab_json_path=os.path.join(tok_dir, "vocab.json"))
 
     max_chars = 0
-    # DISJOINT compositions per split: validation measures transcription of
-    # unseen sequences, not recall of memorized ones
+    # DISJOINT compositions per split: sequences already emitted by an
+    # earlier split are re-drawn, so validation/test measure transcription
+    # of genuinely unseen sequences, not recall of memorized ones
+    seen = set()
     for split, seed in (("train", 1), ("validation", 2), ("test", 3)):
         srng = np.random.default_rng(seed)
         records = []
         for i in range(args.n):
             dur = float(srng.uniform(lo, hi))
             k = max(2, int(round(dur / _SEG_SECONDS)))
-            chars = [charset[j] for j in srng.integers(0, len(charset), k)]
+            for _ in range(100):
+                chars = [charset[j]
+                         for j in srng.integers(0, len(charset), k)]
+                if tuple(chars) not in seen:
+                    break
+            seen.add(tuple(chars))
             max_chars = max(max_chars, k)
             wav = _render_chars(chars, char_index, srng, sr)
             path = os.path.join(clips, f"{split}_{i:03d}.wav")
@@ -278,10 +285,15 @@ def _main_words(args):
             w.writerows(records)
 
     max_len = max_chars + 4  # chars + eos + slack
+    # segment-grid ceiling: a k-segment clip is 0.5*k seconds, which can
+    # exceed the drawn duration by up to 0.25 s — max_seconds must cover
+    # the longest RENDERED clip or the loader truncates its final tone
+    # while the transcript keeps the character
+    max_sec_cfg = _SEG_SECONDS * max_chars
     smoke = f"""seed: 7
 data:
   sample_rate: 16000
-  max_seconds: {hi}
+  max_seconds: {max_sec_cfg}
   pad_id: 0
   eos_id: 2
   max_len: {max_len}

@@ -1055,13 +1055,26 @@ def _warmup(engine: BatchingEngine, seconds_list: str, max_batch: int) -> None:
     # same counter (CLAUDE.md serving invariant).
     takes_seed = getattr(engine.pipeline, "takes_seed", False)
     rng = 0 if takes_seed else jax.random.key(0)
+    # mirror _dispatch's WIRE dtype too: a --wire-dtype pcm16/mulaw8 server
+    # dispatches int16/uint8 buffers, and the encode program retraces per
+    # input dtype — warming the f32 program would leave every real shape
+    # cold (and falsely mark it warm for the cold-shape guard)
+    enc = getattr(engine.pipeline, "input_encoding", "f32")
+    if enc == "f32":
+        wire_np = np.float32
+        fill = 0
+    else:
+        from fddm_asr_tpu.data.wire import silence_value, wire_dtype
+
+        wire_np = wire_dtype(enc)
+        fill = silence_value(enc)
     for sec in (float(s) for s in str(seconds_list).split(",") if s):
         T = min(-(-int(sec * 16000) // engine.bucket) * engine.bucket,
                 max(engine.max_samples, CONV_RECEPTIVE_FIELD))
         for B in sorted({engine._bucket_batch_size(n)
                          for n in range(1, max_batch + 1)}):
             t0 = time.perf_counter()
-            wave = np.zeros((B, T), np.float32)
+            wave = np.full((B, T), fill, wire_np)
             lengths = np.full((B,), min(1600, T), np.int64)
             engine.pipeline.transcribe_with_ids(
                 wave, lengths, seq_len=engine.seq_len, rng=rng,
