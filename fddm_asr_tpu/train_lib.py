@@ -958,11 +958,18 @@ def _run_training_impl(
                 msg += f" | test_cer={test_cer:.4f}"
             logging.info(msg)
 
-            _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state,
-                       epoch, raw_cfg,
-                       best_val_cer if best_val_cer != float("inf") else None,
-                       export_pt, ema_export=ema_eval, extra_meta=ckpt_meta,
-                       asynchronous=async_ckpt, mesh=mesh)
+            # log.ckpt_every (default 1 = reference per-epoch cadence;
+            # final epoch always saved): a checkpoint costs a full param
+            # pull + serialize — with fast (device-resident-cache) epochs
+            # it dominates wall time, so long runs raise the interval
+            ckpt_every = int(cfg.log.get("ckpt_every", 1) or 1)
+            if epoch % ckpt_every == 0 or epoch == num_epochs:
+                _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state,
+                           epoch, raw_cfg,
+                           best_val_cer if best_val_cer != float("inf") else None,
+                           export_pt, ema_export=ema_eval,
+                           extra_meta=ckpt_meta,
+                           asynchronous=async_ckpt, mesh=mesh)
             summary = {
                 "epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
                 "val_cer": val_cer, "test_cer": test_cer,
