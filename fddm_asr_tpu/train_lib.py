@@ -422,6 +422,92 @@ def setup_logging(log_dir: str = "logs") -> str:
     return log_file
 
 
+def _active_log_file() -> Optional[str]:
+    """Path of the live FileHandler installed by setup_logging, if any."""
+    for h in logging.getLogger().handlers:
+        if isinstance(h, logging.FileHandler):
+            return h.baseFilename
+    return None
+
+
+class RunLock:
+    """Per-ckpt_dir run lock: refuse to start when another LIVE process owns
+    the same checkpoint directory.
+
+    Round-3 post-mortem: two flagship trainers silently shared one
+    `log.ckpt_dir` (and the single TPU), stomping each other's checkpoints
+    and halving host throughput.  The lock file `<ckpt_dir>/.run.lock`
+    records pid / log file / start time — the PID+log+ckpt linkage for run
+    forensics.  A lock whose pid is dead is stale and is taken over (crashes
+    and SIGKILL leave the file behind; that must not brick the directory).
+    Opt-out with log.run_lock: false (e.g. intentional concurrent readers).
+    Multi-process runs: only the primary host acquires.
+    """
+
+    def __init__(self, ckpt_dir: str):
+        self.path = os.path.join(ckpt_dir, ".run.lock")
+        self.acquired = False
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        return True
+
+    def acquire(self):
+        import json
+
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        if os.path.exists(self.path):
+            try:
+                with open(self.path, encoding="utf-8") as f:
+                    holder = json.load(f)
+            except Exception:
+                holder = {}
+            pid = int(holder.get("pid", -1))
+            if pid > 0 and pid != os.getpid() and self._pid_alive(pid):
+                raise RuntimeError(
+                    f"ckpt_dir is owned by a LIVE training run: pid {pid} "
+                    f"(log {holder.get('log_file')}, started "
+                    f"{holder.get('started')}) holds {self.path}.  Two "
+                    "concurrent runs sharing one ckpt_dir stomp each "
+                    "other's checkpoints — pick a different log.ckpt_dir, "
+                    "wait for / kill the other run, or (if you really mean "
+                    "it) set log.run_lock: false")
+            if pid > 0 and not self._pid_alive(pid):
+                logging.info(
+                    f"stale run lock (dead pid {pid}) in {self.path} — "
+                    "taking over")
+        record = {
+            "pid": os.getpid(),
+            "host": os.uname().nodename,
+            "log_file": _active_log_file(),
+            "started": datetime.now().isoformat(timespec="seconds"),
+            "argv": sys.argv,
+        }
+        tmp = self.path + f".tmp{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(record, f)
+        os.replace(tmp, self.path)
+        self.acquired = True
+        logging.info(
+            f"run lock: pid {record['pid']} log={record['log_file']} "
+            f"ckpt_dir={os.path.dirname(self.path)}")
+
+    def release(self):
+        if not self.acquired:
+            return
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+        self.acquired = False
+
+
 def run_training(
     cfg: Config,
     raw_cfg: Optional[dict] = None,
@@ -449,6 +535,10 @@ def run_training(
 
     profiler_ctx = trace(profile_dir)
     guard_ctx = nan_guard(debug_nans)
+    lock = None
+    if cfg.log.get("run_lock", True) and dist.is_primary():
+        lock = RunLock(os.path.abspath(cfg.log.get("ckpt_dir", "ckpts/run")))
+        lock.acquire()
     profiler_ctx.__enter__()
     guard_ctx.__enter__()
     try:
@@ -474,6 +564,8 @@ def run_training(
                 logging.exception("async checkpoint flush failed")
         guard_ctx.__exit__(None, None, None)
         profiler_ctx.__exit__(None, None, None)
+        if lock is not None:
+            lock.release()
 
 
 def _run_training_impl(
@@ -714,6 +806,16 @@ def _run_training_impl(
                 f"process count {shard[1]}"
             )
         n_step_fd = cfg.lfd.get("n_step_fd", 4)
+        # lfd.enabled: false (or lfd.tau: 0) turns the feature-decoupling
+        # loss OFF entirely — the L_fd jit variant never compiles and no
+        # alignment/projection FLOPs are spent.  Ablation knob: at flagship
+        # scale τ·w_t·L_fd at the reference default τ=1 dominates the KL
+        # ~30-50:1 and drives logits toward uniform (round-1 finding,
+        # reconfirmed round 3: 400 epochs stuck at val CER 1.9).
+        lfd_enabled = (bool(cfg.lfd.get("enabled", True))
+                       and float(cfg.lfd.get("tau", 1.0)) != 0.0)
+        if not lfd_enabled:
+            logging.info("L_fd disabled (lfd.enabled/tau) — pure-KL training")
         log_every = cfg.log.get("log_every", 50)
         num_epochs = cfg.optim.get("num_epochs", 10)
         if eval_every is None:  # not passed: defer to config
@@ -754,6 +856,15 @@ def _run_training_impl(
                     "data.cache_device: true is single-process only (each "
                     "host streams its own batch slice in multi-host runs); "
                     "use 'auto' or false")
+            if cache_device is True and mesh.size != 1:
+                # the explicit path must match the auto path's condition:
+                # device_put of the full cache with batch_shard requires the
+                # row count divisible by the data axis — instead of sharding
+                # awkwardly (or failing) on multi-device meshes, refuse
+                raise ValueError(
+                    "data.cache_device: true requires a single-device mesh "
+                    f"(mesh.size={mesh.size}); use 'auto' or false — "
+                    "multi-device runs stream per-batch slices")
             n_rows = feat_cache.shape[0]
             cache_bytes = int(np.prod(feat_cache.shape)) * (
                 2 if feat_cache.dtype_token == "bfloat16" else 4)
@@ -795,7 +906,7 @@ def _run_training_impl(
             ):
                 if max_steps_per_epoch and bi >= max_steps_per_epoch:
                     break
-                apply_lfd = (global_step % n_step_fd) == 0
+                apply_lfd = lfd_enabled and (global_step % n_step_fd) == 0
                 step_rng = jax.random.key(host_rng.integers(2**63))
                 if feat_cache is not None:
                     with annotate("host_to_device"):
@@ -902,7 +1013,7 @@ def _run_training_impl(
                 return shard_example_count(len(ds), batch_size, shard,
                                            drop_last=False)
 
-            val_loss = val_cer = test_cer = None
+            val_loss = val_cer = test_cer = val_kl = None
             if do_eval and val_ds is not None and len(val_ds) > 0:
                 n_local = _eval_shard_size(val_ds)
                 cer_local = (E.evaluate_cer_with_jumpy_sampling(
@@ -916,6 +1027,20 @@ def _run_training_impl(
                                  shard=shard)) if n_local else 0.0)
                 val_cer = dist.all_hosts_weighted_mean(cer_local, n_local)
                 val_loss = dist.all_hosts_weighted_mean(loss_local, n_local)
+                # log.val_kl: sampled — a REAL validation signal (random-t
+                # masked KL mirroring the training objective) logged next to
+                # the parity-degenerate val_loss (quirk #8 stays reproduced).
+                # At-scale early warning: "val_kl descending, val_cer flat"
+                # = learning but decode broken; "val_kl flat" = not learning.
+                if cfg.log.get("val_kl") == "sampled":
+                    kl_local = (E.evaluate_validation_kl_sampled(
+                        pipeline,
+                        make_batches(val_ds, batch_size, drop_last=False,
+                                     shard=shard),
+                        mask_pad_loss=bool(
+                            cfg.optim.get("mask_pad_loss", True)),
+                    ) if n_local else 0.0)
+                    val_kl = dist.all_hosts_weighted_mean(kl_local, n_local)
                 if val_cer < best_val_cer:
                     best_val_cer, best_epoch = val_cer, epoch
                     # every host reaches here (val_cer is identical across
@@ -952,18 +1077,32 @@ def _run_training_impl(
             msg = f"[Epoch {epoch} Summary] train_loss={train_loss:.4f}"
             if val_loss is not None:
                 msg += f" | val_loss={val_loss:.4f}"
+            if val_kl is not None:
+                msg += f" | val_kl={val_kl:.4f}"
             if val_cer is not None:
                 msg += f" | val_cer={val_cer:.4f}"
             if test_cer is not None:
                 msg += f" | test_cer={test_cer:.4f}"
             logging.info(msg)
 
+            # optim.early_stop_patience: stop after N consecutive evals
+            # without a new best val CER (0/absent = run all epochs —
+            # reference behavior).  Decided BEFORE the periodic checkpoint
+            # so an early-stopped run still saves its FINAL state (resume
+            # would otherwise lose up to ckpt_every-1 epochs), and before
+            # the telemetry emit so metrics.jsonl records why the run ended.
+            stop_early = False
+            if val_cer is not None:
+                evals_since_best = (0 if epoch == best_epoch
+                                    else evals_since_best + 1)
+                stop_early = 0 < early_stop_patience <= evals_since_best
+
             # log.ckpt_every (default 1 = reference per-epoch cadence;
             # final epoch always saved): a checkpoint costs a full param
             # pull + serialize — with fast (device-resident-cache) epochs
             # it dominates wall time, so long runs raise the interval
             ckpt_every = int(cfg.log.get("ckpt_every", 1) or 1)
-            if epoch % ckpt_every == 0 or epoch == num_epochs:
+            if epoch % ckpt_every == 0 or epoch == num_epochs or stop_early:
                 _save_ckpt(os.path.join(ckpt_dir, f"ep{epoch:03d}"), state,
                            epoch, raw_cfg,
                            best_val_cer if best_val_cer != float("inf") else None,
@@ -976,15 +1115,8 @@ def _run_training_impl(
                 "best_val_cer": best_val_cer, "best_epoch": best_epoch,
                 "epoch_seconds": time.time() - t0,
             }
-            # optim.early_stop_patience: stop after N consecutive evals
-            # without a new best val CER (0/absent = run all epochs —
-            # reference behavior).  Decided BEFORE the telemetry emit so
-            # metrics.jsonl records why the run ended.
-            stop_early = False
-            if val_cer is not None:
-                evals_since_best = (0 if epoch == best_epoch
-                                    else evals_since_best + 1)
-                stop_early = 0 < early_stop_patience <= evals_since_best
+            if val_kl is not None:
+                summary["val_kl"] = val_kl
             if stop_early:
                 summary["early_stopped"] = True
             emit_metrics(kind="epoch", **{

@@ -902,6 +902,17 @@ def _build_exported_server(args) -> ThreadingHTTPServer:
                          "sampling and batch shapes")
     ep = ExportedPipeline.load(args.exported)
     meta = ep.meta
+    # the artifact's baked input_encoding always wins — a conflicting
+    # --wire-dtype would otherwise be silently ignored (clients would
+    # companded-encode for the wrong decoder)
+    flag_wire = getattr(args, "wire_dtype", None)
+    baked_wire = getattr(ep, "input_encoding", "f32")
+    if flag_wire and flag_wire != "f32" and flag_wire != baked_wire:
+        raise SystemExit(
+            f"--wire-dtype {flag_wire} conflicts with the exported "
+            f"artifact's baked input encoding '{baked_wire}' — the wire "
+            "format is fixed at export time (scripts/export_model.py "
+            "--input-encoding); drop the flag or re-export")
     if not meta.get("use_condition_mask"):
         warnings.warn(
             "artifact was exported with --condition-mask off: co-batched "

@@ -405,13 +405,18 @@ def test_metrics_jsonl_and_early_stopping(synth, tmp_path):
     raw = load_yaml(f"{synth}/config.yaml")
     raw["optim"].update(num_epochs=5, batch_size=8, lr=0.0,
                         early_stop_patience=1)
+    # ckpt_every larger than the stop epoch: ONLY the early-stop branch can
+    # save the final state (regression: resume used to lose up to
+    # ckpt_every-1 epochs on early stop)
     raw["log"].update(ckpt_dir=str(tmp_path / "ck"), log_every=1,
-                      metrics_jsonl=True)
+                      metrics_jsonl=True, ckpt_every=5)
     summary = run_training(Config(raw), raw_cfg=raw, export_pt=False)
 
     assert summary.get("early_stopped") is True
     assert summary["epoch"] == 2           # eval1 = best, eval2 = stop
     assert summary["best_epoch"] == 1
+    # the early-stopped FINAL epoch was checkpointed despite ckpt_every=5
+    assert os.path.isdir(tmp_path / "ck" / "ep002.orbax")
 
     lines = [json.loads(l) for l in
              open(tmp_path / "ck" / "metrics.jsonl", encoding="utf-8")]
@@ -425,6 +430,109 @@ def test_metrics_jsonl_and_early_stopping(synth, tmp_path):
     assert "early_stopped" not in epochs[0]
     assert all(np.isfinite(s["total_loss"]) for s in steps)
     assert all("ts" in l for l in lines)
+
+
+def test_run_lock_refuses_live_holder(synth, tmp_path):
+    """A ckpt_dir owned by a LIVE foreign process refuses to start; a stale
+    (dead-pid) lock is taken over; a completed run removes its lock."""
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    raw = load_yaml(f"{synth}/config.yaml")
+    raw["optim"].update(num_epochs=1, batch_size=8)
+    raw["log"].update(ckpt_dir=str(ckdir))
+
+    holder = subprocess.Popen(["sleep", "120"])
+    try:
+        (ckdir / ".run.lock").write_text(json.dumps(
+            {"pid": holder.pid, "log_file": "other.log", "started": "now"}))
+        with pytest.raises(RuntimeError, match="LIVE training run"):
+            run_training(Config(raw), raw_cfg=raw, export_pt=False)
+        # refusal must not clobber the holder's lock
+        assert json.loads((ckdir / ".run.lock").read_text())["pid"] == holder.pid
+    finally:
+        holder.kill()
+        holder.wait()
+
+    # holder is dead now -> stale lock is taken over and the run proceeds
+    summary = run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                           max_steps_per_epoch=1)
+    assert summary["epoch"] == 1
+    assert not (ckdir / ".run.lock").exists()  # released on exit
+
+    # opt-out: log.run_lock false never touches the lock file
+    (ckdir / ".run.lock").write_text(json.dumps({"pid": os.getpid() }))
+    raw["log"]["run_lock"] = False
+    run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                 max_steps_per_epoch=1)
+    assert (ckdir / ".run.lock").exists()
+
+
+def test_val_kl_sampled(synth, tmp_path):
+    """log.val_kl: sampled logs a NON-degenerate validation KL: present in
+    summary/telemetry, strictly positive on an untrained model, and distinct
+    from the parity-degenerate val_loss (quirk #8)."""
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    raw = load_yaml(f"{synth}/config.yaml")
+    raw["optim"].update(num_epochs=1, batch_size=8, lr=0.0)
+    raw["log"].update(ckpt_dir=str(tmp_path / "ck"), metrics_jsonl=True,
+                      val_kl="sampled")
+    summary = run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                           max_steps_per_epoch=1)
+
+    assert summary["val_kl"] is not None and np.isfinite(summary["val_kl"])
+    # untrained: the sampled KL carries real signal (>0); the degenerate
+    # t=1/x_t=x_0 value is near zero by construction — they must differ
+    assert summary["val_kl"] > 1e-3
+    assert abs(summary["val_kl"] - summary["val_loss"]) > 1e-4
+    epochs = [json.loads(l) for l in
+              open(tmp_path / "ck" / "metrics.jsonl", encoding="utf-8")
+              if json.loads(l)["kind"] == "epoch"]
+    assert epochs[-1]["val_kl"] == pytest.approx(summary["val_kl"])
+
+
+def test_val_kl_sampled_deterministic(trained):
+    """Fixed-rng metric: two evaluations of the same model are identical
+    (epoch-to-epoch movement is model movement, not noise re-draws)."""
+    from fddm_asr_tpu import eval as E
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.data.dataset import ManifestDataset, make_batches
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    cfg = Config(load_yaml(f"{trained}/config.yaml"))
+    pipe = FDDMPipeline.from_config(cfg, seed=0)
+    ds = ManifestDataset(cfg.data["val_json"], pipe.tokenizer,
+                         max_len=cfg.data["max_len"],
+                         pad_id=cfg.data["pad_id"],
+                         eos_id=cfg.data.get("eos_id"))
+    a = E.evaluate_validation_kl_sampled(pipe, make_batches(ds, 8))
+    b = E.evaluate_validation_kl_sampled(pipe, make_batches(ds, 8))
+    assert a == b and a > 0.0
+
+
+def test_lfd_disabled_by_tau_zero(synth, tmp_path):
+    """lfd.tau: 0 turns L_fd off entirely — no loss_fd in telemetry and
+    total_loss == loss_diff every step (the L_fd jit variant never runs)."""
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    raw = load_yaml(f"{synth}/config.yaml")
+    raw["optim"].update(num_epochs=1, batch_size=8)
+    raw["lfd"] = dict(raw.get("lfd", {}), tau=0.0, n_step_fd=1)
+    raw["log"].update(ckpt_dir=str(tmp_path / "ck"), metrics_jsonl=True,
+                      log_every=1)
+    run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                 max_steps_per_epoch=2)
+    steps = [json.loads(l) for l in
+             open(tmp_path / "ck" / "metrics.jsonl", encoding="utf-8")
+             if json.loads(l)["kind"] == "step"]
+    assert steps, "no step telemetry"
+    assert all("loss_fd" not in s for s in steps)
+    assert all(s["total_loss"] == pytest.approx(s["loss_diff"]) for s in steps)
 
 
 def test_cer_metrics():
