@@ -245,6 +245,17 @@ def main(argv=None):
                          "max window)")
     ap.add_argument("--chunk-ms", type=float, default=100.0,
                     help="upload slice size in audio milliseconds")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="N consecutive measured windows on the same warm "
+                         "server; reports per-window values + median/IQR. "
+                         "Single windows here are NOT quotable: identical "
+                         "configs measured 87-1114 audio_s/s across relay "
+                         "weather (docs/bench_serve_r03.json)")
+    ap.add_argument("--concurrency-sweep", default=None,
+                    help="comma list of offered concurrencies (e.g. "
+                         "'1,2,4,8,16'): one result row each at fixed "
+                         "pipeline depth — the throughput-vs-concurrency "
+                         "knee curve.  Overrides --concurrency")
     args = ap.parse_args(argv)
     if args.exported and (args.config or args.ckpt):
         ap.error("--exported and --config/--ckpt are mutually exclusive "
@@ -343,47 +354,84 @@ def main(argv=None):
         raise RuntimeError(
             f"{len(warm_errors)} warm-phase request(s) failed — buckets are "
             f"cold, aborting before the measured window: {warm_errors[0]}")
-    baseline = srv.engine.stats_snapshot()
 
-    stop = time.time() + args.duration_s
+    sweep = ([int(c) for c in args.concurrency_sweep.split(",")]
+             if args.concurrency_sweep else [args.concurrency])
+    for concurrency in sweep:
+        windows = [
+            _measured_window(post, srv, concurrency, args.duration_s)
+            for _ in range(max(1, args.repeats))
+        ]
+        vals = sorted(w["value"] for w in windows)
+        n = len(vals)
+        snap = srv.engine.stats_snapshot()
+        result = {
+            "metric": "serve_rtfx",
+            # wall-clock RTFx of the whole serving stack under load (audio
+            # seconds transcribed per second, batching + HTTP included).
+            # With --repeats > 1 the headline value is the MEDIAN of N
+            # windows (steady-state methodology: single windows swing with
+            # relay weather; the per-window wait_ms column is the covariate)
+            "value": vals[n // 2],
+            "unit": "audio_s/s",
+            "windows": [w["value"] for w in windows],
+            "window_wait_ms": [w.get("wait_ms") for w in windows],
+            "iqr": ([vals[n // 4], vals[(3 * n) // 4]] if n >= 4 else None),
+            "engine_rtfx_device": snap.get("rtfx"),
+            "stage_ms": snap.get("stage_ms"),
+            "latency_ms": snap.get("latency_ms"),
+            "mean_batch_size": snap.get("mean_batch_size"),
+            "requests": sum(w["requests"] for w in windows),
+            "errors": sum(w["errors"] for w in windows),
+            "offered_concurrency": concurrency,
+            "pipeline_depth": args.pipeline_depth,
+            "audio_seconds_per_request": args.audio_seconds,
+            "cold_start_s": {"build": round(build_s, 2),
+                             "first_request": round(first_request_s, 2)},
+            "serving": "exported" if args.exported else "live",
+            "platform": jax.devices()[0].platform,
+        }
+        print(json.dumps(result), flush=True)
+    srv.shutdown()
+    srv.engine.shutdown()
+
+
+def _stage_sum_ms(snap, stage: str) -> float:
+    """Cumulative per-stage milliseconds from a stats snapshot (the snapshot
+    exposes the running MEAN; mean x batches recovers the sum)."""
+    if not snap.get("stage_ms") or not snap.get("batches"):
+        return 0.0
+    return snap["stage_ms"].get(stage, 0.0) * snap["batches"]
+
+
+def _measured_window(post, srv, concurrency: int, duration_s: float) -> dict:
+    """One measured window at a given offered concurrency; returns the
+    window's wall-clock audio_s/s plus its mean per-batch device-wait ms —
+    the relay-weather covariate that explains window-to-window spread."""
+    baseline = srv.engine.stats_snapshot()
+    stop = time.time() + duration_s
 
     def client():
         while time.time() < stop:
             post()
 
-    clients = [threading.Thread(target=client) for _ in range(args.concurrency)]
+    clients = [threading.Thread(target=client) for _ in range(concurrency)]
     t0 = time.time()
     for t in clients:
         t.start()
     for t in clients:
         t.join()
     wall = time.time() - t0
-
     snap = srv.engine.stats_snapshot()
-    requests = snap["requests"] - baseline["requests"]
     audio_s = snap["audio_seconds"] - baseline["audio_seconds"]
-    result = {
-        "metric": "serve_rtfx",
-        # wall-clock RTFx of the whole serving stack under load (audio
-        # seconds transcribed per second, batching + HTTP included)
+    d_batches = snap["batches"] - baseline["batches"]
+    d_wait = _stage_sum_ms(snap, "wait") - _stage_sum_ms(baseline, "wait")
+    return {
         "value": round(audio_s / wall, 1) if wall > 0 else 0.0,
-        "unit": "audio_s/s",
-        "engine_rtfx_device": snap.get("rtfx"),
-        "stage_ms": snap.get("stage_ms"),
-        "latency_ms": snap.get("latency_ms"),
-        "mean_batch_size": snap.get("mean_batch_size"),
-        "requests": requests,
+        "requests": snap["requests"] - baseline["requests"],
         "errors": snap["errors"] - baseline["errors"],
-        "offered_concurrency": args.concurrency,
-        "audio_seconds_per_request": args.audio_seconds,
-        "cold_start_s": {"build": round(build_s, 2),
-                         "first_request": round(first_request_s, 2)},
-        "serving": "exported" if args.exported else "live",
-        "platform": jax.devices()[0].platform,
+        "wait_ms": round(d_wait / d_batches, 1) if d_batches else None,
     }
-    print(json.dumps(result))
-    srv.shutdown()
-    srv.engine.shutdown()
 
 
 def _bench_stream(args, srv, t_boot, build_s, timeout_s):

@@ -70,23 +70,46 @@ def main(argv=None):
         batch[i, : len(w)] = w
 
     names = [v.strip() for v in args.variants.split(",") if v.strip()]
-    allowed = {"fp", "int8", "int8_fused", "int8_all"}
+    # pcm16/mulaw8 gate the serving WIRE encodings (data/wire.py): the same
+    # fp pipeline fed the host encode->decode roundtrip of its input — the
+    # transcript-quality evidence for quoting lossy-wire serving throughput
+    # (pcm16 is lossless for PCM-originated audio; mulaw8 is ~35-38 dB SNR)
+    allowed = {"fp", "int8", "int8_fused", "int8_all", "pcm16", "mulaw8"}
     unknown = [n for n in names if n not in allowed]
     if unknown:
         sys.exit(f"unknown --variants {unknown}; allowed: {sorted(allowed)}")
+
+    def _wire_roundtrip(wave_f32, encoding):
+        from fddm_asr_tpu.data.wire import encode_wire, mulaw_decode_np
+
+        coded = encode_wire(wave_f32, encoding)
+        if encoding == "pcm16":
+            return coded.astype(np.float32) / 32768.0
+        return mulaw_decode_np(coded)
+
     variants = {}
+    pipe_cache = {}
     for name in names:
-        # "fp" = full precision; "int8"/"int8_fused" quantize the encoder;
-        # "int8_all" quantizes encoder AND decoder (projections/FFN/head)
-        enc_quant = "none" if name == "fp" else ("int8" if name == "int8_all" else name)
-        dec_quant = "int8" if name == "int8_all" else "none"
+        if name in ("pcm16", "mulaw8"):
+            enc_quant, dec_quant = "none", "none"
+            feed = _wire_roundtrip(batch, name)
+        else:
+            # "fp" = full precision; "int8"/"int8_fused" quantize the
+            # encoder; "int8_all" quantizes encoder AND decoder
+            enc_quant = "none" if name == "fp" else ("int8" if name == "int8_all" else name)
+            dec_quant = "int8" if name == "int8_all" else "none"
+            feed = batch
         vcfg = cfg.updated({"model": {
             "quant_dense": dec_quant,
             "encoder": {"wavlm_config": {"quant_dense": enc_quant}},
         }})
-        pipe = FDDMPipeline.from_config(vcfg, ckpt_path=args.ckpt, tokenizer=tokenizer)
+        # wire variants share the stock-fp pipeline — one build, one jit
+        if (enc_quant, dec_quant) not in pipe_cache:
+            pipe_cache[(enc_quant, dec_quant)] = FDDMPipeline.from_config(
+                vcfg, ckpt_path=args.ckpt, tokenizer=tokenizer)
+        pipe = pipe_cache[(enc_quant, dec_quant)]
         texts = pipe.transcribe(
-            batch, lengths, seq_len=seq_len, T_infer=T_infer, r=r, greedy=True,
+            feed, lengths, seq_len=seq_len, T_infer=T_infer, r=r, greedy=True,
         )
         cer = float(np.mean([calculate_cer(rf, hy) for rf, hy in zip(refs, texts)]))
         variants[name] = {"texts": texts, "cer": cer}

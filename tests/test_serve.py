@@ -343,13 +343,22 @@ def test_bench_serve_script(server, capsys):
     bench_main([
         "--config", f"{out}/config.yaml",
         "--ckpt", f"{out}/ckpts/best_model.orbax",
-        "--concurrency", "2", "--duration-s", "4", "--audio-seconds", "0.5",
+        "--duration-s", "2", "--audio-seconds", "0.5",
         "--T-infer", "4", "--r", "2", "--seq-len", "8",
+        "--repeats", "2", "--concurrency-sweep", "1,2",
     ])
-    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert res["metric"] == "serve_rtfx" and res["value"] > 0
-    assert res["errors"] == 0 and res["requests"] > 0
-    assert res["latency_ms"]["p95"] > 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()[-2:]]
+    # knee curve: one row per offered concurrency, each the median of
+    # --repeats measured windows with the per-window wait covariate
+    assert [r["offered_concurrency"] for r in rows] == [1, 2]
+    for res in rows:
+        assert res["metric"] == "serve_rtfx" and res["value"] > 0
+        assert res["errors"] == 0 and res["requests"] > 0
+        assert res["latency_ms"]["p95"] > 0
+        assert len(res["windows"]) == 2
+        assert res["value"] == sorted(res["windows"])[1]  # median
+        assert len(res["window_wait_ms"]) == 2
 
 
 def test_bench_serve_stream(server, capsys):

@@ -364,6 +364,27 @@ def test_validate_quant_harness(trained, capsys):
     assert np.isfinite(report["cer_fp"]) and np.isfinite(report["cer_int8"])
 
 
+def test_validate_wire_encoding_gate(trained, capsys):
+    """Wire-encoding variants (pcm16/mulaw8 host roundtrip through
+    data/wire.py) run through the same gate harness: the serving wire
+    formats get transcript-level evidence, not just SNR."""
+    from scripts.validate_quant import main as vq
+
+    vq([
+        "--config", f"{trained}/config.yaml",
+        "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--manifest", f"{trained}/data/processed/test.json",
+        "--device", "cpu", "--T-infer", "4", "--r", "2",
+        "--variants", "fp,pcm16,mulaw8",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n"] == 8
+    # pcm16 is (near-)lossless: transcripts must track fp tightly
+    assert report["transcript_agreement_pcm16"] >= 0.5, report
+    for v in ("fp", "pcm16", "mulaw8"):
+        assert np.isfinite(report[f"cer_{v}"]), report
+
+
 def test_async_checkpointing(synth, tmp_path):
     """log.async_checkpoint: true — saves overlap training, run_training
     flushes at exit, artifacts are loadable, and the trained state is
