@@ -887,6 +887,28 @@ def _run_training_impl(
         # the merged weights, which must never feed back in as the base
         encoder_base_params = pipeline.encoder_params
 
+        # Eval batches are identical every eval epoch (deterministic order,
+        # no shuffle) — materialize them once and park the WAVES on device,
+        # so repeated evals skip the host->device wave upload (the relay
+        # moves ~10-40 MB/s; re-uploading ~40 MB of val+test waves per eval
+        # epoch dominated flagship epoch-loop wall time).  Single-process
+        # only (multi-host eval is host-local and per-shard); opt out with
+        # log.cache_eval_waves: false.
+        def _eval_batches(ds):
+            if ds is None or len(ds) == 0:
+                return None
+            batches = list(make_batches(ds, batch_size, drop_last=False,
+                                        shard=shard))
+            if (cfg.log.get("cache_eval_waves", True)
+                    and jax.process_count() == 1
+                    and sum(b.wave.nbytes for b in batches) <= 512 * 1024**2):
+                batches = [dataclasses.replace(b, wave=jax.device_put(b.wave))
+                           for b in batches]
+            return batches
+
+        val_batches = _eval_batches(val_ds)
+        test_batches = _eval_batches(test_ds)
+
         # survives --resume: without this the first post-resume epoch would
         # overwrite best_model.* even when worse than the pre-resume best
         best_val_cer, best_epoch = resumed_best_cer, 0
@@ -1014,17 +1036,12 @@ def _run_training_impl(
                                            drop_last=False)
 
             val_loss = val_cer = test_cer = val_kl = None
-            if do_eval and val_ds is not None and len(val_ds) > 0:
+            if do_eval and val_batches is not None:
                 n_local = _eval_shard_size(val_ds)
                 cer_local = (E.evaluate_cer_with_jumpy_sampling(
-                    pipeline,
-                    make_batches(val_ds, batch_size, drop_last=False,
-                                 shard=shard),
-                    cfg) if n_local else 0.0)
+                    pipeline, val_batches, cfg) if n_local else 0.0)
                 loss_local = (E.evaluate_validation_loss(
-                    pipeline,
-                    make_batches(val_ds, batch_size, drop_last=False,
-                                 shard=shard)) if n_local else 0.0)
+                    pipeline, val_batches) if n_local else 0.0)
                 val_cer = dist.all_hosts_weighted_mean(cer_local, n_local)
                 val_loss = dist.all_hosts_weighted_mean(loss_local, n_local)
                 # log.val_kl: sampled — a REAL validation signal (random-t
@@ -1034,9 +1051,7 @@ def _run_training_impl(
                 # = learning but decode broken; "val_kl flat" = not learning.
                 if cfg.log.get("val_kl") == "sampled":
                     kl_local = (E.evaluate_validation_kl_sampled(
-                        pipeline,
-                        make_batches(val_ds, batch_size, drop_last=False,
-                                     shard=shard),
+                        pipeline, val_batches,
                         mask_pad_loss=bool(
                             cfg.optim.get("mask_pad_loss", True)),
                     ) if n_local else 0.0)
@@ -1065,13 +1080,10 @@ def _run_training_impl(
                         f"Saved BEST model (epoch {best_epoch}, val_cer {best_val_cer:.4f}) "
                         f"→ {os.path.join(ckpt_dir, best_art)}{suffix}"
                     )
-            if do_eval and test_ds is not None and len(test_ds) > 0:
+            if do_eval and test_batches is not None:
                 n_local = _eval_shard_size(test_ds)
                 cer_local = (E.evaluate_cer_with_jumpy_sampling(
-                    pipeline,
-                    make_batches(test_ds, batch_size, drop_last=False,
-                                 shard=shard),
-                    cfg) if n_local else 0.0)
+                    pipeline, test_batches, cfg) if n_local else 0.0)
                 test_cer = dist.all_hosts_weighted_mean(cer_local, n_local)
 
             msg = f"[Epoch {epoch} Summary] train_loss={train_loss:.4f}"

@@ -364,6 +364,25 @@ def test_validate_quant_harness(trained, capsys):
     assert np.isfinite(report["cer_fp"]) and np.isfinite(report["cer_int8"])
 
 
+def test_inspect_transcripts_tool(trained, capsys, tmp_path):
+    """Failure-mode diagnosis tool: ref-vs-hyp rows + collapse detection."""
+    from scripts.inspect_transcripts import main as inspect
+
+    out = tmp_path / "rows.json"
+    inspect([
+        "--config", f"{trained}/config.yaml",
+        "--ckpt", f"{trained}/ckpts/best_model.pt",
+        "--device", "cpu", "--T-infer", "4", "--r", "2", "--n", "4",
+        "--json", str(out),
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n"] == 4 and np.isfinite(summary["mean_cer"])
+    assert 1 <= summary["distinct_hyps"] <= 4
+    art = json.loads(out.read_text(encoding="utf-8"))
+    assert len(art["rows"]) == 4
+    assert all("ref" in r and "hyp" in r for r in art["rows"])
+
+
 def test_validate_wire_encoding_gate(trained, capsys):
     """Wire-encoding variants (pcm16/mulaw8 host roundtrip through
     data/wire.py) run through the same gate harness: the serving wire
