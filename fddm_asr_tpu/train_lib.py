@@ -908,6 +908,15 @@ def _run_training_impl(
 
         val_batches = _eval_batches(val_ds)
         test_batches = _eval_batches(test_ds)
+        # log.train_cer_batches: N (0 = off) — decode N TRAIN batches at
+        # every eval epoch.  The at-scale failure-mode discriminator:
+        # train CER -> 0 while val CER sits at the untrained floor means
+        # memorization without generalization; BOTH stuck means the
+        # optimization/decode itself is broken (round-1 failure modes).
+        train_cer_batches = int(cfg.log.get("train_cer_batches", 0) or 0)
+        train_eval_batches = (
+            _eval_batches(train_ds)[:train_cer_batches]
+            if train_cer_batches else None)
 
         # survives --resume: without this the first post-resume epoch would
         # overwrite best_model.* even when worse than the pre-resume best
@@ -1085,8 +1094,14 @@ def _run_training_impl(
                 cer_local = (E.evaluate_cer_with_jumpy_sampling(
                     pipeline, test_batches, cfg) if n_local else 0.0)
                 test_cer = dist.all_hosts_weighted_mean(cer_local, n_local)
+            train_cer = None
+            if do_eval and train_eval_batches:
+                train_cer = E.evaluate_cer_with_jumpy_sampling(
+                    pipeline, train_eval_batches, cfg)
 
             msg = f"[Epoch {epoch} Summary] train_loss={train_loss:.4f}"
+            if train_cer is not None:
+                msg += f" | train_cer={train_cer:.4f}"
             if val_loss is not None:
                 msg += f" | val_loss={val_loss:.4f}"
             if val_kl is not None:
@@ -1129,6 +1144,8 @@ def _run_training_impl(
             }
             if val_kl is not None:
                 summary["val_kl"] = val_kl
+            if train_cer is not None:
+                summary["train_cer"] = train_cer
             if stop_early:
                 summary["early_stopped"] = True
             emit_metrics(kind="epoch", **{

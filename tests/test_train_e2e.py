@@ -520,11 +520,14 @@ def test_val_kl_sampled(synth, tmp_path):
     raw = load_yaml(f"{synth}/config.yaml")
     raw["optim"].update(num_epochs=1, batch_size=8, lr=0.0)
     raw["log"].update(ckpt_dir=str(tmp_path / "ck"), metrics_jsonl=True,
-                      val_kl="sampled")
+                      val_kl="sampled", train_cer_batches=1)
     summary = run_training(Config(raw), raw_cfg=raw, export_pt=False,
                            max_steps_per_epoch=1)
 
     assert summary["val_kl"] is not None and np.isfinite(summary["val_kl"])
+    # train-CER probe: one train batch decoded at eval epochs; untrained
+    # model must NOT read 0 (the exact-value wiring guard class)
+    assert summary["train_cer"] > 0.0
     # untrained: the sampled KL carries real signal (>0); the degenerate
     # t=1/x_t=x_0 value is near zero by construction — they must differ
     assert summary["val_kl"] > 1e-3
