@@ -364,6 +364,25 @@ def test_validate_quant_harness(trained, capsys):
     assert np.isfinite(report["cer_fp"]) and np.isfinite(report["cer_int8"])
 
 
+def test_make_longform_tool(synth, capsys, tmp_path):
+    """Long-form builder: clips+gaps concatenated, audio/ref kept in sync
+    (never truncates mid-clip), sidecar ref JSON written."""
+    from scripts.make_longform import main as make_long
+
+    out = tmp_path / "long.wav"
+    make_long(["--manifest", f"{synth}/data/processed/validation.json",
+               "--out", str(out), "--minutes", "0.1", "--gap-ms", "100"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(out) and meta["seconds"] > 0
+    ref = json.loads(open(f"{out}.ref.json", encoding="utf-8").read())
+    assert len(ref["ref_text"]) == meta["ref_chars"] > 0
+    from fddm_asr_tpu.data.audio_io import load_audio
+
+    wav, sr = load_audio(str(out), target_sr=16000)
+    assert sr == 16000
+    assert abs(len(wav) / 16000 - meta["seconds"]) < 0.1
+
+
 def test_inspect_transcripts_tool(trained, capsys, tmp_path):
     """Failure-mode diagnosis tool: ref-vs-hyp rows + collapse detection."""
     from scripts.inspect_transcripts import main as inspect
