@@ -856,16 +856,17 @@ def _run_training_impl(
                     "data.cache_device: true is single-process only (each "
                     "host streams its own batch slice in multi-host runs); "
                     "use 'auto' or false")
-            if cache_device is True and mesh.size != 1:
-                # the explicit path must match the auto path's condition:
-                # device_put of the full cache with batch_shard requires the
-                # row count divisible by the data axis — instead of sharding
-                # awkwardly (or failing) on multi-device meshes, refuse
-                raise ValueError(
-                    "data.cache_device: true requires a single-device mesh "
-                    f"(mesh.size={mesh.size}); use 'auto' or false — "
-                    "multi-device runs stream per-batch slices")
             n_rows = feat_cache.shape[0]
+            if (cache_device is True and mesh.size != 1
+                    and n_rows % mesh.shape["data"] != 0):
+                # device_put of the full [N, ...] cache with batch_shard
+                # needs N divisible by the data axis; fail with a clear
+                # message instead of an opaque sharding error
+                raise ValueError(
+                    f"data.cache_device: true on a {mesh.shape['data']}-way "
+                    f"data mesh needs the cache row count ({n_rows}) "
+                    "divisible by the data axis — pad the dataset, change "
+                    "the mesh, or use cache_device: auto/false")
             cache_bytes = int(np.prod(feat_cache.shape)) * (
                 2 if feat_cache.dtype_token == "bfloat16" else 4)
             if cache_device is True or (
