@@ -895,11 +895,15 @@ def _run_training_impl(
         # epoch dominated flagship epoch-loop wall time).  Single-process
         # only (multi-host eval is host-local and per-shard); opt out with
         # log.cache_eval_waves: false.
-        def _eval_batches(ds):
+        def _eval_batches(ds, limit=None):
             if ds is None or len(ds) == 0:
                 return None
-            batches = list(make_batches(ds, batch_size, drop_last=False,
-                                        shard=shard))
+            it = make_batches(ds, batch_size, drop_last=False, shard=shard)
+            batches = []
+            for b in it:
+                batches.append(b)
+                if limit and len(batches) >= limit:
+                    break
             if (cfg.log.get("cache_eval_waves", True)
                     and jax.process_count() == 1
                     and sum(b.wave.nbytes for b in batches) <= 512 * 1024**2):
@@ -916,7 +920,7 @@ def _run_training_impl(
         # optimization/decode itself is broken (round-1 failure modes).
         train_cer_batches = int(cfg.log.get("train_cer_batches", 0) or 0)
         train_eval_batches = (
-            _eval_batches(train_ds)[:train_cer_batches]
+            _eval_batches(train_ds, limit=train_cer_batches)
             if train_cer_batches else None)
 
         # survives --resume: without this the first post-resume epoch would
