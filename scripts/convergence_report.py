@@ -17,27 +17,25 @@ import json
 import re
 import sys
 
-_LINE = re.compile(
-    r"\[Epoch (\d+) Summary\] train_loss=([\d.eE+-]+)"
-    r"(?: \| val_loss=([\d.eE+-]+))?"
-    r"(?: \| val_cer=([\d.eE+-]+))?"
-    r"(?: \| test_cer=([\d.eE+-]+))?")
+_LINE = re.compile(r"\[Epoch (\d+) Summary\] (.+)$")
+_KV = re.compile(r"(\w+)=([\d.eE+-]+|nan|inf)")
 
 
 def parse_log(path: str):
+    """Generic `key=value | key=value` epoch-summary parser — tolerates any
+    field set/order (train_cer and val_kl were added after the original
+    fixed-order regex, which silently dropped the fields behind them)."""
     curve = []
     for line in open(path, encoding="utf-8", errors="replace"):
         m = _LINE.search(line)
         if not m:
             continue
-        ep, tl, vl, vc, tc = m.groups()
-        row = {"epoch": int(ep), "train_loss": float(tl)}
-        if vl is not None:
-            row["val_loss"] = float(vl)
-        if vc is not None:
-            row["val_cer"] = float(vc)
-        if tc is not None:
-            row["test_cer"] = float(tc)
+        row = {"epoch": int(m.group(1))}
+        for k, v in _KV.findall(m.group(2)):
+            try:
+                row[k] = float(v)
+            except ValueError:
+                continue
         curve.append(row)
     return curve
 
