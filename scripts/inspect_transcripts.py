@@ -77,8 +77,18 @@ def main(argv=None):
 
     pipe = FDDMPipeline.from_config(cfg, ckpt_path=args.ckpt,
                                     tokenizer=tokenizer)
-    hyps = pipe.transcribe(batch, lengths, seq_len=seq_len,
-                           T_infer=T_infer, r=r, greedy=True)
+    import jax
+
+    c, c_mask = pipe.encode_waveform(batch, lengths)
+    ids, p = pipe.sample(jax.random.key(0), c, seq_len, c_mask,
+                         T_infer=T_infer, r=r, greedy=True)
+    hyps = [pipe.ids_to_text(ids[i]) for i in range(ids.shape[0])]
+    # posterior shape stats: uniform-collapse shows entropy ~ ln(K) with a
+    # tiny argmax margin; a confidently-wrong model shows low entropy
+    p = np.asarray(p, np.float64)
+    ent = float(np.mean(-(p * np.log(p + 1e-12)).sum(-1)))
+    top2 = np.sort(p, axis=-1)[..., -2:]
+    margin = float(np.mean(top2[..., 1] - top2[..., 0]))
 
     rows = []
     for ref, hyp in zip(refs, hyps):
@@ -96,6 +106,9 @@ def main(argv=None):
         "distinct_hyps": distinct,
         "constant_collapse": distinct == 1,
         "empty_hyps": sum(1 for r_ in rows if not r_["hyp"]),
+        "p_x0_entropy": round(ent, 4),
+        "p_x0_entropy_uniform": round(float(np.log(p.shape[-1])), 4),
+        "p_x0_argmax_margin": round(margin, 6),
         "T_infer": T_infer, "r": r, "seq_len": seq_len,
         "ckpt": args.ckpt,
     }
