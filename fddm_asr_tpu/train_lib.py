@@ -1201,7 +1201,21 @@ def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
         FC.build_cache(cache_dir, split, train_ds, encode,
                        batch_size=batch_size, manifest_path=manifest_path,
                        checksum=checksum, log_every=10)
-    return FC.FeatureCache(cache_dir, split, expect_fingerprint=fp)
+    cache = FC.FeatureCache(cache_dir, split, expect_fingerprint=fp)
+    # the sampled-leaf checksum can miss an encoder whose PROJECTION width
+    # changed (e.g. a different decoder d_model reusing a cache dir) — the
+    # feature width is cheap to check exactly and fails with a clear message
+    # instead of a mid-training shape error
+    enc = pipeline.encoder
+    d_expect = int(enc.d_model if enc.proj == "linear"
+                   else enc.config.hidden_size)
+    if cache.shape[-1] != d_expect:
+        raise ValueError(
+            f"feature cache at {cache_dir}/{split} has width "
+            f"{cache.shape[-1]} but this encoder outputs {d_expect} — the "
+            "cache belongs to a different model geometry; delete it or "
+            "point data.cache_features elsewhere")
+    return cache
 
 
 def _save_ckpt(prefix: str, state: TrainState, epoch: int, raw_cfg, best_val_cer,

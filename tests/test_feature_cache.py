@@ -145,6 +145,36 @@ def test_stale_cache_refused(tmp_path):
                         expect_fingerprint=FC.fingerprint("m.json", 2, 2.0))
 
 
+def test_wrong_width_cache_refused(tmp_path):
+    """A cache built for one model geometry must be refused by another:
+    the sampled-leaf checksum can miss a projection-width change, so the
+    loader also checks the feature width exactly (found live in round 4:
+    a d256 decoder silently accepted a 768-wide cache and crashed
+    mid-training in cross-attention)."""
+    from scripts.make_synth_data import main as synth_main
+    from fddm_asr_tpu.config import load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    out = str(tmp_path / "synth")
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.3"])
+    raw = load_yaml(os.path.join(out, "config.yaml"))
+    raw["optim"].update(num_epochs=1, batch_size=8)
+    raw["data"]["val_json"] = raw["data"]["test_json"] = "/nonexistent"
+    raw["data"]["cache_features"] = str(tmp_path / "feats")
+    raw["log"]["ckpt_dir"] = str(tmp_path / "ck1")
+    run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                 max_steps_per_epoch=1)
+
+    # same cache dir, different d_model -> must refuse, not crash later.
+    # (keep nhead dividing d_model; the tiny encoder reprojects to d_model)
+    raw2 = json.loads(json.dumps(raw))
+    raw2["model"].update(d_model=48, nhead=4)
+    raw2["log"]["ckpt_dir"] = str(tmp_path / "ck2")
+    with pytest.raises(ValueError, match="different model geometry|stale"):
+        run_training(Config(raw2), raw_cfg=raw2, export_pt=False,
+                     max_steps_per_epoch=1)
+
+
 def test_training_with_cache_matches_uncached(tmp_path):
     """Full run_training with data.cache_features: per-epoch train losses
     must match the uncached run exactly (same seeds, same data order), and
