@@ -1104,6 +1104,22 @@ def _run_training_impl(
                 train_cer = E.evaluate_cer_with_jumpy_sampling(
                     pipeline, train_eval_batches, cfg)
 
+            # Train/eval MODE-GAP alarm (root-caused round 4): with dropout
+            # on, the d768x6 decoder can optimize into a dropout-noise-
+            # dependent regime — train-mode KL ~0.17 while the SAME params
+            # score ~1.3 deterministically and the sampler collapses to
+            # all-eos.  A persistently lower train loss than the
+            # deterministic val_kl on in-distribution data is that
+            # signature; flag it instead of letting the curve lie.
+            if (val_kl is not None and train_loss > 0.0
+                    and float(cfg.model.get("dropout", 0.1)) > 0.0
+                    and train_loss < 0.5 * val_kl):
+                logging.warning(
+                    f"train-mode loss ({train_loss:.3f}) << deterministic "
+                    f"val_kl ({val_kl:.3f}): possible dropout-mode-dependent "
+                    "fit (round-4 pathology) — verify decode quality; "
+                    "consider model.dropout: 0.0")
+
             msg = f"[Epoch {epoch} Summary] train_loss={train_loss:.4f}"
             if train_cer is not None:
                 msg += f" | train_cer={train_cer:.4f}"
