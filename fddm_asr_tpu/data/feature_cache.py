@@ -82,13 +82,21 @@ def _manifest_digest(manifest_path: str) -> str:
     return h.hexdigest()
 
 
-def fingerprint(manifest_path: str, n: int, checksum: float) -> dict:
-    return {
+def fingerprint(manifest_path: str, n: int, checksum: float,
+                masked: bool = False) -> dict:
+    fp = {
         "manifest": os.path.abspath(manifest_path),
         "n": n,
         "encoder_checksum": checksum,
         "content": _manifest_digest(manifest_path),
     }
+    # masked caches (model.encoder.condition_mask) run WavLM self-attention
+    # with the per-utterance attention mask — different feature VALUES, so
+    # they must not be interchanged with unmasked caches.  The key is only
+    # present when True to keep pre-existing unmasked caches valid.
+    if masked:
+        fp["masked"] = True
+    return fp
 
 
 def cache_exists(cache_dir: str, split: str) -> bool:
@@ -142,9 +150,12 @@ def build_cache(
     manifest_path: str = "",
     checksum: float = 0.0,
     log_every: int = 0,
+    masked: bool = False,
 ) -> None:
     """Run ``encode_fn(wave [B, T]) -> c [B, S, d]`` over the dataset in
-    manifest order and persist the memmap + meta."""
+    manifest order and persist the memmap + meta.  With ``masked=True`` the
+    encode_fn is called as ``encode_fn(wave, lengths)`` so WavLM runs with
+    its attention mask (condition_mask-consistent features)."""
     import logging
 
     d = os.path.join(cache_dir, split)
@@ -155,7 +166,12 @@ def build_cache(
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
         waves = np.stack([dataset[i]["wave"] for i in idxs])
-        c = np.asarray(encode_fn(waves))
+        if masked:
+            lengths = np.asarray([dataset[i]["wave_length"] for i in idxs],
+                                 np.int32)
+            c = np.asarray(encode_fn(waves, lengths))
+        else:
+            c = np.asarray(encode_fn(waves))
         if mm is None:
             import jax.numpy as jnp
 
@@ -173,7 +189,7 @@ def build_cache(
     mm.flush()
     meta = {
         "shape": list(mm.shape), "dtype": dtype_token,
-        "fingerprint": fingerprint(manifest_path, n, checksum),
+        "fingerprint": fingerprint(manifest_path, n, checksum, masked=masked),
     }
     with open(os.path.join(d, _META), "w") as f:
         json.dump(meta, f, indent=1)

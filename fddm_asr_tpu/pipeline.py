@@ -159,7 +159,7 @@ class FDDMPipeline:
         wavlm_params: Optional[Dict] = None,
         tokenizer=None,
         seed: Optional[int] = None,
-        use_condition_mask: bool = False,
+        use_condition_mask: Optional[bool] = None,
         dtype: Any = None,
     ) -> "FDDMPipeline":
         # Default to the config seed: when no pretrained WavLM weights are
@@ -168,6 +168,13 @@ class FDDMPipeline:
         # reference contract re-fetches the frozen encoder from HF).
         if seed is None:
             seed = int(cfg.get("seed", 0))
+        if use_condition_mask is None:
+            # model.encoder.condition_mask: config-driven masking so a model
+            # TRAINED with masked cross-attention (train_lib reads the same
+            # knob) is also evaluated/served masked.  Default False =
+            # reference parity (no mask anywhere, quirk #4).
+            use_condition_mask = bool(
+                cfg.model.get("encoder", Config()).get("condition_mask", False))
         if dtype is None:
             # model.dtype: the COMPUTE dtype for inference/serving/export
             # surfaces (params stay f32).  bfloat16 is the TPU production

@@ -332,7 +332,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
             @functools.partial(jax.jit, static_argnames=("apply_lfd",),
                                donate_argnames=("state",))
             def lora_step(state: TrainState, encoder_base, wave, x0, rng,
-                          apply_lfd: bool):
+                          apply_lfd: bool, lengths=None):
                 rng_core, rng_enc, rng_mask = jax.random.split(rng, 3)
                 t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
                 time_mask, feat_mask = _spec_augment(rng_mask, wave)
@@ -341,7 +341,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                     dec_p, sp_p, te_p, tp_p, lora_p = params
                     enc_p = merge_lora(encoder_base, lora_p, lora_scale)
                     c, c_mask, _ = encoder.apply(
-                        enc_p, wave, None, deterministic=False,
+                        enc_p, wave, lengths, deterministic=False,
                         mask_time_indices=time_mask,
                         mask_feature_indices=feat_mask,
                         rngs={"dropout": rng_enc},
@@ -358,7 +358,8 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
 
         @functools.partial(jax.jit, static_argnames=("apply_lfd",),
                            donate_argnames=("state",))
-        def finetune_step(state: TrainState, wave, x0, rng, apply_lfd: bool):
+        def finetune_step(state: TrainState, wave, x0, rng, apply_lfd: bool,
+                          lengths=None):
             rng_core, rng_enc, rng_mask = jax.random.split(rng, 3)
             t, xt, x_mask, loss_mask, rng_drop = _corrupt(x0, rng_core)
             time_mask, feat_mask = _spec_augment(rng_mask, wave)
@@ -368,7 +369,7 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
                 # encoder INSIDE the differentiated fn: grads flow into the
                 # backbone; dropout active (the frozen path runs eval-mode)
                 c, c_mask, _ = encoder.apply(
-                    enc_p, wave, None, deterministic=False,
+                    enc_p, wave, lengths, deterministic=False,
                     mask_time_indices=time_mask,
                     mask_feature_indices=feat_mask,
                     rngs={"dropout": rng_enc},
@@ -386,16 +387,25 @@ def make_train_step(pipeline, s_proj_mod, t_embed_mod, t_proj_mod, tx, cfg: Conf
     if cached_features:
         @functools.partial(jax.jit, static_argnames=("apply_lfd",),
                            donate_argnames=("state",))
-        def cached_step(state: TrainState, c, x0, rng, apply_lfd: bool):
-            return _step_core(state, c, None, x0, rng, apply_lfd)
+        def cached_step(state: TrainState, c, x0, rng, apply_lfd: bool,
+                        c_mask=None):
+            # c_mask: optional [B, S] frame-validity mask recomputed on host
+            # from wave lengths (model.encoder.condition_mask: true) —
+            # reference parity trains UNMASKED (train.py:349 calls the
+            # encoder without lengths, so feat_mask is None), the knob is a
+            # deliberate deviation that stops cross-attention from spending
+            # capacity on the silence-pad tail of short utterances.
+            return _step_core(state, c, c_mask, x0, rng, apply_lfd)
 
         return cached_step
 
     @functools.partial(jax.jit, static_argnames=("apply_lfd",),
                        donate_argnames=("state",))
-    def train_step(state: TrainState, encoder_params, wave, x0, rng, apply_lfd: bool):
+    def train_step(state: TrainState, encoder_params, wave, x0, rng, apply_lfd: bool,
+                   lengths=None):
         # frozen condition extraction (stop_gradient inside AcousticEncoder)
-        c, c_mask, _ = encoder.apply(encoder_params, wave, None, deterministic=True)
+        c, c_mask, _ = encoder.apply(encoder_params, wave, lengths,
+                                     deterministic=True)
         return _step_core(state, c, c_mask, x0, rng, apply_lfd)
 
     return train_step
@@ -818,6 +828,20 @@ def _run_training_impl(
             logging.info("L_fd disabled (lfd.enabled/tau) — pure-KL training")
         log_every = cfg.log.get("log_every", 50)
         num_epochs = cfg.optim.get("num_epochs", 10)
+        # model.encoder.condition_mask: mask padded audio frames out of the
+        # decoder's cross-attention during TRAINING.  Reference parity is
+        # False (the reference training loop calls the encoder without
+        # lengths — train.py:349 — so c_mask is None end to end); True is a
+        # deliberate deviation for corpora with heavy length variance, where
+        # an unmasked 20-s pad window drowns short utterances' content
+        # frames in silence keys.  Eval/inference follow automatically via
+        # FDDMPipeline.from_config reading the same knob.
+        condition_mask = bool(
+            cfg.model.get("encoder", Config()).get("condition_mask", False))
+        if condition_mask:
+            from fddm_asr_tpu.models.encoder import frame_length_estimate
+            logging.info("condition_mask: cross-attention masks padded "
+                         "frames (deviation from reference parity)")
         if eval_every is None:  # not passed: defer to config
             eval_every = int(cfg.log.get("eval_every", 1))
 
@@ -955,21 +979,36 @@ def _run_training_impl(
                                 feat_cache.rows(batch.indices), batch_shard)
                         x0 = dist.put_global_batch(
                             batch.tokens.astype(np.int32), batch_shard)
-                    state, metrics = cached_step(state, c, x0, step_rng, apply_lfd)
+                        c_mask = None
+                        if condition_mask:
+                            # frame validity from wave lengths — the same
+                            # ceil(len/320) formula the encoder uses
+                            fl = np.minimum(
+                                frame_length_estimate(batch.wave_lengths),
+                                feat_cache.shape[1])
+                            c_mask = dist.put_global_batch(
+                                np.arange(feat_cache.shape[1])[None, :]
+                                < np.asarray(fl)[:, None], batch_shard)
+                    state, metrics = cached_step(state, c, x0, step_rng,
+                                                 apply_lfd, c_mask=c_mask)
                 else:
                     with annotate("host_to_device"):
                         wave = dist.put_global_batch(batch.wave, batch_shard)
                         x0 = dist.put_global_batch(
                             batch.tokens.astype(np.int32), batch_shard)
+                        lengths = (dist.put_global_batch(
+                            batch.wave_lengths.astype(np.int32), batch_shard)
+                            if condition_mask else None)
                     if train_encoder and lora_rank == 0:
                         state, metrics = train_step(
-                            state, wave, x0, step_rng, apply_lfd)
+                            state, wave, x0, step_rng, apply_lfd,
+                            lengths=lengths)
                     else:
                         # frozen AND LoRA paths thread the (frozen) base
                         # encoder params as a non-differentiated argument
                         state, metrics = train_step(
                             state, encoder_base_params, wave, x0, step_rng,
-                            apply_lfd
+                            apply_lfd, lengths=lengths,
                         )
                 # accumulate on-device: float() here would block the host on
                 # every step, serializing dispatch behind the ~31 ms relay
@@ -1054,10 +1093,15 @@ def _run_training_impl(
                 n_local = _eval_shard_size(val_ds)
                 cer_local = (E.evaluate_cer_with_jumpy_sampling(
                     pipeline, val_batches, cfg) if n_local else 0.0)
-                loss_local = (E.evaluate_validation_loss(
-                    pipeline, val_batches) if n_local else 0.0)
                 val_cer = dist.all_hosts_weighted_mean(cer_local, n_local)
-                val_loss = dist.all_hosts_weighted_mean(loss_local, n_local)
+                # log.val_loss: false drops the reference-parity val_loss —
+                # quirk #8 makes it degenerate (~0.00x regardless of model
+                # quality), and next to a real sampled val_kl it invites
+                # misreading (VERDICT r04).  Default true = parity.
+                if bool(cfg.log.get("val_loss", True)):
+                    loss_local = (E.evaluate_validation_loss(
+                        pipeline, val_batches) if n_local else 0.0)
+                    val_loss = dist.all_hosts_weighted_mean(loss_local, n_local)
                 # log.val_kl: sampled — a REAL validation signal (random-t
                 # masked KL mirroring the training objective) logged next to
                 # the parity-degenerate val_loss (quirk #8 stays reproduced).
@@ -1199,7 +1243,8 @@ def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
     from fddm_asr_tpu.data import feature_cache as FC
 
     checksum = FC.param_checksum(pipeline.encoder_params)
-    fp = FC.fingerprint(manifest_path, len(train_ds), checksum)
+    masked = bool(pipeline.use_condition_mask)
+    fp = FC.fingerprint(manifest_path, len(train_ds), checksum, masked=masked)
     if not FC.cache_exists(cache_dir, split):
         if jax.process_count() > 1 and not dist.is_primary():
             raise RuntimeError(
@@ -1210,13 +1255,15 @@ def _ensure_feature_cache(pipeline, train_ds, cache_dir, split, batch_size,
         enc_apply = jax.jit(functools.partial(
             pipeline.encoder.apply, deterministic=True))
 
-        def encode(waves):
-            c, _, _ = enc_apply(pipeline.encoder_params, waves, None)
+        def encode(waves, lengths=None):
+            c, _, _ = enc_apply(
+                pipeline.encoder_params, waves,
+                None if lengths is None else jnp.asarray(lengths))
             return c
 
         FC.build_cache(cache_dir, split, train_ds, encode,
                        batch_size=batch_size, manifest_path=manifest_path,
-                       checksum=checksum, log_every=10)
+                       checksum=checksum, log_every=10, masked=masked)
     cache = FC.FeatureCache(cache_dir, split, expect_fingerprint=fp)
     # the sampled-leaf checksum can miss an encoder whose PROJECTION width
     # changed (e.g. a different decoder d_model reusing a cache dir) — the

@@ -330,7 +330,11 @@ def main(argv=None):
         pipeline.apply_mesh(make_mesh(parse_mesh(args.mesh)),
                             seq_parallel=args.seq_parallel)
     if args.condition_mask == "auto":
-        pipeline.use_condition_mask = bool(args.csv) and args.batch_size > 1
+        # keep a config-enabled mask (model.encoder.condition_mask — models
+        # TRAINED masked must be decoded masked); otherwise mask exactly the
+        # batched-CSV case where padding across utterances is material
+        pipeline.use_condition_mask = (pipeline.use_condition_mask
+                                       or (bool(args.csv) and args.batch_size > 1))
     else:
         pipeline.use_condition_mask = args.condition_mask == "on"
     rng = jax.random.key(args.seed)

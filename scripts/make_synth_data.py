@@ -349,11 +349,17 @@ log:
     # cache; the toy-calibrated schedule (T=20, beta_max=0.6, eos, exact
     # T_infer == T) carried over
     flagship = f"""base_config: {out}/config.yaml
+# Corrected recipe (round-4/5 diagnosis): reference optimizer settings
+# (lr 2e-4 + warmup 1000 + B=4 — post-LN stacks need warmup; the round-3
+# lr 5e-4 / no-warmup / B=16 recipe cannot even fit 16 memorized
+# utterances), dropout 0 (round-4 dropout-mode-dependent-fit pathology),
+# pure KL (L_fd at reference defaults dominates the toy-scale loss).
 model:
   d_model: 768
   nhead: 12
   num_layers: 6
   dim_ff: 2048
+  dropout: 0.0
   encoder:
     wavlm_name: microsoft/wavlm-large
     freeze: true
@@ -361,14 +367,25 @@ model:
     pooling: none
   projector:
     d_proj: 256
+data:
+  cache_device: true
 optim:
-  batch_size: 16
-  lr: 5.0e-4
-  num_epochs: 400
+  batch_size: 4
+  lr: 2.0e-4
+  warmup_steps: 1000
+  num_epochs: 800
   dtype: bfloat16
+lfd:
+  enabled: false
 log:
-  log_every: 50
+  log_every: 100
+  eval_every: 20
+  ckpt_every: 100
   ckpt_dir: {out}/ckpts_flagship
+  metrics_jsonl: true
+  val_kl: sampled
+  val_loss: false
+  train_cer_batches: 2
 """
     with open(os.path.join(out, "config_flagship.yaml"), "w") as f:
         f.write(flagship)

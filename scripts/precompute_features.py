@@ -65,8 +65,14 @@ def main(argv=None):
     enc_apply = jax.jit(functools.partial(
         pipeline.encoder.apply, deterministic=True))
 
-    def encode(waves):
-        c, _, _ = enc_apply(pipeline.encoder_params, waves, None)
+    masked = bool(pipeline.use_condition_mask)
+
+    def encode(waves, lengths=None):
+        import jax.numpy as jnp
+
+        c, _, _ = enc_apply(
+            pipeline.encoder_params, waves,
+            None if lengths is None else jnp.asarray(lengths))
         return c
 
     checksum = FC.param_checksum(pipeline.encoder_params)
@@ -87,7 +93,7 @@ def main(argv=None):
         )
         FC.build_cache(args.cache_dir, split.strip(), ds, encode,
                        batch_size=batch_size, manifest_path=manifest,
-                       checksum=checksum, log_every=5)
+                       checksum=checksum, log_every=5, masked=masked)
         cache = FC.FeatureCache(args.cache_dir, split.strip())
         logging.info(f"{split}: cached feats {cache.shape} "
                      f"dtype={cache.dtype_token} under {args.cache_dir}")

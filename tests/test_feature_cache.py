@@ -266,3 +266,58 @@ def test_device_resident_cache_matches_host_streaming(tmp_path):
     dev = run(True, "dev")
     np.testing.assert_allclose(dev["train_loss"], host["train_loss"],
                                rtol=1e-6)
+
+
+def test_condition_mask_training(tmp_path):
+    """model.encoder.condition_mask: true (deviation from reference parity —
+    the reference trains with c_mask=None, train.py:349):
+
+      (a) cached and uncached masked runs produce identical losses (the mask
+          is threaded through BOTH paths, and the cache is built with the
+          WavLM attention mask so feature values match the live encoder);
+      (b) the mask actually changes the losses vs the unmasked default
+          (anti-no-op: a silently dropped mask must fail here);
+      (c) a masked run refuses an unmasked cache (fingerprint mismatch).
+    """
+    from scripts.make_synth_data import main as synth_main
+    from fddm_asr_tpu.config import load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    out = str(tmp_path / "synth")
+    # words style with a duration RANGE wide enough to survive the 0.5-s
+    # segment grid (k = max(2, round(dur/0.5))): equal-length utterances
+    # would make every mask all-True and (b) vacuous
+    synth_main(["--out", out, "--n", "8", "--seconds", "0.5",
+                "--style", "words", "--max-seconds", "2.0"])
+    raw = load_yaml(os.path.join(out, "config.yaml"))
+    raw["optim"]["num_epochs"] = 2
+    raw["optim"]["batch_size"] = 8
+    raw["data"]["val_json"] = raw["data"]["test_json"] = "/nonexistent"
+
+    def run(cache_tag, mask):
+        r = json.loads(json.dumps(raw))
+        r["log"]["ckpt_dir"] = str(tmp_path / f"ck_{cache_tag}_{mask}")
+        if cache_tag:
+            r["data"]["cache_features"] = str(tmp_path / f"feats_{cache_tag}")
+        else:  # the generated synth config ships a default cache dir
+            r["data"].pop("cache_features", None)
+        if mask:
+            r["model"]["encoder"]["condition_mask"] = True
+        cfg = Config(r)
+        return run_training(cfg, raw_cfg=r, export_pt=False)["train_loss"]
+
+    masked_uncached = run("", True)
+    masked_cached = run("m", True)
+    unmasked = run("", False)
+    np.testing.assert_allclose(masked_cached, masked_uncached, rtol=1e-6)
+    assert abs(masked_uncached - unmasked) > 1e-6, (
+        "condition_mask had no effect on the training loss")
+
+    # (c): unmasked cache dir reused by a masked run must be refused
+    run("x", False)  # builds an UNMASKED cache under feats_x
+    r = json.loads(json.dumps(raw))
+    r["log"]["ckpt_dir"] = str(tmp_path / "ck_refuse")
+    r["data"]["cache_features"] = str(tmp_path / "feats_x")
+    r["model"]["encoder"]["condition_mask"] = True
+    with pytest.raises(ValueError, match="fingerprint|stale|cache"):
+        run_training(Config(r), raw_cfg=r, export_pt=False)

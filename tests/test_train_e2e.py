@@ -556,6 +556,14 @@ def test_val_kl_sampled(synth, tmp_path):
               if json.loads(l)["kind"] == "epoch"]
     assert epochs[-1]["val_kl"] == pytest.approx(summary["val_kl"])
 
+    # log.val_loss: false — the degenerate quirk-#8 metric is droppable
+    # once a real val_kl exists (VERDICT r04 item 7); val_cer/val_kl stay
+    raw["log"].update(ckpt_dir=str(tmp_path / "ck2"), val_loss=False)
+    s2 = run_training(Config(raw), raw_cfg=raw, export_pt=False,
+                      max_steps_per_epoch=1)
+    assert s2["val_loss"] is None
+    assert s2["val_kl"] is not None and s2["val_cer"] is not None
+
 
 def test_val_kl_sampled_deterministic(trained):
     """Fixed-rng metric: two evaluations of the same model are identical
