@@ -610,9 +610,19 @@ def _run_training_impl(
 
     dt_name = cfg.optim.get("dtype", cfg.model.get("dtype", "bfloat16"))
     dtype = jnp.bfloat16 if str(dt_name).lower() in ("bfloat16", "bf16") else jnp.float32
+    # model.init_ckpt: WARM-START the decoder from a checkpoint (reference
+    # .pt or orbax) without resuming optimizer state — fresh AdamW, fresh
+    # schedule, epoch 1.  Distinct from --resume, which restores the full
+    # TrainState.  Also the lever for init-scheme experiments: a torch-side
+    # init can be exported to .pt and trained here under identical recipes.
+    init_ckpt = cfg.model.get("init_ckpt")
     pipeline = FDDMPipeline.from_config(
-        cfg, wavlm_params=wavlm_params, seed=seed, dtype=dtype
+        cfg, ckpt_path=init_ckpt, wavlm_params=wavlm_params, seed=seed,
+        dtype=dtype,
     )
+    if init_ckpt:
+        logging.info(f"decoder warm-started from {init_ckpt} "
+                     "(fresh optimizer state)")
     tokenizer = pipeline.tokenizer
 
     d_proj = cfg.model.projector.get("d_proj", 256)
