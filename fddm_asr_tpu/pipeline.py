@@ -227,6 +227,23 @@ class FDDMPipeline:
             )
             pipeline.decoder_params = {"params": loaded["decoder"]}
         else:
+            # model.init_scheme: "torch" redraws the fresh init with the
+            # reference's per-layer distributions (kaiming_uniform linears
+            # with nonzero biases, xavier attention in_proj, sqrt(3) SMALLER
+            # weights than flax's lecun_normal) — the round-5 fix for the
+            # flagship convergence stall (models/torch_init.py).  "flax"
+            # (default) keeps the original flax init for continuity with
+            # the round 1-4 toy-recipe calibrations.
+            scheme = str(cfg.model.get("init_scheme", "flax")).lower()
+            if scheme == "torch":
+                from fddm_asr_tpu.models.torch_init import torch_like_decoder_init
+
+                dec_vars = {"params": torch_like_decoder_init(
+                    jax.random.fold_in(rng_dec, 1), dec_vars["params"],
+                    pad_id=int(special["pad_id"]))}
+            elif scheme != "flax":
+                raise ValueError(
+                    f"model.init_scheme={scheme!r}: expected 'flax' or 'torch'")
             pipeline.decoder_params = dec_vars
 
         if wavlm_params is not None:

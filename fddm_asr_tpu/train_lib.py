@@ -153,8 +153,13 @@ def make_optimizer(cfg: Config,
         inner = optax.multi_transform({"main": main_tx, "enc": enc_tx}, label_fn)
     else:
         inner = main_tx
+    # optim.grad_clip: global-norm clip threshold (default 5.0 = reference
+    # max_norm, train.py:411).  Flagship stability work (round 5) showed the
+    # post-LN decoder can be kicked off a good descent by late loss spikes
+    # at constant lr; a tighter clip (e.g. 1.0) is one of the levers.
+    clip = float(optim.get("grad_clip", 5.0))
     tx = optax.chain(
-        optax.clip_by_global_norm(5.0),  # reference max_norm=5.0
+        optax.clip_by_global_norm(clip),
         inner,
     )
     # production guard: drop updates whose grads contain inf/nan (bf16
