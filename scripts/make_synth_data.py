@@ -360,6 +360,10 @@ model:
   num_layers: 6
   dim_ff: 2048
   dropout: 0.0
+  # round-5 stall root cause: flax default init draws every weight sqrt(3)
+  # larger than the reference torch init and the d768x6 decoder plateaus at
+  # train KL ~1.2 indefinitely; the torch-matching init descends normally
+  init_scheme: torch
   encoder:
     wavlm_name: microsoft/wavlm-large
     freeze: true
