@@ -857,6 +857,18 @@ def _run_training_impl(
             from fddm_asr_tpu.models.encoder import frame_length_estimate
             logging.info("condition_mask: cross-attention masks padded "
                          "frames (deviation from reference parity)")
+        # optim.collapse_restore: true (defaults) or {factor, margin,
+        # max_restores} — see the restore block in the epoch loop
+        collapse_cfg = cfg.optim.get("collapse_restore")
+        if collapse_cfg is True:
+            collapse_cfg = {}
+        elif not collapse_cfg:
+            collapse_cfg = None
+        collapse_snapshot, collapse_best, collapse_restores = (
+            None, float("inf"), 0)
+        if collapse_cfg is not None:
+            logging.info("collapse_restore armed: snapshot-on-best, "
+                         "restore on epoch-loss spikes")
         if eval_every is None:  # not passed: defer to config
             eval_every = int(cfg.log.get("eval_every", 1))
 
@@ -1062,6 +1074,39 @@ def _run_training_impl(
             timer.pause()  # eval/ckpt gap until the next epoch's first tick
             train_loss = (float(loss_sum) / step_cnt) if step_cnt else 0.0
             logging.info(f"[Summary] Epoch {epoch} Avg Train Loss: {train_loss:.4f}")
+
+            # optim.collapse_restore: automatic recovery from the post-LN
+            # collapse pathology (round 5): a single spike can throw a
+            # well-descending run into the context-free plateau (~train KL
+            # 1.2), which is ABSORBING — observed at steps ~4k/6k/9.3k on
+            # the flagship with finite grads and no NaN, with or without
+            # tight clipping.  Keep an in-HBM snapshot of the best state; if
+            # the epoch-average loss jumps `factor`x + `margin` above the
+            # best, restore and continue — the host rng stream keeps
+            # advancing, so the replay sees fresh corruption/batch draws and
+            # (the collapse being stochastic) usually survives.  Device
+            # memory cost: one extra TrainState (~1 GB at d768x6/f32).
+            if collapse_cfg is not None and step_cnt:
+                c_factor = float(collapse_cfg.get("factor", 2.0))
+                c_margin = float(collapse_cfg.get("margin", 0.3))
+                c_max = int(collapse_cfg.get("max_restores", 8))
+                if (collapse_snapshot is not None
+                        and collapse_restores < c_max
+                        and train_loss > c_factor * collapse_best + c_margin):
+                    state = jax.tree.map(jnp.copy, collapse_snapshot)
+                    collapse_restores += 1
+                    logging.warning(
+                        f"collapse detected (epoch {epoch} train_loss "
+                        f"{train_loss:.4f} vs best {collapse_best:.4f}) — "
+                        f"restored best snapshot "
+                        f"(restore {collapse_restores}/{c_max})")
+                    emit_metrics(kind="collapse_restore", epoch=epoch,
+                                 train_loss=train_loss,
+                                 best=collapse_best,
+                                 restores=collapse_restores)
+                elif train_loss < collapse_best:
+                    collapse_best = train_loss
+                    collapse_snapshot = jax.tree.map(jnp.copy, state)
 
             do_eval = (epoch % max(1, eval_every) == 0) or epoch == num_epochs
             multi_host = jax.process_count() > 1

@@ -629,3 +629,47 @@ def test_cer_parity_with_reference():
         b = "".join(rng.choice(list(alphabet), rng.integers(0, 12)))
         assert calculate_cer(a, b) == pytest.approx(ref_cer(a, b))
         assert calculate_wer(a, b) == pytest.approx(ref_wer(a, b))
+
+
+def test_collapse_restore_mechanics(synth, tmp_path):
+    """optim.collapse_restore: snapshot-on-best + restore-on-spike.
+
+    factor 0 + huge negative margin makes EVERY post-snapshot epoch read as
+    a collapse: the run must restore at most max_restores times, emit
+    collapse_restore telemetry rows, and still finish.  A second run with
+    the knob at defaults must trigger nothing and reproduce the knob-off
+    trajectory exactly (snapshotting must not perturb training).
+    """
+    from fddm_asr_tpu.config import Config, load_yaml
+    from fddm_asr_tpu.train_lib import run_training
+
+    raw = load_yaml(f"{synth}/config.yaml")
+    raw["optim"].update(num_epochs=3, batch_size=8)
+    raw["data"]["val_json"] = raw["data"]["test_json"] = "/nonexistent"
+    raw["log"].update(ckpt_dir=str(tmp_path / "ck1"), metrics_jsonl=True)
+    raw["optim"]["collapse_restore"] = {
+        "factor": 0.0, "margin": -1e9, "max_restores": 2}
+    run_training(Config(raw), raw_cfg=raw, export_pt=False)
+    rows = [json.loads(l) for l in
+            open(tmp_path / "ck1" / "metrics.jsonl", encoding="utf-8")]
+    restores = [r for r in rows if r["kind"] == "collapse_restore"]
+    assert len(restores) == 2  # epochs 2 and 3, capped by max_restores
+    assert restores[-1]["restores"] == 2
+
+    def run(tag, knob):
+        r = json.loads(json.dumps(raw))
+        r["log"]["ckpt_dir"] = str(tmp_path / tag)
+        if knob is None:
+            r["optim"].pop("collapse_restore")
+        else:
+            r["optim"]["collapse_restore"] = knob
+        return run_training(Config(r), raw_cfg=r, export_pt=False)
+
+    # factor 1e9 can never trigger: pure snapshotting must not perturb the
+    # trajectory (bit-identical to the knob-off run)
+    on = run("ck2", {"factor": 1e9})
+    off = run("ck3", None)
+    assert on["train_loss"] == off["train_loss"]
+    rows2 = [json.loads(l) for l in
+             open(tmp_path / "ck2" / "metrics.jsonl", encoding="utf-8")]
+    assert not [r for r in rows2 if r["kind"] == "collapse_restore"]
