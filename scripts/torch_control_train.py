@@ -142,9 +142,19 @@ def main(argv=None):
     torch.manual_seed(321)
     probe_xt = adapter.sample_q(tokens_t[probe_idx], probe_t)
 
-    def eval_kl() -> float:
-        dec.eval()
-        tot, nb = 0.0, 0
+    eos_id = int(cfg.data.get("eos_id", 2))
+
+    def eval_kl(train_mode: bool = False):
+        """Probe-set KL (+ argmax-eos fraction) in eval OR train mode.
+
+        The round-4 JAX pathology signature is a MODE-DEPENDENT fit: with
+        dropout 0.1 the trained state scores far better with dropout
+        ACTIVE than deterministically, and the deterministic argmax
+        collapses to all-eos.  Running the identical fixed probe in both
+        modes here answers whether the torch reference shares the
+        property (VERDICT r04 item 4)."""
+        dec.train() if train_mode else dec.eval()
+        tot, nb, eos_n, pos_n = 0.0, 0, 0, 0
         with torch.no_grad():
             for s in range(0, len(probe_idx), args.batch_size):
                 sl = probe_idx[s: s + args.batch_size]
@@ -155,8 +165,12 @@ def main(argv=None):
                 tot += float(adapter.kl_term(xt, x0, logits, t,
                                              (x0 != pad_id)))
                 nb += 1
+                am = logits.argmax(-1)
+                m = x0 != pad_id
+                eos_n += int(((am == eos_id) & m).sum())
+                pos_n += int(m.sum())
         dec.train()
-        return tot / max(1, nb)
+        return tot / max(1, nb), eos_n / max(1, pos_n)
 
     rng = np.random.default_rng(args.seed)
     step, epoch = 0, 0
@@ -192,16 +206,30 @@ def main(argv=None):
                     "kind": "step", "step": step, "epoch": epoch,
                     "train_kl": avg, "lr": lr_t, "ts": time.time()}) + "\n")
             if step % args.eval_every == 0:
-                ek = eval_kl()
-                print(f"step={step} EVAL kl={ek:.4f}", flush=True)
-                mfh.write(json.dumps({
-                    "kind": "eval", "step": step, "epoch": epoch,
-                    "eval_kl": ek, "ts": time.time()}) + "\n")
+                ek, eos_frac = eval_kl()
+                rec = {"kind": "eval", "step": step, "epoch": epoch,
+                       "eval_kl": ek, "eval_eos_frac": eos_frac,
+                       "ts": time.time()}
+                if args.dropout > 0:
+                    tk, teos = eval_kl(train_mode=True)
+                    rec["trainmode_kl"] = tk
+                    rec["trainmode_eos_frac"] = teos
+                    print(f"step={step} EVAL kl={ek:.4f} eos={eos_frac:.3f} "
+                          f"trainmode_kl={tk:.4f}", flush=True)
+                else:
+                    print(f"step={step} EVAL kl={ek:.4f} "
+                          f"eos={eos_frac:.3f}", flush=True)
+                mfh.write(json.dumps(rec) + "\n")
             if step >= args.steps:
                 break
-    ek = eval_kl()
-    mfh.write(json.dumps({"kind": "final", "step": step, "eval_kl": ek,
-                          "ts": time.time()}) + "\n")
+    ek, eos_frac = eval_kl()
+    rec = {"kind": "final", "step": step, "eval_kl": ek,
+           "eval_eos_frac": eos_frac, "ts": time.time()}
+    if args.dropout > 0:
+        tk, teos = eval_kl(train_mode=True)
+        rec["trainmode_kl"] = tk
+        rec["trainmode_eos_frac"] = teos
+    mfh.write(json.dumps(rec) + "\n")
     print(f"done: {step} steps, final eval kl={ek:.4f}", flush=True)
 
 
