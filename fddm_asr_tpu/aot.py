@@ -147,6 +147,7 @@ def resolve_sampling(sampling: Dict[str, Any]) -> Dict[str, Any]:
         "sampling_mode": sampling.get("sampling_mode", "exact"),
         "temperature": float(sampling.get("temperature", 1.0)),
         "ref_compat": bool(sampling.get("ref_compat", True)),
+        "repeat_penalty": float(sampling.get("repeat_penalty", 0.0)),
     }
 
 
@@ -179,6 +180,7 @@ def build_transcribe_fn(pipeline, seq_len: int, sampling: Dict[str, Any],
         sampling_mode=s["sampling_mode"],
         temperature=s["temperature"],
         ref_compat=s["ref_compat"],
+        repeat_penalty=s["repeat_penalty"],
     )
 
     def decoder_apply(params, xt, t, cond, c_mask):

@@ -158,6 +158,9 @@ def _sampling_config_from_cfg(cfg, overrides: Optional[Dict] = None) -> Dict:
         "posterior_mode": inf.get("posterior_mode", "map"),
         "sampling_mode": inf.get("sampling_mode", "exact"),
         "temperature": inf.get("temperature", 1.0),
+        # opt-in repetition-penalized read-out (sampler.argmax_repeat_
+        # penalized); 0.0 = reference-parity plain argmax
+        "repeat_penalty": float(inf.get("repeat_penalty", 0.0)),
     }
     if overrides:
         sc.update({k: v for k, v in overrides.items() if v is not None})

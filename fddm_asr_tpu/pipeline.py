@@ -429,13 +429,14 @@ class FDDMPipeline:
     def _sampler_for(self, key: tuple) -> Callable:
         if key not in self._samplers:
             (T_infer, r, greedy, posterior_mode, sampling_mode, temperature,
-             ref_compat, *variant) = key
+             ref_compat, repeat_penalty, *variant) = key
             scfg = SamplerConfig(
                 K=self.cfg.data.vocab_size,
                 T_train=self.cfg.diffusion["T"],
                 T_infer=T_infer, r=r, greedy=greedy,
                 posterior_mode=posterior_mode, sampling_mode=sampling_mode,
                 temperature=temperature, ref_compat=ref_compat,
+                repeat_penalty=repeat_penalty,
             )
             def decoder_apply(params, xt, t, cond, c_mask):
                 return self.decoder.apply(
@@ -476,6 +477,7 @@ class FDDMPipeline:
         sampling_mode: str = "exact",
         temperature: float = 1.0,
         ref_compat: bool = True,
+        repeat_penalty: float = 0.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         # ref_compat=False runs the CORRECTED multi-step posterior instead of
         # reproducing the reference's tensor-aliasing recurrence (see
@@ -483,7 +485,8 @@ class FDDMPipeline:
         ids, p = self._sample_raw(
             rng, cond, seq_len, c_mask, T_infer=T_infer, r=r, greedy=greedy,
             posterior_mode=posterior_mode, sampling_mode=sampling_mode,
-            temperature=temperature, ref_compat=ref_compat)
+            temperature=temperature, ref_compat=ref_compat,
+            repeat_penalty=repeat_penalty)
         return np.asarray(ids), np.asarray(p)
 
     def _sample_raw(self, rng, cond, seq_len, c_mask=None, **sampling):
@@ -507,11 +510,12 @@ class FDDMPipeline:
         T_infer: int = 20, r: int = 5, greedy: bool = True,
         posterior_mode: str = "map", sampling_mode: str = "exact",
         temperature: float = 1.0, ref_compat: bool = True,
+        repeat_penalty: float = 0.0,
     ):
         """One home for sampling defaults + sharding: the confidence and
         plain paths differ ONLY in the compiled program they select."""
         key = (T_infer, r, greedy, posterior_mode, sampling_mode,
-               temperature, ref_compat) + (variant or ())
+               temperature, ref_compat, repeat_penalty) + (variant or ())
         fn = self._sampler_for(key)
         if not self.use_condition_mask:
             c_mask = None

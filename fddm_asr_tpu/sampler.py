@@ -49,6 +49,7 @@ from fddm_asr_tpu.diffusion import DiffusionSchedule, q_posterior_multi_step
 
 __all__ = [
     "SamplerConfig",
+    "argmax_repeat_penalized",
     "build_jump_schedule",
     "make_sample_fn",
     "DiffusionJumpySampler",
@@ -67,6 +68,9 @@ class SamplerConfig:
     sampling_mode: str = "exact"     # "exact" | "fast"
     temperature: float = 1.0
     ref_compat: bool = True          # reproduce reference multi-step recurrence
+    # > 0 switches the FINAL read-out to a repetition-penalized sequential
+    # argmax (see argmax_repeat_penalized); 0 = plain argmax (parity).
+    repeat_penalty: float = 0.0
 
 
 def build_jump_schedule(T_infer: int, r: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -113,6 +117,32 @@ def _fast_alpha_bar_targets(
         idx = int(t_train) + 1 if cfg.ref_compat else int(t_train)
         out.append(float(table[min(idx, sched.T)]))
     return np.asarray(out, np.float32)
+
+
+def argmax_repeat_penalized(p_last: jnp.ndarray, penalty: float) -> jnp.ndarray:
+    """Left-to-right greedy read-out of p(x0) with an adjacent-repeat penalty.
+
+    Framework extension (no reference counterpart): the half-trained scale
+    runs decode correct anchors that degrade into repeated-token runs, and
+    the repetition lives in x0hat itself (r=1 vs r=5 trajectories are
+    identical) — so the mitigation belongs at the final read-out, not in
+    the diffusion trajectory.  Position i's log-prob for the token chosen
+    at position i-1 is reduced by `penalty`; a genuine repeat still wins
+    when its evidence margin exceeds the penalty.  penalty=0 reduces to
+    plain argmax.  One lax.scan over the L positions ([L, B, K] slices);
+    L is tens of tokens, so this is noise next to the decoder scan.
+    """
+    logp = jnp.log(jnp.clip(p_last.astype(jnp.float32), min=1e-12))
+    B, _, K = logp.shape
+
+    def body(prev_idx, logp_i):
+        scores = logp_i - penalty * jax.nn.one_hot(prev_idx, K, dtype=logp_i.dtype)
+        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return idx, idx
+
+    init = jnp.full((B,), -1, jnp.int32)  # one_hot(-1) == 0: no penalty at i=0
+    _, idxs = jax.lax.scan(body, init, jnp.swapaxes(logp, 0, 1))
+    return jnp.swapaxes(idxs, 0, 1)
 
 
 def make_sample_fn(
@@ -184,7 +214,10 @@ def make_sample_fn(
         (_, p_x0_last), _ = jax.lax.scan(
             body, (x_t, p0), (ts, deltas, ab_targets, step_rngs)
         )
-        x0_idx = jnp.argmax(p_x0_last, axis=-1)
+        if cfg.repeat_penalty > 0.0:
+            x0_idx = argmax_repeat_penalized(p_x0_last, cfg.repeat_penalty)
+        else:
+            x0_idx = jnp.argmax(p_x0_last, axis=-1)
         return x0_idx, p_x0_last
 
     return sample
@@ -240,11 +273,13 @@ class DiffusionJumpySampler:
         temperature: float = 1.0,
         ref_compat: bool = True,
         decoder_params=None,
+        repeat_penalty: float = 0.0,
     ) -> None:
         self.cfg = SamplerConfig(
             K=K, T_train=T_train, T_infer=T_infer, r=r, greedy=greedy,
             posterior_mode=posterior_mode, sampling_mode=sampling_mode,
             temperature=temperature, ref_compat=ref_compat,
+            repeat_penalty=repeat_penalty,
         )
         self.sched = sched
         self.decoder_params = decoder_params

@@ -78,6 +78,12 @@ def parse_args(argv=None):
                         "posterior instead of reproducing the reference's "
                         "tensor-aliasing recurrence (ref_compat=False; see "
                         "fddm_asr_tpu/diffusion.py::multi_step_coeffs)")
+    p.add_argument("--repeat-penalty", type=float, default=0.0,
+                   help="repetition-penalized final decode: subtract this "
+                        "from each position's log p(x0) for the token the "
+                        "previous position decoded to (mitigates the "
+                        "repeated-run failure mode of undertrained x0hat); "
+                        "0 = plain argmax (reference parity)")
     p.add_argument("--confidence", action="store_true",
                    help="add a per-utterance 'confidence' field to results: "
                         "geometric mean of the model's probability for each "
@@ -167,6 +173,7 @@ def sampling_kwargs(args) -> Dict[str, Any]:
         T_infer=args.T_infer, r=args.r, greedy=args.greedy,
         posterior_mode=args.posterior_mode, sampling_mode=args.sampling_mode,
         ref_compat=not getattr(args, "corrected_posterior", False),
+        repeat_penalty=getattr(args, "repeat_penalty", 0.0),
     )
 
 

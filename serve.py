@@ -1015,6 +1015,11 @@ def build_server(args) -> ThreadingHTTPServer:
         # passed through to the sampler AND echoed in results — must agree
         "posterior_mode": inf.get("posterior_mode", "average"),
     }
+    if float(inf.get("repeat_penalty", 0.0)) > 0.0:
+        # opt-in repetition-penalized final read-out (sampler.
+        # argmax_repeat_penalized); config-driven so a model served with it
+        # was evaluated with it
+        sampling["repeat_penalty"] = float(inf["repeat_penalty"])
     if getattr(args, "num_candidates", 1) > 1:
         # best-of-N decoding (pipeline.transcribe_with_ids num_candidates):
         # candidates fold into the device batch, highest-confidence wins

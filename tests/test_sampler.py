@@ -190,3 +190,86 @@ def test_wrapper_api():
     assert x0.shape == (1, L)
     info = s.get_sampling_info()
     assert info["T_infer"] == 4 and info["K"] == V
+
+
+# ---------------------------------------------------------------- repeat penalty
+def test_argmax_repeat_penalized_exact_values():
+    from fddm_asr_tpu.sampler import argmax_repeat_penalized
+
+    K = 8
+    # pos0: token 5 (strong).  pos1: 5 vs 7 within the penalty margin ->
+    # penalty flips it to 7.  pos2: a genuine repeat of 7 with a LARGE
+    # margin survives the penalty.  pos3: 7 vs 2 within margin -> flips
+    # (the penalty chains off the DECODED prefix, not the raw argmax).
+    p = np.full((1, 4, K), 1e-6, np.float32)
+    p[0, 0, 5] = 0.9
+    p[0, 1, 5], p[0, 1, 7] = 0.50, 0.45
+    p[0, 2, 7], p[0, 2, 1] = 0.90, 0.05
+    p[0, 3, 7], p[0, 3, 2] = 0.50, 0.45
+    out = np.asarray(argmax_repeat_penalized(jnp.asarray(p), 0.5))
+    np.testing.assert_array_equal(out[0], [5, 7, 7, 2])
+    # penalty=0 must reduce to the plain argmax (parity read-out)
+    out0 = np.asarray(argmax_repeat_penalized(jnp.asarray(p), 0.0))
+    np.testing.assert_array_equal(out0[0], np.argmax(p[0], -1))
+
+
+def test_sampler_repeat_penalty_changes_decode():
+    # a decoder pinning every position to one token: plain argmax emits a
+    # constant run; the penalized read-out must break it at every other
+    # position (the feature must CHANGE the output, not just not-crash)
+    def rep_decoder(params, xt, t, cond, c_mask):
+        del params
+        logits = jnp.full((xt.shape[0], xt.shape[1], V), -4.0)
+        logits = logits.at[..., 3].set(2.0)   # dominant everywhere
+        logits = logits.at[..., 9].set(1.9)   # runner-up within margin
+        return logits
+
+    sched = D.make_schedule(V, T_TRAIN, 0.2)
+    base = SamplerConfig(K=V, T_train=T_TRAIN, T_infer=6, r=2, greedy=True)
+    pen = dataclasses.replace(base, repeat_penalty=0.5)
+    cond = jnp.zeros((B, S, Dm))
+    fn0 = jax.jit(make_sample_fn(rep_decoder, sched, base), static_argnames="seq_len")
+    fn1 = jax.jit(make_sample_fn(rep_decoder, sched, pen), static_argnames="seq_len")
+    x_plain, _ = fn0(None, jax.random.key(0), cond, seq_len=L)
+    x_pen, _ = fn1(None, jax.random.key(0), cond, seq_len=L)
+    np.testing.assert_array_equal(np.asarray(x_plain[0]), np.full(L, 3))
+    expect = np.where(np.arange(L) % 2 == 0, 3, 9)
+    np.testing.assert_array_equal(np.asarray(x_pen[0]), expect)
+
+
+def test_pipeline_repeat_penalty_plumbing(tmp_path):
+    # the knob must reach the compiled sampler through the pipeline cache
+    # key: same pipeline, same rng, penalty on/off -> different programs
+    from fddm_asr_tpu.sampler import argmax_repeat_penalized  # noqa: F401
+
+    from fddm_asr_tpu.config import Config
+    from fddm_asr_tpu.pipeline import FDDMPipeline
+
+    class _Tok:
+        def encode(self, text):
+            return [4]
+
+        def decode(self, ids):
+            return ""
+
+    cfg = Config({
+        "seed": 0,
+        "data": {"vocab_size": V, "pad_id": 0, "eos_id": 2, "max_len": L,
+                 "sample_rate": 16000, "max_seconds": 1.0},
+        "model": {"d_model": 16, "nhead": 2, "num_layers": 1, "dim_ff": 32,
+                  "dropout": 0.0,
+                  "encoder": {"wavlm_name": "tiny", "freeze": True,
+                              "proj": "linear", "pooling": "none"},
+                  "projector": {"d_proj": 8}},
+        "diffusion": {"T": T_TRAIN, "beta_max": 0.2},
+        "inference": {"T_infer": 4, "r": 2, "greedy": True},
+    })
+    pipe = FDDMPipeline.from_config(cfg, tokenizer=_Tok(), seed=0)
+    rng = jax.random.key(0)
+    cond = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 16)),
+                       jnp.float32)
+    ids0, _ = pipe.sample(rng, cond, seq_len=L, T_infer=4, r=2)
+    ids1, _ = pipe.sample(rng, cond, seq_len=L, T_infer=4, r=2,
+                          repeat_penalty=0.25)
+    assert ids0.shape == ids1.shape == (1, L)
+    assert len(pipe._samplers) == 2  # distinct compiled programs
