@@ -83,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--out", required=True)
     ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--save-final", action="store_true",
+                    help="torch.save the final decoder state_dict to "
+                         "<out>/final.pt (post-hoc probes, warm starts)")
     args = ap.parse_args(argv)
 
     import torch
@@ -230,6 +233,8 @@ def main(argv=None):
         rec["trainmode_kl"] = tk
         rec["trainmode_eos_frac"] = teos
     mfh.write(json.dumps(rec) + "\n")
+    if args.save_final:
+        torch.save(dec.state_dict(), os.path.join(args.out, "final.pt"))
     print(f"done: {step} steps, final eval kl={ek:.4f}", flush=True)
 
 
