@@ -436,3 +436,38 @@ def test_init_random_ckpt_synthetic_tokenizer(tmp_path, capsys):
                                        "vocab.json")))
     assert side["special_token_ids"]["pad_id"] == 3
     assert side["special_token_ids"]["eos_id"] == 2
+
+
+def test_dropout_mode_probe_smoke(tmp_path, capsys):
+    """scripts/dropout_mode_probe.py end-to-end on a fresh synth corpus:
+    make_synth_data -> precompute_features -> random-init dual-mode probe.
+    Pins the artifact schema (docs/dropout_probe_r05.json producers) and
+    that a random-init model shows no mode-dependent fit (|gap| small) —
+    the round-4 pathology detector must read ~0 on a healthy state."""
+    from scripts.make_synth_data import main as make
+    from scripts.precompute_features import main as pre_main
+    from scripts.dropout_mode_probe import main as probe_main
+
+    out = str(tmp_path / "synth")
+    make(["--out", out, "--n", "6", "--seconds", "0.3"])
+    cfg_path = os.path.join(out, "config.yaml")
+    cache = str(tmp_path / "cache")
+    pre_main(["--config", cfg_path, "--cache-dir", cache,
+              "--splits", "train", "--device", "cpu"])
+
+    res = str(tmp_path / "probe.json")
+    probe_main(["--config", cfg_path, "--cache",
+                os.path.join(cache, "train"), "--n-probe", "6",
+                "--batch-size", "3", "--n-dropout-draws", "2",
+                "--out", res])
+    got = json.load(open(res))
+    # schema consumed by scripts/dropout_probe_artifact.py
+    for k in ("eval_kl", "eval_eos_frac", "trainmode_kl_mean",
+              "trainmode_kl_per_draw", "trainmode_eos_frac", "mode_gap"):
+        assert k in got, k
+    assert got["eval_kl"] > 0 and np.isfinite(got["eval_kl"])
+    assert len(got["trainmode_kl_per_draw"]) == 2
+    assert 0.0 <= got["eval_eos_frac"] <= 1.0
+    # random init: both modes see the same (untrained) function up to
+    # dropout noise — the pathology signature (eval >> trainmode) is absent
+    assert abs(got["mode_gap"]) < 0.5 * got["eval_kl"]
